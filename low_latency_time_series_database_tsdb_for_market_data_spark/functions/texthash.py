@@ -1,0 +1,63 @@
+"""Portable text hashing / shingling column expressions.
+
+Everything here is built from primitives whose results are identical in
+Spark and DuckDB (md5 hex, string concat, lexicographic compare on ASCII),
+so the LLM-pipeline operators (dedup, fingerprinting, simhash) can be
+verified bit-for-bit against the SQL oracle.  MinHash uses the
+lexicographic MIN of ``md5(seed || ':' || shingle)`` — simulating k hash
+functions by salting one, with fixed-width lowercase-hex order standing in
+for integer order (order-isomorphic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # seeds 0..7
+ROWS_PER_BAND = 2  # -> 4 LSH bands
+SIMHASH_BITS = 16
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (documents.text is single-space separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(toks: Column) -> Column:
+    """Word 3-gram shingles, one per position (empty if < 3 tokens)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
+def salted_md5(seed: Column | int, s: Column) -> Column:
+    seed_c = F.lit(seed) if isinstance(seed, int) else seed
+    return F.md5(F.concat(seed_c.cast("string"), F.lit(":"), s))
+
+
+def hex_nibble(c: Column) -> Column:
+    """Hex char -> 0..15 (JVM-side conv; oracle uses a CASE chain)."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def simhash16(hash_col: Column) -> list[Column]:
+    """The 16 leading bits of an md5-hex column, MSB-first, as 0/1 ints."""
+    bits = []
+    for b in range(SIMHASH_BITS):
+        nib = hex_nibble(F.substring(hash_col, b // 4 + 1, 1))
+        bits.append(F.shiftright(nib, 3 - (b % 4)).bitwiseAND(F.lit(1)))
+    return bits
+
+
+def hex_nibble_sql(sub_expr: str) -> str:
+    """DuckDB CASE chain: hex char expression -> 0..15."""
+    cases = " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef"))
+    return f"(CASE {sub_expr} {cases} END)"

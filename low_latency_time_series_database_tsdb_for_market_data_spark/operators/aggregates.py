@@ -1,0 +1,211 @@
+"""Aggregation block q20-q26 (SURVEY.md §2.3).
+
+The reference's only aggregate is COUNT (`timeseries_db.hpp:44-59`); this
+block supplies the full hash-aggregation surface Spark users expect.  Every
+groupBy compiles to partial (map-side) + final aggregation with AQE
+coalescing — at 100 TB the shuffle carries only group keys and partial
+states, never raw rows.
+
+Float discipline: money columns aggregate as integer cents
+(functions.deterministic) so results are order-independent and hash-stable
+against the DuckDB oracle at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents
+from ..registry import query
+
+
+@query(
+    "q20_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT))                                  AS sum_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="agg",
+)
+def q20_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: two group keys, eight aggregates, one shuffle of
+    partial states."""
+    li = table(spark, sf_dir, "lineitem")
+    ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.round(F.sum(cents(ep)) / 100.0, 2).alias("sum_base"),
+        F.round(F.sum(cents(ep * (F.lit(1) - disc), 10000)) / 10000.0, 2).alias("sum_disc"),
+        F.round(
+            F.sum(cents(ep * (F.lit(1) - disc) * (F.lit(1) + tax), 1000000)) / 1000000.0, 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum(cents(ep)) / 100.0 / n, 4).alias("avg_price"),
+        F.round(F.sum(cents(disc)) / 100.0 / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q21_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="agg-time",
+)
+def q21_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time bucket in batch form (streaming analogue: F.window +
+    watermark, see streaming/).  date_trunc keys partition-prune cleanly
+    when data is laid out by date."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents("value")) / 100.0 / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+@query(
+    "q22_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id)            AS rn_open,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC)  AS rn_close
+        FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END)  AS open,
+           MAX(value)                                 AS high,
+           MIN(value)                                 AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*)                                   AS n_ticks
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+    category="agg-time",
+)
+def q22_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-data OHLC bars per symbol per hour.  Open/close are picked by
+    the deterministic total order (ts, seq) — SURVEY.md §4.3.4's fix for the
+    reference's two conflicting implicit orders.  No raw float arithmetic:
+    every output is an original column value."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    by_bucket = W.partitionBy("event_type", "bucket")
+    ev = ev.withColumn(
+        "rn_open", F.row_number().over(by_bucket.orderBy(F.asc("ts"), F.asc("event_id")))
+    ).withColumn(
+        "rn_close",
+        F.row_number().over(by_bucket.orderBy(F.desc("ts"), F.desc("event_id"))),
+    )
+    return ev.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@query(
+    "q23_vwap",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT)) / 100.0
+                 / SUM(CAST(l_quantity AS BIGINT)), 4) AS vwap
+    FROM lineitem
+    GROUP BY 1
+    """,
+    category="agg",
+)
+def q23_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price — numerator summed as exact integer
+    cents (price*qty is cent-exact because quantity is integral)."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(cents(F.col("l_extendedprice") * F.col("l_quantity")))
+    den = F.sum(F.col("l_quantity").cast("bigint"))
+    return (
+        li.groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
+        .agg(F.round(num / 100.0 / den, 4).alias("vwap"))
+    )
+
+
+@query(
+    "q24_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events
+    GROUP BY event_type
+    """,
+    category="agg-distinct",
+)
+def q24_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark expands to a two-phase agg (distinct then
+    count); at 100 TB prefer q25's sketch when exactness isn't required."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "q25_approx_distinct",
+    oracle=None,  # HLL sketch differs from DuckDB's by design — rows-only
+    category="agg-distinct",
+)
+def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): constant memory per group, no
+    distinct expansion — the 100 TB path for cardinality."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "q26_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    category="agg-rollup",
+)
+def q26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — Spark plans it as a single Expand +
+    hash agg, not one pass per grouping set."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(cents("o_totalprice")) / 100.0, 2).alias("total"),
+    )

@@ -1,0 +1,77 @@
+"""Generic as-of join — THE canonical market-data join, absent in both the
+reference and stock Spark (SURVEY.md §2.2).
+
+Semantics: for each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same key group (inclusive, like the
+reference's inclusive range bounds, `bplus_tree.hpp:80-86`).  Ties inside
+the right side resolve by the (ts, seq) total order (SURVEY.md §4.3.4).
+
+Implementation is the union + ordered window fill:
+
+    1. tag right rows (side=0) and left rows (side=1);
+    2. union and order within key by (ts, side, seq) — side=0 first so a
+       right row at exactly left.ts is visible to that left row;
+    3. last(right payload, ignorenulls) over rows unbounded..current
+       carries the latest right row forward;
+    4. keep left rows.
+
+Scale: ONE shuffle on the join key (same as any sort-merge join), then a
+linear per-partition window pass.  No range explosion, no per-group pandas
+— this beats a naive range-join + argmax (which shuffles the candidate
+cross product) by the fan-out factor, and it is skew-safe as long as the
+key distribution is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """As-of join left<-right on key columns ``on``.
+
+    ``payload`` maps right-side column -> output alias.  Left and right
+    column names must be disjoint apart from ``on``.  Output = all left
+    columns + aliased payload columns (NULL when no right row precedes).
+    """
+    lcols = left.columns
+    aliases = list(payload.values())
+
+    l_u = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("long").alias("__seq"),
+        *[
+            F.lit(None).cast(right.schema[rc].dataType).alias(a)
+            for rc, a in payload.items()
+        ],
+    )
+    r_u = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_seq).cast("long").alias("__seq"),
+        *[F.col(rc).alias(a) for rc, a in payload.items()],
+    )
+    u = l_u.unionByName(r_u)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc_nulls_first("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = [F.last(F.col(a), ignorenulls=True).over(w).alias(a) for a in aliases]
+    return u.select(*lcols, "__side", *filled).where(F.col("__side") == 1).drop("__side")

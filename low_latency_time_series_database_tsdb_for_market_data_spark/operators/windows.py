@@ -1,0 +1,137 @@
+"""Window-function block q30-q34 (SURVEY.md §2.3).
+
+Absent in the reference; the natural consumers are exactly its domain
+(moving averages, returns, cumulative volume over tick streams).  All
+windows partition by symbol (event_type) so state never crosses the
+partition key — the same property that keeps the reference's per-symbol
+directories independent keeps these windows shuffle-local at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents
+from ..registry import query
+
+def _order():
+    """Deterministic total order (ts, seq) — SURVEY.md §4.3.4."""
+    return [F.asc("ts"), F.asc("event_id")]
+
+
+@query(
+    "q30_moving_avg",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0
+                 / COUNT(*) OVER w, 4) AS mavg
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def q30_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-row trailing average per symbol — integer-cents sum over the frame
+    keeps the value independent of evaluation order."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(*_order()).rowsBetween(-9, W.currentRow)
+    mavg = F.round(
+        F.sum(cents("value")).over(w) / 100.0 / F.count(F.lit(1)).over(w), 4
+    )
+    return ev.select("event_id", "event_type", "value", mavg.alias("mavg"))
+
+
+@query(
+    "q31_rank",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+           CAST(rank()       OVER (PARTITION BY event_type ORDER BY value DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS BIGINT) AS drnk
+    FROM events
+    """,
+    category="window",
+)
+def q31_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio: row_number gets a unique tiebreaker; rank/dense_rank
+    deliberately rank on value alone so ties are exercised."""
+    ev = table(spark, sf_dir, "events")
+    w_unique = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    w_ties = W.partitionBy("event_type").orderBy(F.desc("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w_unique).cast("bigint").alias("rn"),
+        F.rank().over(w_ties).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "q32_lag_returns",
+    oracle="""
+    SELECT event_id, event_type, ts, value,
+           ROUND(value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 2) AS ret
+    FROM events
+    """,
+    category="window",
+)
+def q32_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-tick return per symbol (NULL on each symbol's first tick)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(*_order())
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("ret"),
+    )
+
+
+@query(
+    "q33_cume_range_frame",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+                 (PARTITION BY event_type ORDER BY ts
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS cume
+    FROM events
+    """,
+    category="window",
+)
+def q33_cume_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with a RANGE frame — timestamp peers (equal ts) are
+    summed together, which is exactly why the cents trick matters: peer
+    accumulation order is engine-internal."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.sum(cents("value")).over(w) / 100.0, 2).alias("cume"),
+    )
+
+
+@query(
+    "q34_sort_limit",
+    oracle="SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    category="sort-limit",
+)
+def q34_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 — executes as per-partition TakeOrdered + driver-side
+    merge of 25-row heaps; cost is O(n) scan, no global shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )

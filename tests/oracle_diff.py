@@ -48,7 +48,9 @@ def assert_df_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str
             for i, (x, y) in enumerate(zip(fa, fb)):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9), (
+                # the driver hashes values, so require bit-identical floats
+                # (the ROUND/integer-cents discipline makes this achievable)
+                assert x == y, (
                     f"{name}: col {c} row {i}: {x!r} != {y!r}"
                 )
         else:
