@@ -1,0 +1,123 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys report the three BASELINE.md comparison points:
+  * ingest_rows_per_sec  — events table through the partitioned batch
+    writer (reference: 2.7-5.3 M ticks/s single-node insert);
+  * scan_rows_per_sec    — warm full-range scan over events (reference:
+    20-22 M ticks/s hot range query);
+  * cold_point_sec       — first point lookup incl. planning (reference:
+    ~78-104 ms cold process with full index rebuild).
+
+Query timing uses the noop sink: full materialization, no driver
+collect, no disk cost — executor throughput only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the per-query benchmark set: every registered query
+SKIP = set()  # all queries run; keep hook for pathological cases
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        events_raw,
+        table,
+        with_ts,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.session import (
+        get_spark,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        write_ticks,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.ticks import (
+        tick_view,
+    )
+
+    spark = get_spark("tsdb-bench")
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    # --- cold point lookup: first query in this session, incl. planning ---
+    reg = load_all()
+    t0 = time.perf_counter()
+    materialize(reg["q05_point_lookup"].fn(spark, SF_DIR))
+    cold_point_sec = time.perf_counter() - t0
+
+    # --- ingest: events through the partitioned batch writer ---
+    ticks = tick_view(spark, SF_DIR)
+    n_events = ticks.count()
+    tmp = tempfile.mkdtemp(prefix="tsdb_bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        write_ticks(ticks, f"{tmp}/table", mode="overwrite")
+        ingest_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- warm full-range scan (flagship S4) ---
+    raw = events_raw(spark, SF_DIR)
+    materialize(with_ts(raw))  # warm file listing + page cache
+    t0 = time.perf_counter()
+    materialize(
+        with_ts(raw.where((raw.ts >= 0) & (raw.ts <= (1 << 62))))
+    )
+    scan_sec = time.perf_counter() - t0
+
+    # --- per-query timings ---
+    queries: dict[str, float] = {}
+    for name, qd in sorted(reg.items()):
+        if name in SKIP:
+            continue
+        t0 = time.perf_counter()
+        materialize(qd.fn(spark, SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(queries.values()), 4)
+    out = {
+        "metric": "declared_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_events": n_events,
+        "ingest_rows_per_sec": round(n_events / ingest_sec, 1),
+        "scan_rows_per_sec": round(n_events / scan_sec, 1),
+        "cold_point_sec": round(cold_point_sec, 4),
+        "spark_conf": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 
 from . import aggregates  # noqa: F401
 from . import joins  # noqa: F401
+from . import llm  # noqa: F401
 from . import reference_surface  # noqa: F401
 from . import setops  # noqa: F401
 from . import windows  # noqa: F401

@@ -1,0 +1,8 @@
+"""LLM-data-pipeline operators (north-star adds per BASELINE.json):
+dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine),
+similarity search, text analysis, multimodal column plumbing."""
+
+from . import dedup  # noqa: F401
+from . import multimodal  # noqa: F401
+from . import similarity  # noqa: F401
+from . import text  # noqa: F401

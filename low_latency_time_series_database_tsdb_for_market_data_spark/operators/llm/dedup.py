@@ -1,0 +1,255 @@
+"""Deduplication operators over `documents` (q50, q54-q56, q62).
+
+Pipeline shape at 100 TB:
+  exact dedup        -> one hash-groupBy on text (or md5(text) to shrink
+                        shuffle payload to 32 bytes/row);
+  MinHash signatures -> shingle explode + salted-md5 min-agg: map-side
+                        partial MIN means the shuffle carries one row per
+                        (doc, seed), never raw shingles;
+  LSH banding        -> signatures folded into 4 band keys; only docs
+                        sharing a band bucket become candidate pairs —
+                        candidate generation is linear, not O(n^2);
+  exact verify       -> n-gram Jaccard computed ONLY for candidates;
+  embedding near-dup -> label-blocked (IVF-style coarse partition) cosine.
+
+Everything is built from portable primitives (md5, string ops, integer
+arithmetic) so each stage is verified bit-for-bit against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import table
+from ...functions.texthash import N_MINHASH, salted_md5, shingles, tokens
+from ...registry import query
+
+# Shared oracle fragment: one row per (doc_id, 3-gram shingle).
+_SHINGLES_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks)
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — the Spark twin of _SHINGLES_SQL."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+
+
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh7): per-seed lexicographic-min salted md5.
+
+    Computed entirely within-row (array_min over transform) — a narrow
+    map with NO shuffle and NO shingle explosion; per-doc cost is
+    8 x n_shingles md5 calls inside codegen.  This is the 100 TB shape:
+    signature computation scales with input bytes, not with an exploded
+    (doc x shingle x seed) row count."""
+    d = table(spark, sf_dir, "documents")
+    # local single-file parquet arrives as ONE split; spread the md5-heavy
+    # map across cores (on a real cluster the input is already split and
+    # this repartition of (doc_id, text) is a no-op-sized shuffle)
+    par = spark.sparkContext.defaultParallelism
+    sh_docs = d.repartition(par).select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    )
+
+    def salter(seed: int):
+        # single-arg lambda: a 2-arg lambda would be treated by Spark as
+        # the (element, index) HOF form and the index would clobber seed
+        return lambda s: salted_md5(seed, s)
+
+    cols = [
+        F.array_min(F.transform(F.col("sh"), salter(seed))).alias(f"mh{seed}")
+        for seed in range(N_MINHASH)
+    ]
+    return sh_docs.select("doc_id", *cols)
+
+
+def _signature_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, mh) — q54's declared output shape (stack of the
+    wide signature; still shuffle-free)."""
+    wide = _signature_wide(spark, sf_dir)
+    stack = ", ".join(f"CAST({s} AS BIGINT), mh{s}" for s in range(N_MINHASH))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_MINHASH}, {stack}) AS (seed, mh)"
+    )
+
+
+@query(
+    "q50_dedup_exact",
+    oracle="SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    category="llm-dedup",
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per identical text.  One
+    hash-groupBy; at scale group on md5(text) so the shuffle key is 32
+    bytes instead of the document body."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+
+@query(
+    "q54_minhash_signature",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed)
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           MIN(md5(seed || ':' || s)) AS mh
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+    category="llm-dedup",
+)
+def q54_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 salted-md5 mins per doc) over word 3-gram
+    shingles.  The min is computed map-side per partition, so the shuffle
+    carries 8 rows per document regardless of document length."""
+    return _signature_long(spark, sf_dir)
+
+
+@query(
+    "q55_lsh_buckets",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS mh
+            FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2)
+    SELECT CAST(band AS BIGINT) AS band, band_key, COUNT(*) AS n_docs
+    FROM bands GROUP BY band, band_key
+    """,
+    category="llm-dedup",
+)
+def q55_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 8 minhashes folded into 4 band keys (2 rows/band).
+    Buckets with n_docs > 1 are the near-dup candidate groups; candidate
+    generation therefore costs one groupBy, not an all-pairs join."""
+    wide = _signature_wide(spark, sf_dir)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), md5(concat(mh{2*b}, '|', mh{2*b+1}))"
+        for b in range(N_MINHASH // 2)
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"stack({N_MINHASH // 2}, {stack}) AS (band, band_key)"
+    )
+    return bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q56_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+               FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT ia AS doc_a, ib AS doc_b,
+           ROUND((c * 1.0) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE (c * 1.0) / (sa.n + sb.n - c) >= 0.6
+    """,
+    category="llm-dedup",
+)
+def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.6 near-dup pairs (the verify stage after
+    LSH candidate generation; at 100 TB restrict the shingle join to q55's
+    candidate buckets — here the full join doubles as the oracle check).
+    Jaccard arithmetic is integer-count based, so it is order-exact."""
+    shd = _shingle_rows(spark, sf_dir).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    jac = (F.col("c") * 1.0) / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .where(jac >= 0.6)
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q62_embedding_neardup",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    norms AS (SELECT vec_id, label, embedding,
+                     SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nn
+              FROM embeddings, idx GROUP BY vec_id, label, embedding),
+    pairs AS (SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
+                     a.nn AS na, b.nn AS nb,
+                     SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
+              FROM norms a JOIN norms b
+                ON a.label = b.label AND a.vec_id < b.vec_id, idx
+              GROUP BY 1, 2, 3, 4, 5)
+    SELECT CAST(label AS BIGINT) AS label, ia AS id_a, ib AS id_b,
+           ROUND(dot / sqrt(na * nb), 4) AS cos
+    FROM pairs WHERE dot / sqrt(na * nb) >= 0.4
+    """,
+    category="llm-dedup",
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
+    coarse partition): pairs only form inside a block, so cost is
+    sum(block^2), not n^2.  Dot products run JVM-side via zip_with +
+    aggregate — sequential fold in array order, no Python UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.aggregate(
+        F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = e.select(
+        "vec_id", "label", dbl.alias("v"), norm.alias("nn")
+    )
+    a = n.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = n.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    joined = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        joined.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= 0.4)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "id_a",
+            "id_b",
+            F.round("cos_raw", 4).alias("cos"),
+        )
+    )

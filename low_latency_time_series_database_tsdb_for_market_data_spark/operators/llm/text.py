@@ -1,0 +1,250 @@
+"""Text-analysis operators over `documents` (q52, q53, q57-q61):
+language-ID heuristic, quality scoring, token counting, simhash,
+document fingerprinting.  All single-pass, JVM-side expression pipelines —
+one narrow map + one hash agg each; nothing here shuffles document bodies
+except the initial scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import table
+from ...functions.texthash import SIMHASH_BITS, simhash16, tokens
+from ...registry import query
+
+# language-ID marker words (heuristic; priority order breaks ties)
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q52_text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    category="llm-text",
+)
+def q52_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language (exact integer sums -> stable division)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q53_doc_filter",
+    oracle="""
+    WITH bands AS (SELECT n_chars // 100 AS band, COUNT(*) AS band_total
+                   FROM documents GROUP BY 1),
+    f AS (SELECT doc_id, source, n_chars // 100 AS band
+          FROM documents WHERE regexp_matches(text, 'data|query'))
+    SELECT f.source, CAST(f.band AS BIGINT) AS band,
+           COUNT(*) AS n, MAX(b.band_total) AS band_total
+    FROM f JOIN bands b ON f.band = b.band
+    GROUP BY f.source, f.band
+    """,
+    category="llm-text",
+)
+def q53_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-filtered docs joined to their length-band population — the
+    band dimension is tiny and broadcast."""
+    d = table(spark, sf_dir, "documents")
+    band = F.expr("n_chars div 100")
+    bands = d.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("band_total")
+    )
+    f = d.where(F.col("text").rlike("data|query")).select(
+        "doc_id", "source", band.alias("band")
+    )
+    return (
+        f.join(F.broadcast(bands), "band")
+        .groupBy("source", F.col("band").cast("bigint").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("band_total").alias("band_total"))
+    )
+
+
+def _simhash_oracle() -> str:
+    """Generate the 16-bit simhash oracle SQL (DuckDB), mirroring
+    functions.texthash.simhash16 bit-for-bit."""
+    sums = []
+    for b in range(SIMHASH_BITS):
+        nib = f"('0x' || substr(hh, {b // 4 + 1}, 1))::INT"
+        bit = f"(({nib}) // {2 ** (3 - b % 4)}) % 2"
+        sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, md5(w) AS hh FROM tok),
+    bits AS (SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("q57_simhash", oracle=_simhash_oracle(), category="llm-dedup")
+def q57_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5(token) bit votes.  Docs whose
+    simhashes are within a small Hamming distance are near-dup candidates;
+    the signature groupBy is the only shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    h = tok.select("doc_id", F.md5("w").alias("hh"))
+    bits = simhash16(F.col("hh"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bits[b] == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    assemble = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, 2 ** (SIMHASH_BITS - 1 - b)).otherwise(0)
+        assemble = term if assemble is None else assemble + term
+    return votes.select("doc_id", assemble.cast("bigint").alias("simhash"))
+
+
+def _langid_counts():
+    return {
+        lang: F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0)).alias(f"c_{lang}")
+        for lang, words in _MARKERS.items()
+    }
+
+
+@query(
+    "q58_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    c AS (SELECT doc_id, lang,
+          {", ".join(
+              "SUM(CASE WHEN w IN (%s) THEN 1 ELSE 0 END) AS c_%s"
+              % (", ".join(f"'{w}'" for w in words), lang)
+              for lang, words in _MARKERS.items()
+          )}
+          FROM tok GROUP BY doc_id, lang)
+    SELECT lang, CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        WHEN c_fr >= c_es THEN 'fr'
+        ELSE 'es' END AS pred_lang,
+        COUNT(*) AS n
+    FROM c GROUP BY 1, 2
+    """,
+    category="llm-text",
+)
+def q58_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic; output is the (true lang x
+    predicted lang) confusion count.  Priority order en>de>fr>es breaks
+    ties deterministically."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+    c = tok.groupBy("doc_id", "lang").agg(*_langid_counts().values())
+    pred = (
+        F.when(
+            (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_es")),
+            "en",
+        )
+        .when((F.col("c_de") >= F.col("c_fr")) & (F.col("c_de") >= F.col("c_es")), "de")
+        .when(F.col("c_fr") >= F.col("c_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        c.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q59_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents),
+    m AS (SELECT doc_id, n_chars,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(toks, w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop
+          FROM t)
+    SELECT doc_id, n_tok,
+           ROUND(n_stop * 1.0 / n_tok, 4) AS stop_ratio,
+           ROUND(0.6 * (n_stop * 1.0 / n_tok)
+                 + 0.4 * LEAST(n_tok / 100.0, 1.0), 4) AS score
+    FROM m
+    """,
+    category="llm-text",
+)
+def q59_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score from stopword ratio + length saturation — the
+    classic cheap pre-filter before expensive LLM processing."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
+    m = d.select("doc_id", n_tok.alias("n_tok"), n_stop.alias("n_stop"))
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tok")
+    score = 0.6 * stop_ratio + 0.4 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+    return m.select(
+        "doc_id",
+        "n_tok",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+@query(
+    "q60_token_count",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_ws_tokens,
+           SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)) AS n_re_tokens
+    FROM documents GROUP BY source
+    """,
+    category="llm-text",
+)
+def q60_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + a BPE-ish regex
+    tokenizer (letter runs / digit runs / single punctuation)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("n_ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(_TOKEN_RE)).cast("bigint")).alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+@query(
+    "q61_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+           substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 8) AS fp8
+    FROM documents
+    """,
+    category="llm-text",
+)
+def q61_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (whitespace-collapsed, lowercased
+    md5) — the join key for cross-corpus exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    fp = F.md5(norm)
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8"))

@@ -1,0 +1,66 @@
+"""Behavioral tests for the LLM-pipeline operators beyond the oracle diff:
+ANN recall vs the exact top-k, LSH bucket agreement with exact Jaccard,
+and the multimodal mapInPandas pipeline."""
+
+from __future__ import annotations
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm import (
+    multimodal,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+
+REG = load_all()
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    exact = {r.vec_id for r in REG["q51_similarity_topk"].fn(spark, sf_dir).collect()}
+    ann = {r.vec_id for r in REG["q64_ann_lsh_bucketed"].fn(spark, sf_dir).collect()}
+    assert len(ann) > 0
+    # 4-bit LSH keeps ~1/16 of vectors; recall@10 >= 0.2 is the sanity bar
+    assert len(exact & ann) >= 2
+
+
+def test_lsh_buckets_catch_planted_neardups(spark, sf_dir):
+    """Every >=0.9-Jaccard pair must share at least one LSH band bucket
+    (with 4 bands of 2 rows, P[miss | j=0.9] = (1-0.81)^4 ~ 0.13% per pair)."""
+    pairs = REG["q56_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+    high = [(r.doc_a, r.doc_b) for r in pairs if r.jaccard >= 0.9]
+    sig = REG["q54_minhash_signature"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.mh
+    missed = []
+    for a, b in high:
+        sa, sb = by_doc[a], by_doc[b]
+        if not any(
+            sa[2 * band] == sb[2 * band] and sa[2 * band + 1] == sb[2 * band + 1]
+            for band in range(4)
+        ):
+            missed.append((a, b))
+    assert len(missed) <= max(1, len(high) // 10), missed
+
+
+def test_multimodal_feature_pipeline(spark, sf_dir):
+    media = multimodal.media_from_documents(spark, sf_dir)
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(20).collect()
+    assert rows and all(r.n_bytes > 0 for r in rows)
+    assert all(len(r.magic_hex) == 8 for r in rows)
+    assert all(0.0 <= r.byte_mean <= 255.0 for r in rows)
+    # schema contract for downstream consumers
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id",
+        "mime",
+        "n_bytes",
+        "byte_mean",
+        "magic_hex",
+    ]
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00", "image/png")
