@@ -89,6 +89,58 @@ def main() -> None:
     )
     scan_sec = time.perf_counter() - t0
 
+    # --- BASELINE-protocol generated benchmark (cli.cpp:20-41 analogue):
+    # generate N sequential-ts ticks, timed ingest through the partitioned
+    # writer, timed full-range scan — the reference's own `benchmark` cmd
+    # at its 1M-tick scale, so rows/s compares directly to BASELINE.md ---
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        read_ticks,
+    )
+
+    def gen_bench(n_gen: int) -> dict[str, float]:
+        gen = spark.range(n_gen).select(
+            F.lit("BENCH").alias("symbol"),
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+            (100.0 + F.rand(7) * 100.0).alias("price"),
+            (100 + (F.rand(11) * 9900).cast("long")).alias("volume"),
+            F.col("id").alias("seq"),
+        )
+        materialize(gen)  # generation cost excluded, as in the reference
+        tmp2 = tempfile.mkdtemp(prefix="tsdb_bench_gen_")
+        try:
+            t0 = time.perf_counter()
+            write_ticks(gen, f"{tmp2}/table", mode="overwrite")
+            ingest_sec = time.perf_counter() - t0
+
+            tk = read_ticks(spark, f"{tmp2}/table")
+            materialize(tk)  # warm listing + page cache
+            full_range = tk.where(
+                (F.col("ts") >= F.timestamp_seconds(F.lit(1_600_000_000)))
+                & (F.col("ts") <= F.timestamp_seconds(F.lit(1_600_000_000 + n_gen)))
+            )
+            t0 = time.perf_counter()
+            materialize(full_range)
+            scan_sec = time.perf_counter() - t0
+
+            # hot = persisted columnar batches, the reference's in-memory
+            # index + mmap equivalent
+            tk.persist().count()
+            t0 = time.perf_counter()
+            materialize(full_range)
+            scan_hot_sec = time.perf_counter() - t0
+            tk.unpersist(blocking=True)
+            spark.catalog.clearCache()
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
+        return {
+            "rows": n_gen,
+            "ingest_rows_per_sec": round(n_gen / ingest_sec, 1),
+            "scan_rows_per_sec": round(n_gen / scan_sec, 1),
+            "scan_hot_rows_per_sec": round(n_gen / scan_hot_sec, 1),
+        }
+
     # --- per-query timings ---
     queries: dict[str, float] = {}
     for name, qd in sorted(reg.items()):
@@ -97,6 +149,15 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(qd.fn(spark, SF_DIR))
         queries[name] = round(time.perf_counter() - t0, 4)
+
+    # --- generated-scale benchmark, AFTER the suite so its heap/shuffle
+    # footprint cannot inflate per-query timings ---
+    # 1M = the reference benchmark's own scale (BASELINE.md rows);
+    # 10M = where Spark's fixed per-job overhead amortizes out
+    gen_results = {
+        f"gen_{n // 1_000_000}m": gen_bench(n)
+        for n in (1_000_000, 10_000_000)
+    }
 
     total = round(sum(queries.values()), 4)
     out = {
@@ -109,6 +170,7 @@ def main() -> None:
         "ingest_rows_per_sec": round(n_events / ingest_sec, 1),
         "scan_rows_per_sec": round(n_events / scan_sec, 1),
         "cold_point_sec": round(cold_point_sec, 4),
+        **gen_results,
         "spark_conf": {
             "master": spark.sparkContext.master,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

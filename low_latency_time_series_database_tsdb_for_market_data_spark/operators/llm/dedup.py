@@ -3,9 +3,10 @@
 Pipeline shape at 100 TB:
   exact dedup        -> one hash-groupBy on text (or md5(text) to shrink
                         shuffle payload to 32 bytes/row);
-  MinHash signatures -> shingle explode + salted-md5 min-agg: map-side
-                        partial MIN means the shuffle carries one row per
-                        (doc, seed), never raw shingles;
+  MinHash signatures -> shingle explode + ONE md5 per shingle + min-agg
+                        of 8 digest rotations (k hashes from one digest):
+                        map-side partial MIN means the shuffle carries one
+                        row per (doc, seed), never raw shingles;
   LSH banding        -> signatures folded into 4 band keys; only docs
                         sharing a band bucket become candidate pairs —
                         candidate generation is linear, not O(n^2);
@@ -22,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...catalog import table
-from ...functions.texthash import N_MINHASH, salted_md5, shingles, tokens
+from ...functions.texthash import N_MINHASH, shingles, tokens
 from ...registry import query
 
 # Shared oracle fragment: one row per (doc_id, 3-gram shingle).
@@ -34,40 +35,62 @@ _SHINGLES_SQL = """
            FROM toks)
 """
 
+# Oracle fragment extending _SHINGLES_SQL with one md5 per shingle.
+_HASHED_SQL = _SHINGLES_SQL + ",\n    hs AS (SELECT doc_id, md5(s) AS h FROM sh)"
+
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — the Spark twin of _SHINGLES_SQL."""
+    """(doc_id, shingle) rows — the Spark twin of _SHINGLES_SQL.
+
+    The repartition spreads the explode across cores: a local single-file
+    parquet arrives as ONE split, and on a real cluster the input is
+    already split so this shuffle of (doc_id, text) is no-op-sized."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    par = spark.sparkContext.defaultParallelism
+    return d.repartition(par).select(
+        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
+    )
+
+
+def _rot(h, width: int, seed: int):
+    """Rotate a fixed-width hex digest left by 4*seed chars.
+
+    Simulates k independent hash functions from ONE md5 per shingle
+    (Kirsch-Mitzenmacher-style): each rotation induces a distinct total
+    order, so MIN under rotation r is an independent-enough minhash —
+    at 1/8th the hashing cost of k salted digests."""
+    if seed == 0:
+        return h
+    return F.concat(
+        F.substring(h, 4 * seed + 1, width - 4 * seed), F.substring(h, 1, 4 * seed)
+    )
+
+
+def _rot_sql(h: str, width: int, seed_expr: str) -> str:
+    """DuckDB twin of _rot for a seed expression."""
+    return (
+        f"substr({h}, 4 * {seed_expr} + 1, {width} - 4 * {seed_expr}) || "
+        f"substr({h}, 1, 4 * {seed_expr})"
+    )
 
 
 def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh7): per-seed lexicographic-min salted md5.
+    """(doc_id, mh0..mh7): minhash signature via ONE md5 per shingle.
 
-    Computed entirely within-row (array_min over transform) — a narrow
-    map with NO shuffle and NO shingle explosion; per-doc cost is
-    8 x n_shingles md5 calls inside codegen.  This is the 100 TB shape:
-    signature computation scales with input bytes, not with an exploded
-    (doc x shingle x seed) row count."""
-    d = table(spark, sf_dir, "documents")
-    # local single-file parquet arrives as ONE split; spread the md5-heavy
-    # map across cores (on a real cluster the input is already split and
-    # this repartition of (doc_id, text) is a no-op-sized shuffle)
-    par = spark.sparkContext.defaultParallelism
-    sh_docs = d.repartition(par).select(
-        "doc_id", shingles(tokens("text")).alias("sh")
+    Shape: explode shingles -> md5 -> hash-aggregate MIN of 8 digest
+    rotations.  Everything after the per-doc shingle transform is
+    whole-stage codegen; the MIN is computed map-side (partial agg), so
+    the shuffle carries 8 x 32-byte strings per document regardless of
+    document length.  This is the 100 TB shape: hashing cost scales with
+    input bytes (one md5 per shingle), shuffle scales with document
+    count."""
+    hs = _shingle_rows(spark, sf_dir).select("doc_id", F.md5("s").alias("h"))
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min(_rot(F.col("h"), 32, seed)).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
     )
-
-    def salter(seed: int):
-        # single-arg lambda: a 2-arg lambda would be treated by Spark as
-        # the (element, index) HOF form and the index would clobber seed
-        return lambda s: salted_md5(seed, s)
-
-    cols = [
-        F.array_min(F.transform(F.col("sh"), salter(seed))).alias(f"mh{seed}")
-        for seed in range(N_MINHASH)
-    ]
-    return sh_docs.select("doc_id", *cols)
 
 
 def _signature_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,29 +119,30 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q54_minhash_signature",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_HASHED_SQL},
     seeds AS (SELECT unnest(range({N_MINHASH})) AS seed)
     SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-           MIN(md5(seed || ':' || s)) AS mh
-    FROM sh CROSS JOIN seeds
+           MIN({_rot_sql("h", 32, "seed")}) AS mh
+    FROM hs CROSS JOIN seeds
     GROUP BY doc_id, seed
     """,
     category="llm-dedup",
 )
 def q54_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 salted-md5 mins per doc) over word 3-gram
-    shingles.  The min is computed map-side per partition, so the shuffle
-    carries 8 rows per document regardless of document length."""
+    """MinHash signatures (8 digest-rotation mins per doc) over word
+    3-gram shingles; one md5 per shingle (see _rot).  The min is computed
+    map-side per partition, so the shuffle carries 8 rows per document
+    regardless of document length."""
     return _signature_long(spark, sf_dir)
 
 
 @query(
     "q55_lsh_buckets",
     oracle=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_HASHED_SQL},
     seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
-    sig AS (SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS mh
-            FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // 2 AS band,
                      md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
                          MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
@@ -163,16 +187,38 @@ def q55_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.6 near-dup pairs (the verify stage after
-    LSH candidate generation; at 100 TB restrict the shingle join to q55's
-    candidate buckets — here the full join doubles as the oracle check).
-    Jaccard arithmetic is integer-count based, so it is order-exact."""
+    LSH candidate generation; at 100 TB restrict the shingles to q55's
+    candidate buckets — here the full corpus doubles as the oracle check).
+
+    Pair generation avoids a shingle self-join (which would scan and
+    shuffle the corpus twice): group by shingle, collect the sorted doc
+    set, and emit in-group pairs with two chained codegen generates
+    (posexplode + explode of the tail slice) — no interpreted HOFs in the
+    hot path.  Cost per shingle is |docs|^2 — at scale drop stop-shingles
+    above a document-frequency cap, exactly like IDF pruning (here max
+    group = 25).  Per-doc set sizes come from an in-row array_distinct on
+    the document itself: a narrow map, not a second pass over the
+    exploded shingles.  Jaccard arithmetic is integer-count based, so it
+    is order-exact."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sizes = d.repartition(par).select(
+        "doc_id",
+        F.size(F.array_distinct(shingles(tokens("text")))).cast("bigint").alias("n"),
+    )
     shd = _shingle_rows(spark, sf_dir).distinct()
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shd.alias("a")
-    b = shd.alias("b")
+    groups = (
+        shd.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        groups.select(F.posexplode("ds").alias("i", "ia"), "ds")
+        .select(
+            "ia",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("ib"),
+        )
+        .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))

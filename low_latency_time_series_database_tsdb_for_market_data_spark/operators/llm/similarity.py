@@ -94,47 +94,42 @@ def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap vs the exact q51 answer (recall), the honest check for ANN.
     """
     e = table(spark, sf_dir, "embeddings")
-    planes = F.broadcast(
-        e.where(F.col("vec_id").between(1, 4)).select(
-            F.col("vec_id").alias("plane_id"), _dbl(F.col("embedding")).alias("h")
-        )
+    # hyperplanes + probe are tiny fixed model state: collect once on the
+    # driver (the moral equivalent of broadcasting an ANN index's
+    # centroids) so bucket assignment is a pure narrow map — no join, no
+    # shuffle, regardless of table size
+    model = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id").between(0, 4)).collect()
+    }
+    probe_v = model[PROBE_VEC_ID]
+    planes = [model[i] for i in (1, 2, 3, 4)]
+
+    def lit_vec(vals: list[float]):
+        return F.array(*[F.lit(x) for x in vals])
+
+    vecs = e.where(F.col("vec_id") != PROBE_VEC_ID).select(
+        "vec_id", _dbl(F.col("embedding")).alias("v")
     )
-    vecs = e.select("vec_id", _dbl(F.col("embedding")).alias("v"))
-    signs = (
-        vecs.join(planes)
-        .select(
-            "vec_id",
-            "v",
-            F.col("plane_id"),
-            F.when(_dot(F.col("v"), F.col("h")) >= 0, 1).otherwise(0).alias("bit"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("plane_id") - 1).cast("bigint")
-            ).alias("bucket"),
-            F.first("v").alias("v"),
-        )
+    bucket = None
+    for i, plane in enumerate(planes):
+        bit = F.when(_dot(F.col("v"), lit_vec(plane)) >= 0, 1 << i).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    signed = vecs.withColumn("bucket", bucket)
+
+    probe_bits = sum(
+        (1 << i)
+        for i, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(probe_v, plane)) >= 0
     )
-    probe = F.broadcast(
-        signs.where(F.col("vec_id") == PROBE_VEC_ID).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(m))
-                        for m in (0, 1, 2, 4, 8)
-                    ]
-                )
-            ).alias("probe_bucket"),
-            F.col("v").alias("p"),
-        )
-    )
-    in_bucket = signs.join(
-        probe, (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != PROBE_VEC_ID)
-    )
-    cos = _dot(F.col("v"), F.col("p")) / F.sqrt(_norm2(F.col("v")) * _norm2(F.col("p")))
+    probe_buckets = [probe_bits ^ m for m in (0, 1, 2, 4, 8)]  # multi-probe
+
+    p = lit_vec(probe_v)
+    probe_norm = sum(x * x for x in probe_v)
+    cos = _dot(F.col("v"), p) / F.sqrt(_norm2(F.col("v")) * F.lit(probe_norm))
     return (
-        in_bucket.withColumn("cos_raw", cos)
+        signed.where(F.col("bucket").isin(probe_buckets))
+        .withColumn("cos_raw", cos)
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))

@@ -27,9 +27,16 @@ def write_ticks(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
 ) -> None:
-    """Append ticks to a partitioned, time-sorted parquet table."""
+    """Append ticks to a partitioned, time-sorted parquet table.
+
+    Range-partitioning on (symbol, ts) — NOT ``repartition(symbol)`` —
+    keeps the write parallel per symbol: a hot symbol spreads across
+    many tasks, each emitting a contiguous time slice, so every file in
+    a symbol's directory is still ts-sorted with disjoint min/max row
+    groups (pruning stays selective) while ingest throughput scales
+    with cores instead of with symbol count."""
     (
-        ticks.repartition(symbol_col)
+        ticks.repartitionByRange(symbol_col, ts_col)
         .sortWithinPartitions(ts_col)
         .write.mode(mode)
         .partitionBy(symbol_col)
