@@ -1,1 +1,8 @@
 from .ingest import ingest_available_now, windowed_counts_stream  # noqa: F401
+from .stateful import symbol_snapshot_stream  # noqa: F401
+from .windows import (  # noqa: F401
+    dedup_stream,
+    session_window_stream,
+    sliding_vwap_stream,
+    tick_stream,
+)

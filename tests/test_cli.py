@@ -1,0 +1,105 @@
+"""Golden tests for the reference-compatible CLI (cli.cpp:43-219 surface):
+exact output strings, inclusive range bounds, deterministic tie order,
+arrival-order last-N, malformed-CSV import with true-count reporting."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from low_latency_time_series_database_tsdb_for_market_data_spark import cli
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture()
+def data_dir():
+    d = tempfile.mkdtemp(prefix="tsdb_cli_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_insert_query_golden_format(spark, data_dir):
+    assert cli.run(["insert", "AAPL", "1000", "10.5", "7"], spark, data_dir) == [
+        "Inserted tick for AAPL"
+    ]
+    cli.run(["insert", "AAPL", "1002", "11.25", "8"], spark, data_dir)
+    cli.run(["insert", "AAPL", "1001", "12", "9"], spark, data_dir)
+    out = cli.run(["query", "AAPL", "1000", "1002"], spark, data_dir)
+    assert out == [
+        "Found 3 results:",
+        "Timestamp: 1000 Price: 10.50 Volume: 7",
+        "Timestamp: 1001 Price: 12.00 Volume: 9",
+        "Timestamp: 1002 Price: 11.25 Volume: 8",
+    ]
+
+
+def test_query_inclusive_bounds_and_inverted_range(spark, data_dir):
+    for ts in (10, 20, 30):
+        cli.run(["insert", "X", str(ts), "1.0", "1"], spark, data_dir)
+    # inclusive both ends (S4, verified on the binary)
+    assert cli.run(["query", "X", "10", "30"], spark, data_dir)[0] == "Found 3 results:"
+    assert cli.run(["query", "X", "11", "29"], spark, data_dir)[0] == "Found 1 results:"
+    # inverted range -> zero rows (verified)
+    assert cli.run(["query", "X", "30", "10"], spark, data_dir) == ["Found 0 results:"]
+
+
+def test_duplicate_ts_ties_seq_order(spark, data_dir):
+    # duplicate timestamps allowed; we standardize ties on seq ASC
+    # (documented deviation from reverse-arrival, SURVEY.md §4.3.4)
+    cli.run(["insert", "T", "100", "1.0", "1"], spark, data_dir)
+    cli.run(["insert", "T", "100", "2.0", "2"], spark, data_dir)
+    out = cli.run(["query", "T", "100", "100"], spark, data_dir)
+    assert out == [
+        "Found 2 results:",
+        "Timestamp: 100 Price: 1.00 Volume: 1",
+        "Timestamp: 100 Price: 2.00 Volume: 2",
+    ]
+
+
+def test_last_arrival_order_not_ts_order(spark, data_dir):
+    # out-of-order inserts return by insert position (S6, verified)
+    for ts, p in ((300, "3.0"), (100, "1.0"), (200, "2.0")):
+        cli.run(["insert", "L", str(ts), p, "1"], spark, data_dir)
+    out = cli.run(["last", "L", "2"], spark, data_dir)
+    assert out == [
+        "Last 2 ticks for L:",
+        "Timestamp: 100 Price: 1.00 Volume: 1",
+        "Timestamp: 200 Price: 2.00 Volume: 1",
+    ]
+    # n > count -> all rows, header shows actual size (cli.cpp:99)
+    assert cli.run(["last", "L", "99"], spark, data_dir)[0] == "Last 3 ticks for L:"
+
+
+def test_import_malformed_true_count(spark, data_dir):
+    # fixture: header + short row + bad-numeric row + 3 good rows; the
+    # 4-token row survives (extras ignored, verified on the binary).
+    # The reference would misreport 5 lines-read (cli.cpp:206); we report
+    # the true 3.
+    out = cli.run(
+        ["import", "CSV", str(FIXTURES / "ticks_malformed.csv")], spark, data_dir
+    )
+    assert out[0].startswith("Imported 3 ticks for CSV")
+    q = cli.run(["query", "CSV", "2000", "2003"], spark, data_dir)
+    assert q == [
+        "Found 3 results:",
+        "Timestamp: 2000 Price: 50.50 Volume: 10",
+        "Timestamp: 2001 Price: 51.00 Volume: 20",
+        "Timestamp: 2003 Price: 52.50 Volume: 40",
+    ]
+
+
+def test_benchmark_runs(spark, data_dir):
+    out = cli.run(["benchmark", "B", "1000"], spark, data_dir)
+    assert len(out) == 2
+    assert out[0].startswith("Inserted 1000 ticks in ")
+    assert "ticks/second" in out[0] and "ticks/second" in out[1]
+    assert out[1].startswith("Queried 1000 ticks in ")
+
+
+def test_help_on_bad_args(spark, data_dir):
+    assert cli.run([], spark, data_dir) == [cli.HELP]
+    assert cli.run(["query", "X"], spark, data_dir) == [cli.HELP]

@@ -74,3 +74,131 @@ def test_windowed_stream_equals_batch_twin(spark, sf_dir):
     a = sorted(streamed.collect())
     b = sorted(batch.collect())
     assert a == b
+
+
+def _run_to_memory(df, name, mode="complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sliding_vwap_stream_equals_batch(spark, sf_dir):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        sliding_vwap_stream,
+        tick_stream,
+    )
+
+    stream = tick_stream(spark, f"{sf_dir}/events*.parquet")
+    _run_to_memory(sliding_vwap_stream(stream), "vwap_out")
+    streamed = spark.sql(
+        "SELECT w.start AS ws, symbol, n, vwap FROM vwap_out"
+    )
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("user_id")), F.sum(F.col("user_id"))
+                ),
+                4,
+            ).alias("vwap"),
+        )
+        .select(F.col("w.start").alias("ws"), "symbol", "n", "vwap")
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        session_window_stream,
+        tick_stream,
+    )
+
+    stream = tick_stream(spark, f"{sf_dir}/events*.parquet")
+    _run_to_memory(session_window_stream(stream), "sess_out")
+    rows = spark.sql(
+        "SELECT w.start AS s, w.end AS e, symbol, n FROM sess_out"
+    ).collect()
+    assert rows
+    # sessions are disjoint per symbol and each holds >=1 event
+    by_sym = {}
+    for r in rows:
+        assert r.n >= 1 and r.s < r.e
+        by_sym.setdefault(r.symbol, []).append((r.s, r.e))
+    for spans in by_sym.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+    # total events conserved
+    ev = table(spark, sf_dir, "events")
+    assert sum(r.n for r in rows) == ev.count()
+
+
+def test_dedup_stream_drops_in_batch_duplicates(spark, sf_dir, tmp_path):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        dedup_stream,
+        tick_stream,
+    )
+
+    # duplicate the whole events file inside one source dir -> every
+    # event_id arrives twice in the same micro-batch
+    src = tmp_path / "dup"
+    src.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, f in enumerate(_glob.glob(f"{sf_dir}/events.parquet")):
+        _shutil.copy(f, src / f"a{i}.parquet")
+        _shutil.copy(f, src / f"b{i}.parquet")
+    stream = dedup_stream(tick_stream(spark, str(src)))
+    _run_to_memory(stream.select("event_id"), "dedup_out", mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    ev = table(spark, sf_dir, "events")
+    assert got == ev.count()
+
+
+def test_symbol_snapshot_stateful_stream(spark, sf_dir):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        symbol_snapshot_stream,
+        tick_stream,
+    )
+
+    ticks = tick_stream(spark, f"{sf_dir}/events*.parquet").select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").alias("ts"),  # int64 nanos: opaque long is fine for state
+        F.col("value").alias("price"),
+        F.col("user_id").alias("volume"),
+        F.col("event_id").alias("seq"),
+    )
+    _run_to_memory(symbol_snapshot_stream(ticks), "snap_out", mode="update")
+    # AvailableNow may run several micro-batches; the LAST snapshot per
+    # symbol must equal the batch aggregate over all rows
+    snaps = spark.sql("SELECT * FROM snap_out").toPandas()
+    final = snaps.sort_index().groupby("symbol").last()
+    ev = tick_view(spark, sf_dir).toPandas()
+    import pandas as pd
+
+    for sym, grp in ev.groupby("symbol"):
+        row = final.loc[sym]
+        assert int(row["n"]) == len(grp)
+        last = grp.sort_values("seq").iloc[-1]
+        assert abs(float(row["last_price"]) - float(last["price"])) < 1e-9
+        assert abs(float(row["min_price"]) - float(grp["price"].min())) < 1e-9
+        assert abs(float(row["max_price"]) - float(grp["price"].max())) < 1e-9
+        assert (
+            abs(
+                float(row["sum_pv"])
+                - float((grp["price"] * grp["volume"]).sum())
+            )
+            < 1e-6
+        )
