@@ -99,12 +99,18 @@ def q04_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="filter",
 )
 def q05_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degenerate range (start == end), reference S4.  The probe timestamp
-    is the table's min ts so the query is meaningful at every SF; the min is
-    a broadcast-joined scalar aggregate, not a driver-side collect."""
-    ev = table(spark, sf_dir, "events")
-    probe = ev.agg(F.min("ts").alias("ts"))
-    return ev.join(F.broadcast(probe), "ts")
+    """Degenerate range (start == end), reference S4.  Two phases, like
+    the CLI's point read: a scalar probe job resolves the target ts (the
+    table min, so the query is meaningful at every SF), then the lookup
+    itself filters the RAW int64-nanos column with a constant — an
+    EqualTo that reaches the parquet scan as a pushed filter, so
+    row-group min/max stats prune exactly like the reference's B+ tree
+    descent (`bplus_tree.hpp:95-106`).  A min-probe *join* instead would
+    keep the plan lazy but defeat static pushdown — the wrong trade for
+    a point lookup."""
+    raw = events_raw(spark, sf_dir)
+    t = raw.agg(F.min("ts")).collect()[0][0]
+    return with_ts(raw.where(F.col("ts") == t))
 
 
 @query(

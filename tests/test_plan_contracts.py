@@ -1,0 +1,92 @@
+"""Physical-plan contracts (SURVEY.md §4): the guarantees the reference
+gets from its B+ tree / columnar layout must appear as plan properties —
+pushdown, pruning, broadcasts, top-k without a global sort.  A regression
+here is a performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+    broadcast_hash_joins,
+    exchanges,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+    sort_merge_joins,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def q(reg, spark, sf_dir, name):
+    return reg[name].fn(spark, sf_dir)
+
+
+def test_range_scan_pushes_ts_bounds(reg, spark, sf_dir):
+    # the B+ tree's job (bplus_tree.hpp:70-91) must be done by row-group
+    # pruning: both ts bounds reach the scan
+    pf = " ".join(pushed_filters(q(reg, spark, sf_dir, "q04_range_scan")))
+    assert "GreaterThanOrEqual(ts" in pf
+    assert "LessThanOrEqual(ts" in pf
+
+
+def test_point_lookup_pushes_equality(reg, spark, sf_dir):
+    pf = " ".join(pushed_filters(q(reg, spark, sf_dir, "q05_point_lookup")))
+    assert "ts" in pf and ("EqualTo" in pf or "GreaterThanOrEqual" in pf)
+
+
+def test_projection_prunes_columns(reg, spark, sf_dir):
+    # q03 selects 3 of events' 6 columns; the scan must read only those
+    schemas = read_schemas(q(reg, spark, sf_dir, "q03_project"))
+    assert schemas and all(len(s) <= 3 for s in schemas)
+
+
+def test_broadcast_join_dims_broadcast(reg, spark, sf_dir):
+    # nation + region are tiny: both hops must be broadcast, no shuffle join
+    df = q(reg, spark, sf_dir, "q11_join_broadcast")
+    assert broadcast_hash_joins(df) >= 2
+    assert sort_merge_joins(df) == 0
+
+
+def test_semi_anti_stay_joins_not_subquery_scans(reg, spark, sf_dir):
+    for name in ("q14_semi", "q15_anti"):
+        plan = physical_plan(q(reg, spark, sf_dir, name))
+        assert "Join" in plan
+
+
+def test_topk_compiles_to_take_ordered(reg, spark, sf_dir):
+    # q07/q34: global sort+limit must become TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a full Exchange+Sort
+    for name in ("q07_topk_value", "q34_sort_limit"):
+        plan = physical_plan(q(reg, spark, sf_dir, name))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_agg_single_shuffle(reg, spark, sf_dir):
+    # hash agg = partial + final: exactly one hash exchange
+    assert exchanges(q(reg, spark, sf_dir, "q09_count_by_symbol")) == 1
+    assert exchanges(q(reg, spark, sf_dir, "q20_agg_basic")) == 1
+
+
+def test_minhash_shuffles_signatures_not_shingles(reg, spark, sf_dir):
+    # q54: one round-robin spread + one agg exchange; the agg shuffle
+    # carries 8 rows/doc (map-side partial MIN), never raw shingles
+    df = q(reg, spark, sf_dir, "q54_minhash_signature")
+    assert exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_ann_bucket_assignment_is_narrow(reg, spark, sf_dir):
+    # q64: bucket assignment must be a pure map — the only allowed
+    # exchange is the final top-k (which TakeOrdered avoids too)
+    df = q(reg, spark, sf_dir, "q64_ann_lsh_bucketed")
+    assert exchanges(df) == 0
+    assert "TakeOrderedAndProject" in physical_plan(df)

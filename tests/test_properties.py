@@ -1,0 +1,112 @@
+"""Property tests (SURVEY.md §5.2): invariants that must hold for every
+range, partitioning, and input subset — the distributed-correctness
+guarantees a single example can't establish.
+
+hypothesis drives the range/partition choices; each property is checked
+against a small in-memory tick table built once per module.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+N_ROWS = 500
+TS_LO, TS_HI = 1000, 1400  # ts domain (duplicates guaranteed: 500 rows/400 slots)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    """Deterministic tick table with duplicate timestamps, several symbols."""
+    df = spark.range(N_ROWS).select(
+        (TS_LO + (F.col("id") * 7919) % (TS_HI - TS_LO)).alias("ts"),
+        (F.col("id") % 5).cast("string").alias("symbol"),
+        (F.col("id") * 1.5).alias("price"),
+        (F.col("id") % 97).alias("volume"),
+        F.col("id").alias("seq"),
+    )
+    df = df.cache()
+    df.count()
+    return df
+
+
+def range_scan(df, lo, hi):
+    return df.where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+
+
+bounds = st.tuples(
+    st.integers(TS_LO - 50, TS_HI + 50), st.integers(TS_LO - 50, TS_HI + 50)
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b=bounds, parts=st.integers(1, 7))
+def test_range_scan_partition_invariance(ticks, b, parts):
+    """Result multiset is independent of physical partitioning."""
+    lo, hi = b
+    base = sorted(r.seq for r in range_scan(ticks, lo, hi).collect())
+    repart = sorted(
+        r.seq for r in range_scan(ticks.repartition(parts), lo, hi).collect()
+    )
+    assert base == repart
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b=bounds, mid=st.integers(TS_LO - 50, TS_HI + 50))
+def test_range_scan_split_disjoint_union(ticks, b, mid):
+    """[lo,mid] ∪ [mid+1,hi] == [lo,hi] and the halves are disjoint —
+    the inclusive-bounds contract (S4) stated as an algebraic law."""
+    lo, hi = min(b), max(b)
+    mid = min(max(mid, lo - 1), hi)
+    left = {r.seq for r in range_scan(ticks, lo, mid).collect()}
+    right = {r.seq for r in range_scan(ticks, mid + 1, hi).collect()}
+    whole = {r.seq for r in range_scan(ticks, lo, hi).collect()}
+    assert left | right == whole
+    assert not (left & right)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b=bounds)
+def test_inverted_range_is_empty(ticks, b):
+    lo, hi = b
+    if lo <= hi:
+        lo, hi = hi + 1, lo
+    assert range_scan(ticks, lo, hi).count() == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(0, N_ROWS + 10))
+def test_last_n_arrival_suffix(ticks, n):
+    """last-N is exactly the seq-suffix of the table (S6 semantics)."""
+    got = [
+        r.seq
+        for r in ticks.orderBy(F.desc("seq")).limit(n).orderBy("seq").collect()
+    ]
+    lo = max(0, N_ROWS - n)
+    assert got == list(range(lo, N_ROWS))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(parts=st.integers(1, 7))
+def test_dedup_idempotent_and_partition_invariant(ticks, parts):
+    """Exact dedup (q50 shape) is idempotent and partition-invariant."""
+    dup = ticks.union(ticks).repartition(parts)
+    once = dup.groupBy("ts", "symbol", "price", "volume", "seq").agg(
+        F.min("seq").alias("keep")
+    )
+    assert once.count() == N_ROWS
+    twice = once.groupBy("ts", "symbol", "price", "volume", "seq", "keep").count()
+    assert twice.count() == N_ROWS
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(b=bounds, parts=st.integers(1, 5))
+def test_count_consistency(ticks, b, parts):
+    """count(range) + count(complement) == count(*) under any partitioning."""
+    lo, hi = min(b), max(b)
+    df = ticks.repartition(parts)
+    inside = range_scan(df, lo, hi).count()
+    outside = df.where((F.col("ts") < lo) | (F.col("ts") > hi)).count()
+    assert inside + outside == N_ROWS
