@@ -48,13 +48,22 @@ def hex_nibble(c: Column) -> Column:
     return F.conv(c, 16, 10).cast("int")
 
 
+def simhash_prefix16(hash_col: Column) -> Column:
+    """The 16 leading bits of an md5-hex column as one int (0..65535) —
+    a single conv() per row; bit tests are then integer shifts."""
+    return F.conv(F.substring(hash_col, 1, 4), 16, 10).cast("int")
+
+
 def simhash16(hash_col: Column) -> list[Column]:
-    """The 16 leading bits of an md5-hex column, MSB-first, as 0/1 ints."""
-    bits = []
-    for b in range(SIMHASH_BITS):
-        nib = hex_nibble(F.substring(hash_col, b // 4 + 1, 1))
-        bits.append(F.shiftright(nib, 3 - (b % 4)).bitwiseAND(F.lit(1)))
-    return bits
+    """The 16 leading bits of an md5-hex column, MSB-first, as 0/1 ints.
+
+    All 16 bits derive from ONE shared conv(substr(h,1,4)) subexpression;
+    codegen CSE evaluates it once per row (vs 16 per-bit string convs)."""
+    pre = simhash_prefix16(hash_col)
+    return [
+        F.shiftright(pre, SIMHASH_BITS - 1 - b).bitwiseAND(F.lit(1))
+        for b in range(SIMHASH_BITS)
+    ]
 
 
 def hex_nibble_sql(sub_expr: str) -> str:

@@ -222,3 +222,38 @@ def q17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "event_type", F.col("event_id").alias("id_a"), F.col("id_b")
     )
+
+
+@query(
+    "q18_multiway_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    category="join",
+)
+def q18_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway fact-to-dims join + aggregate (TPC-H Q5 flavor): lineitem
+    x supplier x nation rolled up to nation revenue.  Both dimension hops
+    broadcast (supplier is O(SF*10k) rows, nation is 25), so the plan is
+    scan -> two BHJ -> one hash-agg exchange — no fact-table shuffle
+    before aggregation at any scale where dims fit in memory."""
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
