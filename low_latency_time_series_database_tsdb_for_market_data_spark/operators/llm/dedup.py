@@ -206,9 +206,11 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.array_distinct(shingles(tokens("text")))).cast("bigint").alias("n"),
     )
-    shd = _shingle_rows(spark, sf_dir).distinct()
+    # no pre-distinct: collect_set dedups doc_ids per shingle in the same
+    # (single) shuffle a distinct would have cost extra
     groups = (
-        shd.groupBy("s")
+        _shingle_rows(spark, sf_dir)
+        .groupBy("s")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )
@@ -258,44 +260,43 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
     coarse partition): pairs only form inside a block, so cost is
-    sum(block^2), not n^2.  Dot products run JVM-side via zip_with +
-    aggregate — sequential fold in array order, no Python UDF."""
+    sum(block^2), not n^2.
+
+    Each block's all-pairs cosine runs as ONE Arrow-batched numpy matmul
+    inside applyInPandas — the documented exception to the JVM-only rule:
+    for dense linear algebra a vectorized BLAS call beats per-pair
+    expression evaluation by orders of magnitude, and the shuffle is
+    exactly one partition per block either way.  At 100 TB block sizes
+    are capped by the coarse quantizer (more centroids -> smaller
+    blocks), keeping the n_block^2 matmul in-memory."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.aggregate(
-        F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+
+    out_schema = (
+        "label bigint, id_a bigint, id_b bigint, cos double"
     )
-    n = e.select(
-        "vec_id", "label", dbl.alias("v"), norm.alias("nn")
-    )
-    a = n.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nn").alias("na"),
-    )
-    b = n.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nn").alias("nb"),
-    )
-    joined = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / F.sqrt(F.col("na") * F.col("nb"))
-    return (
-        joined.withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= 0.4)
-        .select(
-            F.col("label").cast("bigint").alias("label"),
-            "id_a",
-            "id_b",
-            F.round("cos_raw", 4).alias("cos"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"label": [], "id_a": [], "id_b": [], "cos": []}
+            ).astype({"label": "int64", "id_a": "int64", "id_b": "int64"})
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= 0.4
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "label": np.full(keep.sum(), int(pdf["label"].iloc[0])),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos": np.round(sims[ia, ib][keep], 4),
+            }
         )
-    )
+
+    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
