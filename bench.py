@@ -142,10 +142,17 @@ def main() -> None:
         }
 
     # --- per-query timings ---
+    import gc
+
     queries: dict[str, float] = {}
-    for name, qd in sorted(reg.items()):
+    for i, (name, qd) in enumerate(sorted(reg.items())):
         if name in SKIP:
             continue
+        if i % 10 == 0:
+            # free accumulated shuffle/broadcast refs OUTSIDE the timer so
+            # a query's number reflects its plan, not prior queries' garbage
+            gc.collect()
+            spark._jvm.System.gc()
         t0 = time.perf_counter()
         materialize(qd.fn(spark, SF_DIR))
         queries[name] = round(time.perf_counter() - t0, 4)
