@@ -116,3 +116,81 @@ def q63_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "magic_hex"
         ),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage: mapInPandas, one output row per input row.
+
+    The pixel work is STUBBED (no codec libs here): the deterministic
+    fake "resizes" by hashing the payload down to width*height bytes, so
+    schema, batching, and downstream joins are fully exercisable.  A real
+    deployment swaps `_fake_resize` for a PIL/opencv call — the Spark
+    plumbing (Arrow batches, no shuffle, bounded memory per batch) is
+    unchanged."""
+    import hashlib
+
+    def _fake_resize(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        out = bytearray()
+        seed = b[:64]
+        while len(out) < width * height:
+            seed = hashlib.sha256(seed).digest()
+            out.extend(seed)
+        return bytes(out[: width * height])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(_fake_resize),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage: mapInPandas, one-to-many (video -> frames).
+
+    The decoder is STUBBED: "frames" are fixed-stride byte slices of the
+    payload standing in for decoded video frames.  Demonstrates the
+    fan-out shape (explode inside the Arrow batch, not a generator join)
+    and the per-frame metadata contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -134,3 +134,71 @@ def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+@query(
+    "q65_ann_ivf",
+    oracle=None,  # ANN recall is checked against exact q51 in tests
+    category="llm-similarity",
+)
+def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbours.
+
+    Coarse quantizer = the 8 embeddings with vec_ids 1..8 (fixed,
+    deterministic — a real deployment trains k-means centroids; the
+    partition/probe mechanics are identical).  Every vector is assigned
+    to its nearest centroid by a pure narrow map (argmin over literal
+    centroid arrays via array_min of (score, idx) structs — no join, no
+    shuffle); the probe scans only its N_PROBE nearest inverted lists,
+    i.e. ~N_PROBE/N_CENTROIDS of the data.  At 100 TB the assignment is
+    the partition key of the layout (`partitionBy(centroid)`), making
+    each query a partition-pruned scan."""
+    e = table(spark, sf_dir, "embeddings")
+    model = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.where(
+            (F.col("vec_id") >= 0) & (F.col("vec_id") <= N_CENTROIDS)
+        ).collect()
+    }
+    probe_v = model[PROBE_VEC_ID]
+    centroids = [model[i] for i in range(1, N_CENTROIDS + 1)]
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(x) for x in vals])
+
+    vecs = e.where(F.col("vec_id") != PROBE_VEC_ID).select(
+        "vec_id", _dbl(F.col("embedding")).alias("v")
+    )
+    # argmin_c ||v - c||^2 == argmin_c (||c||^2 - 2 v.c); ||v||^2 constant
+    scored = [
+        F.struct(
+            (
+                F.lit(sum(x * x for x in c)) - 2.0 * _dot(F.col("v"), lit_vec(c))
+            ).alias("score"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    assigned = vecs.withColumn("centroid", F.array_min(F.array(*scored))["idx"])
+
+    def _np_dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_order = sorted(
+        range(N_CENTROIDS), key=lambda i: _np_dist(probe_v, centroids[i])
+    )[:N_PROBE]
+
+    p = lit_vec(probe_v)
+    probe_norm = sum(x * x for x in probe_v)
+    cos = _dot(F.col("v"), p) / F.sqrt(_norm2(F.col("v")) * F.lit(probe_norm))
+    return (
+        assigned.where(F.col("centroid").isin(probe_order))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -64,3 +64,40 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x00", "image/png")
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {r.vec_id for r in REG["q51_similarity_topk"].fn(spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in REG["q65_ann_ivf"].fn(spark, sf_dir).collect()}
+    assert len(ivf) == 10
+    # 2-of-8 probed lists scan ~25% of vectors; recall@10 >= 0.2 sanity bar
+    assert len(exact & ivf) >= 2
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.multimodal import (
+        media_from_documents,
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_from_documents(spark, sf_dir).limit(50)
+    n = media.count()
+
+    resized = resize_images(media, 8, 4)
+    rows = resized.collect()
+    assert len(rows) == n
+    assert all(len(r.payload) == 8 * 4 for r in rows if r.payload is not None)
+    # deterministic: same input -> same fake pixels
+    again = {r.media_id: r.payload for r in resize_images(media, 8, 4).collect()}
+    assert all(again[r.media_id] == r.payload for r in rows)
+
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    fdf = frames.collect()
+    assert {r.media_id for r in fdf} <= {r.media_id for r in rows}
+    per = {}
+    for r in fdf:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in per.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
+        assert len(idxs) <= 4
