@@ -100,6 +100,10 @@ def main() -> None:
     )
 
     def gen_bench(n_gen: int) -> dict[str, float]:
+        import gc as _gc
+
+        _gc.collect()
+        spark._jvm.System.gc()
         gen = spark.range(n_gen).select(
             F.lit("BENCH").alias("symbol"),
             F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
@@ -141,21 +145,48 @@ def main() -> None:
             "scan_hot_rows_per_sec": round(n_gen / scan_hot_sec, 1),
         }
 
-    # --- per-query timings ---
+    # --- per-query timings: min of 2 runs, GC outside the timers ---
+    # ContextCleaner frees shuffle/broadcast refs only after a GC, and the
+    # host shows multi-second scheduling jitter; min-of-2 with a pre-query
+    # GC reports the query's plan cost, not the noise floor
     import gc
 
     queries: dict[str, float] = {}
-    for i, (name, qd) in enumerate(sorted(reg.items())):
+    for name, qd in sorted(reg.items()):
         if name in SKIP:
             continue
-        if i % 10 == 0:
-            # free accumulated shuffle/broadcast refs OUTSIDE the timer so
-            # a query's number reflects its plan, not prior queries' garbage
-            gc.collect()
-            spark._jvm.System.gc()
-        t0 = time.perf_counter()
-        materialize(qd.fn(spark, SF_DIR))
-        queries[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qd.fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = round(best, 4)
+
+    # --- LLM-dedup throughput at 20x corpus scale: the MinHash+LSH
+    # pipeline (signature + banding + bucket counts) over documents
+    # replicated 20x with distinct doc_ids — the pipeline whose cost is
+    # the whole point at 100 TB ---
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        lsh_buckets,
+    )
+
+    gc.collect()
+    spark._jvm.System.gc()
+    docs = table(spark, SF_DIR, "documents")
+    reps = 20
+    scaled_docs = docs.crossJoin(
+        spark.range(reps).withColumnRenamed("id", "rep")
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 100_000_000).alias("doc_id"), "text"
+    )
+    n_docs = docs.count() * reps
+    par = spark.sparkContext.defaultParallelism
+    materialize(lsh_buckets(scaled_docs, par))  # warm-up (JIT + heap sizing)
+    t0 = time.perf_counter()
+    materialize(lsh_buckets(scaled_docs, par))  # steady-state measurement
+    dedup_sec = time.perf_counter() - t0
 
     # --- generated-scale benchmark, AFTER the suite so its heap/shuffle
     # footprint cannot inflate per-query timings ---
@@ -177,6 +208,8 @@ def main() -> None:
         "ingest_rows_per_sec": round(n_events / ingest_sec, 1),
         "scan_rows_per_sec": round(n_events / scan_sec, 1),
         "cold_point_sec": round(cold_point_sec, 4),
+        "dedup_docs": n_docs,
+        "dedup_docs_per_sec": round(n_docs / dedup_sec, 1),
         **gen_results,
         "spark_conf": {
             "master": spark.sparkContext.master,

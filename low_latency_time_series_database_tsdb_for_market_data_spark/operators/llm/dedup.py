@@ -39,17 +39,21 @@ _SHINGLES_SQL = """
 _HASHED_SQL = _SHINGLES_SQL + ",\n    hs AS (SELECT doc_id, md5(s) AS h FROM sh)"
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — the Spark twin of _SHINGLES_SQL.
+def shingle_rows(docs: DataFrame, par: int) -> DataFrame:
+    """(doc_id, shingle) rows from a (doc_id, text) DataFrame.
 
     The repartition spreads the explode across cores: a local single-file
     parquet arrives as ONE split, and on a real cluster the input is
     already split so this shuffle of (doc_id, text) is no-op-sized."""
-    d = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    return d.repartition(par).select(
+    return docs.repartition(par).select(
         "doc_id", F.explode(shingles(tokens("text"))).alias("s")
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle_rows over the testdata documents table (_SHINGLES_SQL twin)."""
+    d = table(spark, sf_dir, "documents")
+    return shingle_rows(d, spark.sparkContext.defaultParallelism)
 
 
 def _rot(h, width: int, seed: int):
@@ -74,7 +78,7 @@ def _rot_sql(h: str, width: int, seed_expr: str) -> str:
     )
 
 
-def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(docs: DataFrame, par: int) -> DataFrame:
     """(doc_id, mh0..mh7): minhash signature via ONE md5 per shingle.
 
     Shape: explode shingles -> md5 -> hash-aggregate MIN of 8 digest
@@ -84,13 +88,32 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length.  This is the 100 TB shape: hashing cost scales with
     input bytes (one md5 per shingle), shuffle scales with document
     count."""
-    hs = _shingle_rows(spark, sf_dir).select("doc_id", F.md5("s").alias("h"))
+    hs = shingle_rows(docs, par).select("doc_id", F.md5("s").alias("h"))
     return hs.groupBy("doc_id").agg(
         *[
             F.min(_rot(F.col("h"), 32, seed)).alias(f"mh{seed}")
             for seed in range(N_MINHASH)
         ]
     )
+
+
+def lsh_buckets(docs: DataFrame, par: int) -> DataFrame:
+    """LSH band buckets from a (doc_id, text) DataFrame (q55's core)."""
+    wide = minhash_signatures(docs, par)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), md5(concat(mh{2*b}, '|', mh{2*b+1}))"
+        for b in range(N_MINHASH // 2)
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"stack({N_MINHASH // 2}, {stack}) AS (band, band_key)"
+    )
+    return bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_signatures over the testdata documents table."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_signatures(d, spark.sparkContext.defaultParallelism)
 
 
 def _signature_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,15 +179,8 @@ def q55_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 8 minhashes folded into 4 band keys (2 rows/band).
     Buckets with n_docs > 1 are the near-dup candidate groups; candidate
     generation therefore costs one groupBy, not an all-pairs join."""
-    wide = _signature_wide(spark, sf_dir)
-    stack = ", ".join(
-        f"CAST({b} AS BIGINT), md5(concat(mh{2*b}, '|', mh{2*b+1}))"
-        for b in range(N_MINHASH // 2)
-    )
-    bands = wide.selectExpr(
-        "doc_id", f"stack({N_MINHASH // 2}, {stack}) AS (band, band_key)"
-    )
-    return bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+    d = table(spark, sf_dir, "documents")
+    return lsh_buckets(d, spark.sparkContext.defaultParallelism)
 
 
 @query(
@@ -207,10 +223,14 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(shingles(tokens("text")))).cast("bigint").alias("n"),
     )
     # no pre-distinct: collect_set dedups doc_ids per shingle in the same
-    # (single) shuffle a distinct would have cost extra
+    # (single) shuffle a distinct would have cost extra.  Group on the
+    # 64-bit shingle hash, not the string: 8-byte fixed keys keep the agg
+    # hash map compact (collision odds ~n^2/2^64 — irrelevant for a
+    # near-dup *verifier*, and sub-ppb at these corpus sizes)
     groups = (
         _shingle_rows(spark, sf_dir)
-        .groupBy("s")
+        .select(F.xxhash64("s").alias("hs"), "doc_id")
+        .groupBy("hs")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )

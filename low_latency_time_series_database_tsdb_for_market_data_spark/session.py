@@ -39,6 +39,11 @@ def get_spark(app_name: str = "tsdb-spark") -> SparkSession:
         # GC; long sessions otherwise accumulate them until allocation-heavy
         # stages thrash (measured: a 5s groupBy degrading to 25s)
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # pin a real initial heap: the first allocation-heavy stage
+        # otherwise pays the full grow-from-default curve (measured 2-4x
+        # on the first large hash-agg); clusters set Xms=Xmx for the same
+        # reason
+        .config("spark.driver.extraJavaOptions", "-Xms8g")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
