@@ -90,3 +90,32 @@ def test_ann_bucket_assignment_is_narrow(reg, spark, sf_dir):
     df = q(reg, spark, sf_dir, "q64_ann_lsh_bucketed")
     assert exchanges(df) == 0
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_join_block_no_cartesian_or_nlj(reg, spark, sf_dir):
+    # every relational join compiles to a hash/broadcast strategy — never
+    # a nested-loop or cartesian fallback
+    for name in (
+        "q10_join_inner",
+        "q12_join_outer",
+        "q13_join_theta",
+        "q16_asof",
+        "q17_interval_join",
+        "q18_multiway_join",
+    ):
+        plan = physical_plan(q(reg, spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_asof_single_exchange(reg, spark, sf_dir):
+    # the union + window-fill as-of join costs exactly ONE shuffle (the
+    # window partitioning) — the property that makes it scale (SURVEY §4.2.3)
+    assert exchanges(q(reg, spark, sf_dir, "q16_asof")) == 1
+
+
+def test_interval_join_broadcasts_buckets(reg, spark, sf_dir):
+    # the bucketed interval join broadcasts the exploded side; no shuffle
+    df = q(reg, spark, sf_dir, "q17_interval_join")
+    assert exchanges(df) == 0
+    assert broadcast_hash_joins(df) == 1
