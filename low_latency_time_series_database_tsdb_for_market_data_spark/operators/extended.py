@@ -163,3 +163,74 @@ def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot emits NULL for empty cells; the CASE oracle emits 0
     return renamed.fillna(0, subset=[f"n_{t}" for t in EVENT_TYPES])
+
+
+_BUCKET_S = 1800  # 30-min resample grid: sparse enough to have real gaps
+
+
+@query(
+    "q36_resample_locf",
+    oracle=f"""
+    WITH b AS (SELECT event_type,
+                      CAST(to_timestamp(floor(epoch(ts)/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) AS bucket,
+                      AVG(value) AS v, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT CAST(to_timestamp(floor(epoch(min(ts))/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) mn,
+                      CAST(to_timestamp(floor(epoch(max(ts))/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) mx
+               FROM events),
+    grid AS (SELECT t.event_type, gs.bucket
+             FROM (SELECT DISTINCT event_type FROM events) t,
+                  (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL {_BUCKET_S} SECOND)) AS TIMESTAMP) AS bucket
+                   FROM bounds) gs)
+    SELECT g.event_type, g.bucket, COALESCE(b.n, 0) AS n,
+           ROUND(last_value(b.v IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+    """,
+    category="timeseries",
+)
+def q36_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a dense regular grid + forward-fill (LOCF) — the
+    classic TSDB downsampling/gap-fill pair the reference cannot express.
+
+    Shape: one hash-agg over the raw events, a generated time grid per
+    key (sequence + explode — rows ~ keys x buckets, never events), one
+    broadcast-able left join, one window pass for the fill.  The grid is
+    driven by the table's own min/max so the query is meaningful at
+    every SF."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / _BUCKET_S) * _BUCKET_S
+    )
+    b = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.avg("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min(bucket).alias("mn"), F.max(bucket).alias("mx")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"interval {_BUCKET_S} seconds"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_locf"),
+        )
+    )

@@ -202,3 +202,55 @@ def test_symbol_snapshot_stateful_stream(spark, sf_dir):
             )
             < 1e-6
         )
+
+
+def test_continuous_rollup_equals_batch_ohlc(spark, sf_dir, tmp_path):
+    """Multi-batch incremental rollup == one-shot batch OHLC: batch
+    boundaries must be invisible (partial aggregates form a monoid)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.rollup import (
+        compact_rollup,
+        continuous_ohlc,
+        read_bars,
+    )
+
+    # split events into 3 files so AvailableNow + maxFilesPerTrigger=1
+    # yields 3 micro-batches with buckets spanning batch boundaries
+    src = str(tmp_path / "src")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_raw.repartitionByRange(3, "event_id").write.parquet(src)
+
+    continuous_ohlc(
+        spark,
+        src,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    bars = read_bars(spark, str(tmp_path / "rollup"))
+
+    ticks = tick_view(spark, sf_dir)
+    direct = (
+        ticks.groupBy(
+            "symbol", F.window("ts", "1 hour")["start"].alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("ts", "seq", "price"))["price"].alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct("ts", "seq", "price"))["price"].alias("close"),
+            F.round(F.sum("price") / F.count(F.lit(1)), 4).alias("avg_price"),
+        )
+        .select(
+            "symbol", "bucket", "n", "open", "high", "low", "close", "avg_price"
+        )
+    )
+    got = sorted(bars.select(*direct.columns).collect())
+    want = sorted(direct.collect())
+    assert got == want
+
+    # compaction preserves the merged result
+    compact_rollup(spark, str(tmp_path / "rollup"), str(tmp_path / "compacted"))
+    compacted = read_bars(spark, str(tmp_path / "compacted"))
+    assert sorted(compacted.select(*direct.columns).collect()) == want
