@@ -97,17 +97,91 @@ def minhash_signatures(docs: DataFrame, par: int) -> DataFrame:
     )
 
 
-def lsh_buckets(docs: DataFrame, par: int) -> DataFrame:
-    """LSH band buckets from a (doc_id, text) DataFrame (q55's core)."""
+def band_rows(docs: DataFrame, par: int) -> DataFrame:
+    """(doc_id, band, band_key) LSH band assignments — minhash signature
+    folded into N_MINHASH/2 band keys, 2 signature slots per band."""
     wide = minhash_signatures(docs, par)
     stack = ", ".join(
         f"CAST({b} AS BIGINT), md5(concat(mh{2*b}, '|', mh{2*b+1}))"
         for b in range(N_MINHASH // 2)
     )
-    bands = wide.selectExpr(
+    return wide.selectExpr(
         "doc_id", f"stack({N_MINHASH // 2}, {stack}) AS (band, band_key)"
     )
-    return bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def lsh_buckets(docs: DataFrame, par: int) -> DataFrame:
+    """LSH band buckets from a (doc_id, text) DataFrame (q55's core)."""
+    return band_rows(docs, par).groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def candidate_edges(docs: DataFrame, par: int) -> DataFrame:
+    """(a, b) near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    Same pair-generation shape as q56: group each bucket's doc set and
+    emit in-group pairs with two chained codegen generates — never a
+    bucket self-join.  Distinct collapses pairs that collide in several
+    bands."""
+    groups = (
+        band_rows(docs, par)
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    return (
+        groups.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(doc_id, cluster_id) connected components of an undirected edge
+    list — cluster_id is the component's minimum doc_id.
+
+    Iterative min-label propagation (the scalable union-find analogue):
+    each round every vertex takes the min of its own label and its
+    neighbours' labels; converges in O(component diameter) rounds —
+    near-dup clusters are shallow (a handful of hops), never the
+    corpus-diameter worst case.  Each round is one shuffle on doc_id;
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1 (the standard Spark iterative-algo
+    discipline).  Convergence is detected by an exact change count."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.doc_id)
+            .select(F.col("a").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +329,51 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ib").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "q66_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    members AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+    SELECT cluster_id, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    FROM members GROUP BY cluster_id
+    """,
+    category="llm-dedup",
+)
+def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    graph (q55's buckets as edges), labeled by min doc_id — the step
+    that turns pairwise candidates into dedup groups with one keeper
+    each.  Spark side is iterative min-label propagation
+    (`connected_components`); the DuckDB oracle computes the same
+    components via a recursive transitive closure, so the fixpoint
+    semantics are cross-checked, not just the plumbing.  Output is one
+    row per cluster (size + id-sum) — deterministic and tiny."""
+    d = table(spark, sf_dir, "documents")
+    edges = candidate_edges(d, spark.sparkContext.defaultParallelism)
+    return connected_components(edges).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
     )
 
 

@@ -136,6 +136,54 @@ def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_embed_quantize",
+    oracle="""
+    WITH q AS (SELECT vec_id, label,
+                      list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE))))
+                        / 127.0 AS scale,
+                      CAST(round(CAST(embedding[1] AS DOUBLE)
+                                 / (list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))) / 127.0))
+                           AS BIGINT) AS q0
+               FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label,
+           ROUND(SUM(CAST(round(scale * 1000000000) AS BIGINT))
+                 / 1e9 / COUNT(*), 6) AS avg_scale,
+           SUM(q0) AS sum_q0, COUNT(*) AS n
+    FROM q GROUP BY 1
+    """,
+    category="llm-similarity",
+)
+def q67_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (symmetric absmax: scale = max|x|/127,
+    q_i = round(x_i/scale)) — the storage/bandwidth step before ANN at
+    100 TB (4x smaller vectors, SIMD-friendly int dot products).  All
+    in-row JVM array ops (transform/array_max), zero Python; verified by
+    per-label aggregates of the quantized values.  The scale average is
+    summed as nano-units so the check is order-independent."""
+    e = table(spark, sf_dir, "embeddings")
+    v = _dbl(F.col("embedding"))
+    scale = F.array_max(F.transform(v, F.abs)) / 127.0
+    q0 = F.round(F.element_at(v, 1) / scale).cast("bigint")
+    q = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        scale.alias("scale"),
+        q0.alias("q0"),
+    )
+    return q.groupBy("label").agg(
+        F.round(
+            F.sum(F.round(F.col("scale") * 1e9).cast("bigint"))
+            / 1e9
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_scale"),
+        F.sum("q0").alias("sum_q0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 

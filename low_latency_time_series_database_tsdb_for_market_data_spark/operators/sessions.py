@@ -1,0 +1,135 @@
+"""Time-series session block (q37-q39): sessionization, time-weighted
+average price, exponentially-weighted moving average.
+
+All absent from the reference (its only time operator is the inclusive
+range scan, `timeseries_db.cpp:170-193`); these are the standard
+market-data / clickstream derivatives of an ordered tick stream.  Each
+partitions by its natural key (user or symbol) so window state never
+crosses the shuffle key — the distributed analogue of the reference's
+per-symbol directory isolation (`column_storage.cpp:13-18`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents
+from ..registry import query
+
+_GAP_S = 1800  # session gap: 30 min of inactivity starts a new session
+
+
+@query(
+    "q37_sessionize",
+    oracle=f"""
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_S} * 1000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM s GROUP BY user_id, sid
+    """,
+    category="timeseries-session",
+)
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after >30 min of user
+    inactivity.  Classic gaps-and-islands — one window pass to flag
+    session starts (lag), one running sum to assign session ids, one
+    hash-agg.  All three stages share the user_id partitioning, so the
+    plan has exactly ONE exchange; duration math is integer microseconds
+    (unix_micros == DuckDB epoch_us), no float drift."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        gap.isNull() | (gap > _GAP_S * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = ev.select(
+        "user_id", "ts", F.sum(new_s).over(run).cast("bigint").alias("session_id")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+
+
+@query(
+    "q38_twap",
+    oracle="""
+    WITH w AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                      lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id)
+                        - epoch_us(ts) AS dur_us
+               FROM events)
+    SELECT event_type,
+           ROUND(SUM(v_c * dur_us) / 100.0 / SUM(dur_us), 4) AS twap,
+           COUNT(*) AS n
+    FROM w WHERE dur_us IS NOT NULL GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per symbol: each tick's value is
+    weighted by how long it stood (microseconds until the next tick).
+    One lead() window + one hash-agg on the same key = one exchange.
+    Weights and values are integers (micros x cents), so the big SUMs
+    are exact and order-independent — hash-stable at any parallelism."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    rows = ev.select(
+        "event_type", cents("value").alias("v_c"), dur.alias("dur_us")
+    ).where(F.col("dur_us").isNotNull())
+    return rows.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("v_c") * F.col("dur_us")) / 100.0 / F.sum("dur_us"), 4
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q39_ewma",
+    oracle=None,  # recursive recurrence — not SQL-expressible; rows-only
+    category="timeseries",
+    tags=("rows-only",),
+)
+def q39_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.1) of value per symbol — the one classic tick
+    statistic whose recurrence (y_t = a*x_t + (1-a)*y_{t-1}) no
+    fixed-frame window can express (closed forms overflow at long
+    horizons).  Runs as ONE Arrow-batched pandas pass per symbol group
+    via applyInPandas: state is a single scalar per key, the shuffle
+    is the same one exchange a window would need, and inside the batch
+    pandas' C ewm kernel does the scan.  Correctness is pinned against
+    pandas ewm in tests/test_golden_ticks.py (driver check: rows-only).
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    schema = "event_id bigint, event_type string, value double, ewma double"
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pdf[["event_id", "event_type", "value"]].copy()
+        out["ewma"] = (
+            pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(4)
+        )
+        return out
+
+    return ev.select("event_id", "event_type", "ts", "value").groupBy(
+        "event_type"
+    ).applyInPandas(ewma, schema)

@@ -1,0 +1,74 @@
+"""Semantic tests for the session/EWMA block and connected components
+(the oracle diff covers the SQL-checkable side; these pin the semantics
+that SQL cannot — the EWMA recurrence and the CC fixpoint)."""
+
+from __future__ import annotations
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+    candidate_edges,
+    connected_components,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+
+REG = load_all()
+
+
+def test_connected_components_golden(spark):
+    """Chain 1-2-3 and pair 10-11 resolve to min-labeled components."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_closes_candidate_edges(spark, sf_dir):
+    """Every candidate edge must land inside one cluster (CC is a
+    closure of the edge set)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    edges = candidate_edges(docs, 8).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame(edges, "a bigint, b bigint")
+        ).collect()
+    }
+    assert all(labels[e.a] == labels[e.b] for e in edges)
+
+
+def test_ewma_recurrence(spark, sf_dir):
+    """q39's output must satisfy y_t = a*x_t + (1-a)*y_{t-1} per symbol
+    (checked against a pure-Python scan of the same ordered stream)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    got = {
+        r.event_id: r.ewma for r in REG["q39_ewma"].fn(spark, sf_dir).collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    a = 0.1
+    checked = 0
+    for rows in by_type.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        y = None
+        for r in rows:
+            y = r.value if y is None else a * r.value + (1 - a) * y
+            assert abs(got[r.event_id] - round(y, 4)) <= 1e-9, r.event_id
+            checked += 1
+    assert checked == len(ev)
