@@ -152,35 +152,36 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     `localCheckpoint` truncates the growing lineage so round N's plan
     does not replay rounds 1..N-1 (the standard Spark iterative-algo
     discipline).  Convergence is detected by an exact change count."""
+    # checkpoint the edge list BEFORE symmetrizing: the union references
+    # `edges` twice, and without the checkpoint its upstream pipeline
+    # (here: the whole MinHash candidate generation) would execute twice
+    edges = edges.localCheckpoint()
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    # labels only ever decrease (min-propagation), so the label SUM is
+    # strictly monotone: an unchanged sum == fixpoint.  One tiny agg job
+    # per round instead of a join-based change detector.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.doc_id)
             .select(F.col("a").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -232,6 +232,47 @@ def q60_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q69_bigram_topk",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks)
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    category="llm-text",
+)
+def q69_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the n-gram frequency pass behind
+    tokenizer training and contamination screens.  Explode is in-row
+    codegen; the count's map-side partial agg collapses each partition
+    to its distinct bigrams before the single shuffle, and the top-20 is
+    TakeOrdered (per-partition heaps), so driver traffic is 20 rows no
+    matter the corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    # spread the explode: a local single-file parquet is ONE split (on a
+    # cluster the input arrives pre-split, making this shuffle no-op-sized)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.repartition(par)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
     "q61_fingerprint",
     oracle="""
     SELECT doc_id,

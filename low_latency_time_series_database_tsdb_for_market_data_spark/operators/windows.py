@@ -123,6 +123,36 @@ def q33_cume_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q68_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    category="window",
+)
+def q68_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class — the group-wise
+    top-N every leaderboard/holdout-selection pipeline needs.  Compiles
+    to one window exchange; Spark inserts a WindowGroupLimit (per-
+    partition top-N heaps BEFORE the shuffle), so shuffled bytes are
+    O(groups x N), not the table."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).where(F.col("rn") <= 3)
+
+
+@query(
     "q34_sort_limit",
     oracle="SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     category="sort-limit",

@@ -119,3 +119,40 @@ def test_interval_join_broadcasts_buckets(reg, spark, sf_dir):
     df = q(reg, spark, sf_dir, "q17_interval_join")
     assert exchanges(df) == 0
     assert broadcast_hash_joins(df) == 1
+
+
+def test_session_block_single_exchange(reg, spark, sf_dir):
+    # q37: lag window + running sum + agg all share the user_id key;
+    # q38: lead window + agg share event_type — exactly ONE shuffle each
+    assert exchanges(q(reg, spark, sf_dir, "q37_sessionize")) == 1
+    assert exchanges(q(reg, spark, sf_dir, "q38_twap")) == 1
+
+
+def test_scalar_subquery_decorrelates_to_broadcast(reg, spark, sf_dir):
+    # q19: the per-brand aggregate joins back via broadcast, never SMJ
+    df = q(reg, spark, sf_dir, "q19_above_group_avg")
+    assert broadcast_hash_joins(df) >= 1
+    assert sort_merge_joins(df) == 0
+
+
+def test_topn_per_group_uses_window_group_limit(reg, spark, sf_dir):
+    # q68: Spark must push per-partition top-N heaps below the window
+    # shuffle (WindowGroupLimit) — shuffled bytes O(groups x N)
+    plan = physical_plan(q(reg, spark, sf_dir, "q68_topn_per_group"))
+    assert "WindowGroupLimit" in plan
+    assert exchanges(q(reg, spark, sf_dir, "q68_topn_per_group")) == 1
+
+
+def test_bigram_topk_is_take_ordered(reg, spark, sf_dir):
+    # q69: global top-k after the count agg must be TakeOrdered, and the
+    # count itself partial+final (one exchange total)
+    df = q(reg, spark, sf_dir, "q69_bigram_topk")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    assert exchanges(df) == 1
+
+
+def test_sample_and_histogram_single_exchange(reg, spark, sf_dir):
+    # md5-prefix sampling and fixed-width binning are narrow maps into
+    # one partial+final agg: one exchange, nothing before it
+    assert exchanges(q(reg, spark, sf_dir, "q29_deterministic_sample")) == 1
+    assert exchanges(q(reg, spark, sf_dir, "q49_histogram")) == 1
