@@ -379,6 +379,55 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q70_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    members AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+    """,
+    category="llm-dedup",
+)
+def q70_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup dedup a training pipeline actually runs:
+    shingle -> MinHash -> LSH candidates -> connected components -> drop
+    every cluster member except the canonical (min doc_id) keeper.
+    Output is the surviving corpus (as doc_ids).
+
+    The final subtraction is a left-anti join of the corpus against the
+    non-canonical members — the members table is tiny relative to the
+    corpus (only near-dup docs appear in it), so at 100 TB it broadcasts
+    and the whole dedup adds ONE narrow pass over the full data."""
+    d = table(spark, sf_dir, "documents")
+    edges = candidate_edges(d, spark.sparkContext.defaultParallelism)
+    losers = (
+        connected_components(edges)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return d.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+@query(
     "q62_embedding_neardup",
     oracle="""
     WITH idx AS (SELECT unnest(range(1, 65)) AS i),

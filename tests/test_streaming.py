@@ -254,3 +254,24 @@ def test_continuous_rollup_equals_batch_ohlc(spark, sf_dir, tmp_path):
     compact_rollup(spark, str(tmp_path / "rollup"), str(tmp_path / "compacted"))
     compacted = read_bars(spark, str(tmp_path / "compacted"))
     assert sorted(compacted.select(*direct.columns).collect()) == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        interval_pair_stream,
+    )
+
+    pairs = interval_pair_stream(spark, f"{sf_dir}/events*.parquet")
+    _run_to_memory(pairs, "ssjoin_out", mode="append")
+    streamed = sorted(
+        (r.event_type, r.id_a, r.id_b)
+        for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+    )
+    batch = sorted(
+        (r.event_type, r.id_a, r.id_b)
+        for r in load_all()["q17_interval_join"].fn(spark, sf_dir).collect()
+    )
+    assert streamed == batch
