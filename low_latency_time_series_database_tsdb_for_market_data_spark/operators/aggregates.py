@@ -209,3 +209,77 @@ def q26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(cents("o_totalprice")) / 100.0, 2).alias("total"),
     )
+
+
+@query(
+    "q71_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    category="agg-rollup",
+)
+def q71_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k grouping sets) with GROUPING() markers — like
+    ROLLUP, one Expand + one hash agg; the Expand multiplies rows by the
+    number of grouping sets BEFORE the shuffle, so map-side partials
+    still collapse each set to its distinct keys."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(cents("l_quantity")) / 100.0, 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q72_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    category="agg-rollup",
+)
+def q72_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): per-priority
+    and per-status counts in one pass via the SQL surface — the
+    DataFrame API only exposes rollup/cube, so this goes through
+    spark.sql over a temp view, same single Expand + hash agg plan."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q72_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM q72_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "q73_approx_percentile",
+    oracle=None,  # t-digest sketch differs from DuckDB's; bounds vs exact
+    category="aggregation",  # q27 are pinned in tests (rows-only here)
+    tags=("rows-only",),
+)
+def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable sketch) — the 100 TB path where exact
+    q27 would sort within every group.  Partials merge map-side, so the
+    shuffle is one sketch per group, not the data.  Accuracy vs exact
+    q27 is asserted in tests (1e-4 relative at accuracy=10000)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(p), F.lit(10000)), 4
+            ).alias(name)
+            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ]
+    )

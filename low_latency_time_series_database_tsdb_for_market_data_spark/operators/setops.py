@@ -22,18 +22,36 @@ from ..registry import query
     category="setop",
 )
 def q40_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT over two customer-key sets, reported as
-    one row of counts."""
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    """UNION / INTERSECT / EXCEPT counts over two customer-key sets.
+
+    All three set-op cardinalities come out of ONE full-outer join of the
+    two distinct sets with presence flags — one scan of each input and
+    one join, where the naive three-branch form (union.distinct +
+    intersect + except as separate subplans) scans both tables three
+    times and shuffles eight times.  With both sets distinct on the key,
+    |A ∪ B| = rows, |A ∩ B| = both-present, |A \\ B| = left-only —
+    exactly the SQL set-op (distinct) semantics of the oracle."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("in_a", F.lit(1))
+    )
     h = (
         table(spark, sf_dir, "customer")
         .where(F.col("c_acctbal") > 5000)
-        .select(F.col("c_custkey").alias("k"))
+        .select(F.col("c_custkey").alias("k"), F.lit(1).alias("in_b"))
+    )  # c_custkey is the customer PK: already distinct
+    f = o.join(h, "k", "full_outer")
+    return f.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).alias(
+            "n_intersect"
+        ),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_b").isNull()).alias(
+            "n_except"
+        ),
     )
-    n_union = o.union(h).distinct().agg(F.count(F.lit(1)).alias("n_union"))
-    n_inter = o.intersect(h).agg(F.count(F.lit(1)).alias("n_intersect"))
-    n_exc = o.exceptAll(h.distinct()).agg(F.count(F.lit(1)).alias("n_except"))
-    return n_union.crossJoin(n_inter).crossJoin(n_exc)
 
 
 @query(

@@ -121,6 +121,16 @@ def test_interval_join_broadcasts_buckets(reg, spark, sf_dir):
     assert broadcast_hash_joins(df) == 1
 
 
+def test_setops_one_pass(reg, spark, sf_dir):
+    # q40: all three set-op counts from ONE full-outer join — no
+    # nested-loop fallback, and never the 8-exchange three-branch form
+    df = q(reg, spark, sf_dir, "q40_setops")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert exchanges(df) <= 4
+
+
 def test_session_block_single_exchange(reg, spark, sf_dir):
     # q37: lag window + running sum + agg all share the user_id key;
     # q38: lead window + agg share event_type — exactly ONE shuffle each

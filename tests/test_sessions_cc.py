@@ -72,3 +72,22 @@ def test_ewma_recurrence(spark, sf_dir):
             assert abs(got[r.event_id] - round(y, 4)) <= 1e-9, r.event_id
             checked += 1
     assert checked == len(ev)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """q73's t-digest estimates must track q27's exact interpolated
+    percentiles (2% relative — the sketch returns an actual data value,
+    the exact form interpolates between two)."""
+    exact = {r.l_returnflag: r for r in REG["q27_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r
+        for r in REG["q73_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for p in ("p25", "p50", "p75"):
+            assert abs(getattr(a, p) - getattr(e, p)) <= 0.02 * abs(getattr(e, p)), (
+                flag,
+                p,
+            )
