@@ -75,3 +75,56 @@ def asof_join(
     )
     filled = [F.last(F.col(a), ignorenulls=True).over(w).alias(a) for a in aliases]
     return u.select(*lcols, "__side", *filled).where(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with
+    ``right.ts >= left.ts`` (inclusive) per key — the look-ahead twin of
+    `asof_join` (e.g. "next fill after each order").
+
+    Same union shape, window ordered DESCENDING by (ts, then right rows
+    before left at equal ts, then seq descending) so `last(ignorenulls)`
+    carries the nearest following right row backward.  Among right ties
+    at one timestamp the smallest seq wins — the same (ts, seq) total
+    order as the backward join.  Cost is identical: one shuffle + one
+    linear window pass."""
+    lcols = left.columns
+    aliases = list(payload.values())
+
+    l_u = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("long").alias("__seq"),
+        *[
+            F.lit(None).cast(right.schema[rc].dataType).alias(a)
+            for rc, a in payload.items()
+        ],
+    )
+    r_u = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_seq).cast("long").alias("__seq"),
+        *[F.col(rc).alias(a) for rc, a in payload.items()],
+    )
+    u = l_u.unionByName(r_u)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.desc("__ts"), F.asc("__side"), F.desc_nulls_first("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = [F.last(F.col(a), ignorenulls=True).over(w).alias(a) for a in aliases]
+    return u.select(*lcols, "__side", *filled).where(F.col("__side") == 1).drop("__side")

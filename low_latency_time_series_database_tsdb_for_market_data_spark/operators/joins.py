@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .asof import asof_join
+from .asof import asof_join, asof_join_forward
 
 
 @query(
@@ -177,6 +177,43 @@ def q16_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="p_ts",
         right_seq="p_seq",
         payload={"p_ts": "asof_ts"},
+    )
+
+
+@query(
+    "q75_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT min(p.ts) FROM events p
+             WHERE p.event_type = 'purchase'
+               AND p.user_id = c.user_id AND p.ts >= c.ts) AS next_ts
+    FROM events c WHERE c.event_type = 'click'
+    """,
+    category="join-asof",
+)
+def q75_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT purchase at
+    or after it — the look-ahead twin of q16 ("time to conversion").
+    Same single-shuffle union + descending window fill
+    (operators/asof.py::asof_join_forward); oracle is an independent
+    correlated-min formulation."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_seq"),
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_seq="p_seq",
+        payload={"p_ts": "next_ts"},
     )
 
 

@@ -123,6 +123,79 @@ def q33_cume_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q74_rolling_time_window",
+    oracle="""
+    SELECT event_id, event_type,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS sum_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def q74_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling window (trailing 1 hour by event time, not 10
+    rows like q30) — the frame a market-data rolling stat actually wants
+    when ticks arrive unevenly.  Spark's RANGE frame needs a numeric
+    ordering: order by unix_micros and bound by -3.6e9 micros; equal-ts
+    peers aggregate together, which is why the summed value is integer
+    cents (peer order is engine-internal)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        (F.sum(cents("value")).over(w) / 100.0).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "q76_max_drawdown",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS v_c,
+                      MAX(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                          PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS runmax_c
+               FROM events)
+    SELECT event_type,
+           ROUND(MIN(v_c / (runmax_c * 1.0) - 1), 4) AS max_dd,
+           COUNT(*) AS n
+    FROM m GROUP BY event_type
+    """,
+    category="window",
+)
+def q76_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol: running peak (cumulative MAX over the
+    (ts, seq) total order), per-tick drawdown v/peak - 1, then the MIN.
+    Window and aggregate share the symbol key — ONE exchange; all math
+    on integer cents until the final exact division."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(*_order())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = ev.select(
+        "event_type",
+        cents("value").alias("v_c"),
+        F.max(cents("value")).over(w).alias("runmax_c"),
+    )
+    return m.groupBy("event_type").agg(
+        F.round(
+            F.min(F.col("v_c") / (F.col("runmax_c") * 1.0) - 1), 4
+        ).alias("max_dd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q68_topn_per_group",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
