@@ -184,6 +184,66 @@ def q67_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_centroids(
+    vecs: DataFrame, k: int, iters: int = 5, seed_count: int | None = None
+) -> list[list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops.
+
+    Init = the k embeddings with the smallest vec_ids (deterministic —
+    no RNG, so training is reproducible run-to-run, the property every
+    oracle-checked consumer needs).  Each round: assign every vector to
+    its nearest centroid with the same narrow-map argmin q65 uses
+    (centroids ride along as literal arrays — the broadcast-a-model
+    pattern, no join), then recompute means with ONE hash-agg via
+    per-dimension posexplode.  Centroids come back to the driver each
+    round (k x dim floats — KBs), everything row-scale stays on
+    executors.  At 100 TB this is exactly mini-batch-free Lloyd's with
+    per-round cost = one narrow pass + one shuffle of k x dim partial
+    sums per partition.
+
+    Returns the trained centroids (list of k dim-length float lists).
+    """
+    vecs = vecs.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    first = vecs.orderBy("vec_id").limit(seed_count or k).collect()
+    cents = [list(r["v"]) for r in first[:k]]
+
+    def lit_vec(vals: list[float]):
+        return F.array(*[F.lit(x) for x in vals])
+
+    for _ in range(iters):
+        scored = [
+            F.struct(
+                (
+                    F.lit(sum(x * x for x in c)) - 2.0 * _dot(F.col("v"), lit_vec(c))
+                ).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        assigned = vecs.withColumn(
+            "centroid", F.array_min(F.array(*scored))["idx"]
+        )
+        sums = (
+            assigned.select("centroid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_c.setdefault(r["centroid"], {})[r["dim"]] = r["s"]
+            counts[r["centroid"]] = r["n"]
+        dim = len(cents[0])
+        cents = [
+            [by_c[i][d] / counts[i] for d in range(dim)]
+            if i in by_c
+            else cents[i]  # empty cluster keeps its old position
+            for i in range(k)
+        ]
+    return cents
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 

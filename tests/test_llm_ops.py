@@ -101,3 +101,37 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for idxs in per.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
         assert len(idxs) <= 4
+
+
+def test_kmeans_centroid_training_reduces_inertia(spark, sf_dir):
+    """train_centroids: 3 Lloyd's rounds must not increase total
+    within-cluster squared distance vs the deterministic init."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (
+        _dbl,
+        _dot,
+        train_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def inertia(cents):
+        vecs = e.select(_dbl(F.col("embedding")).alias("v"))
+        scored = [
+            F.lit(sum(x * x for x in c))
+            - 2.0 * _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+            for c in cents
+        ]
+        # ||v-c||^2 = ||v||^2 + (||c||^2 - 2 v.c); the ||v||^2 term is
+        # assignment-independent so least(scored) ordering == true argmin
+        best = F.least(*scored)
+        return vecs.agg(F.sum(best)).collect()[0][0]
+
+    init = train_centroids(e, k=4, iters=0)
+    trained = train_centroids(e, k=4, iters=3)
+    assert len(trained) == 4 and len(trained[0]) == len(init[0])
+    assert inertia(trained) <= inertia(init) + 1e-9
