@@ -184,9 +184,13 @@ def main() -> None:
     n_docs = docs.count() * reps
     par = spark.sparkContext.defaultParallelism
     materialize(lsh_buckets(scaled_docs, par))  # warm-up (JIT + heap sizing)
-    t0 = time.perf_counter()
-    materialize(lsh_buckets(scaled_docs, par))  # steady-state measurement
-    dedup_sec = time.perf_counter() - t0
+    dedup_sec = float("inf")  # min-of-2 steady-state: host jitter is multi-second
+    for _ in range(2):
+        gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        materialize(lsh_buckets(scaled_docs, par))
+        dedup_sec = min(dedup_sec, time.perf_counter() - t0)
 
     # --- generated-scale benchmark, AFTER the suite so its heap/shuffle
     # footprint cannot inflate per-query timings ---

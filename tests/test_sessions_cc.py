@@ -91,3 +91,21 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
                 flag,
                 p,
             )
+
+
+def test_sessionize_conserves_events(spark, sf_dir):
+    """q37 invariants: every event lands in exactly one session, session
+    ids are dense from 1 per user, durations are non-negative."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+
+    rows = REG["q37_sessionize"].fn(spark, sf_dir).collect()
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    by_user = {}
+    for r in rows:
+        assert r.dur_us >= 0 and r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))
