@@ -1,6 +1,7 @@
 """Operator modules — importing this package registers every declared query."""
 
 from . import aggregates  # noqa: F401
+from . import analytics_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm  # noqa: F401
