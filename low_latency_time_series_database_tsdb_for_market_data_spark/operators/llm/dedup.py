@@ -379,6 +379,30 @@ def q66_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q81_stop_shingles",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS doc_freq FROM sh GROUP BY s)
+    SELECT s AS shingle, doc_freq FROM df WHERE doc_freq >= 5
+    """,
+    category="llm-dedup",
+)
+def q81_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle (document-frequency) table: shingles appearing in >=5
+    documents — the IDF-style pruning input q56 documents as its scale
+    knob (drop these before pair generation and the per-shingle |docs|^2
+    cost collapses).  One explode + one distinct-agg; at 100 TB the DF
+    table is computed once per corpus snapshot and broadcast to the
+    verify stage."""
+    rows = _shingle_rows(spark, sf_dir)
+    return (
+        rows.groupBy(F.col("s").alias("shingle"))
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 5)
+    )
+
+
+@query(
     "q70_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE

@@ -162,6 +162,14 @@ def test_bigram_topk_is_take_ordered(reg, spark, sf_dir):
     assert exchanges(df) <= 2
 
 
+def test_symbol_correlation_broadcasts_buckets(reg, spark, sf_dir):
+    # q77: the hourly pre-agg shrinks both self-join sides to
+    # symbols x buckets rows — the join must be broadcast, never SMJ
+    df = q(reg, spark, sf_dir, "q77_symbol_correlation")
+    assert broadcast_hash_joins(df) >= 1
+    assert sort_merge_joins(df) == 0
+
+
 def test_sample_and_histogram_single_exchange(reg, spark, sf_dir):
     # md5-prefix sampling and fixed-width binning are narrow maps into
     # one partial+final agg: one exchange, nothing before it
