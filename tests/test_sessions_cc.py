@@ -109,3 +109,39 @@ def test_sessionize_conserves_events(spark, sf_dir):
         by_user.setdefault(r.user_id, []).append(r.session_id)
     for sids in by_user.values():
         assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
+def test_rolling_time_window_inclusive_bound(spark):
+    """q74's RANGE frame must include a tick exactly 1 hour old
+    (inclusive bound, like the reference's range scan, S4) and exclude
+    one a microsecond older."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "A", 0, 10.0),                    # exactly 1h before row 3
+        (2, "A", 1, 20.0),                    # 1h + 1us before row 4
+        (3, "A", 3_600_000_000, 1.0),
+        (4, "A", 3_600_000_001 + 1_000_000, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, us bigint, value double"
+    ).select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "value",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r.event_id: r.n
+        for r in df.select(
+            "event_id", F.count(F.lit(1)).over(w).alias("n")
+        ).collect()
+    }
+    assert got[3] == 3  # rows 1 (exactly -1h, inclusive), 2, 3
+    assert got[4] == 2  # row 2 fell out (older than 1h), rows 3, 4
