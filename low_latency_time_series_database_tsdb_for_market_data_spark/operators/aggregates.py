@@ -25,7 +25,7 @@ from ..registry import query
     "q20_agg_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT))                                  AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                  AS sum_qty,
            ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base,
            ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc,
            ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,

@@ -111,8 +111,8 @@ def q35_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_map_functions",
     oracle="""
     SELECT event_type,
-           SUM(len(json_keys(props))) AS n_keys,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(json_extract(props, '$.k')) AS with_k
     FROM events GROUP BY event_type
     """,

@@ -356,7 +356,7 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
     members AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
                 FROM reach GROUP BY src)
-    SELECT cluster_id, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+    SELECT cluster_id, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM members GROUP BY cluster_id
     """,
     category="llm-dedup",

@@ -151,7 +151,7 @@ def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(label AS BIGINT) AS label,
            ROUND(SUM(CAST(round(scale * 1000000000) AS BIGINT))
                  / 1e9 / COUNT(*), 6) AS avg_scale,
-           SUM(q0) AS sum_q0, COUNT(*) AS n
+           CAST(SUM(q0) AS BIGINT) AS sum_q0, COUNT(*) AS n
     FROM q GROUP BY 1
     """,
     category="llm-similarity",

@@ -212,8 +212,8 @@ def q59_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q60_token_count",
     oracle=f"""
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_ws_tokens,
-           SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)) AS n_re_tokens
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)) AS BIGINT) AS n_re_tokens
     FROM documents GROUP BY source
     """,
     category="llm-text",

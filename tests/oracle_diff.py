@@ -31,6 +31,24 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used to mimic the driver's value-hash typing.
+
+    DuckDB types integer SUM(...) as HUGEINT (int128), which pandas maps
+    to float64/object — a silent divergence from Spark's int64 that the
+    driver's hash compare flags even when every value is equal (round-1
+    q20/q45 failures).  Comparing kinds pre-normalization catches it."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def assert_df_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = ""):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
@@ -39,6 +57,16 @@ def assert_df_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    for c in sorted(spark_pdf.columns):
+        ka = _dtype_kind(spark_pdf[c])
+        kb = _dtype_kind(oracle_pdf[c])
+        # empty frames surface as object on both sides; only flag real data
+        if len(spark_pdf) and ka != kb:
+            raise AssertionError(
+                f"{name}: col {c} dtype-kind mismatch spark={ka}"
+                f"({spark_pdf[c].dtype}) oracle={kb}({oracle_pdf[c].dtype})"
+                " — driver hash would fail; align the oracle SQL cast"
+            )
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]
