@@ -156,11 +156,15 @@ def cmd_benchmark(
     """Generate-insert-query benchmark (S10, `cli.cpp:106-139`): sequential
     1 Hz timestamps from now, price ~ U(100,200), volume ~ U(100,10000)."""
     now = int(time.time())
+    # seq must continue from the symbol's current max (same contract as
+    # _append), else a benchmark on a pre-populated symbol duplicates seq
+    # values and corrupts `last` ordering / (ts, seq) tie-breaking
+    base = _next_seq(_load(spark, data_dir, symbol))
     gen = spark.range(count).select(
         (F.lit(now) + F.col("id")).alias("ts"),
         (100.0 + F.rand(7) * 100.0).alias("price"),
         (100 + (F.rand(11) * 9900).cast("long")).alias("volume"),
-        F.col("id").alias("seq"),
+        (F.lit(base) + F.col("id")).alias("seq"),
         F.lit(symbol).alias("symbol"),
     )
     gen.write.mode("overwrite").format("noop").save()  # exclude generation

@@ -26,16 +26,24 @@ def tokens(text: Column | str) -> Column:
 
 
 def shingles(toks: Column) -> Column:
-    """Word 3-gram shingles, one per position (empty if < 3 tokens)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+    """Word 3-gram shingles, one per position (empty if < 3 tokens).
+
+    The short-doc case must be guarded explicitly: ``sequence(1, size-2)``
+    steps DOWNWARD when ``size < 3`` (Spark's sequence uses step -1 when
+    start > stop), so an unguarded transform would index past the array
+    and throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def salted_md5(seed: Column | int, s: Column) -> Column:

@@ -173,7 +173,8 @@ _BUCKET_S = 1800  # 30-min resample grid: sparse enough to have real gaps
     oracle=f"""
     WITH b AS (SELECT event_type,
                       CAST(to_timestamp(floor(epoch(ts)/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) AS bucket,
-                      AVG(value) AS v, COUNT(*) AS n
+                      SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS v,
+                      COUNT(*) AS n
                FROM events GROUP BY 1, 2),
     bounds AS (SELECT CAST(to_timestamp(floor(epoch(min(ts))/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) mn,
                       CAST(to_timestamp(floor(epoch(max(ts))/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) mx
@@ -203,9 +204,17 @@ def q36_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / _BUCKET_S) * _BUCKET_S
     )
-    b = ev.groupBy(
-        "event_type", bucket.alias("bucket")
-    ).agg(F.avg("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    # bucket mean in integer cents (summation-order independent), matching
+    # the repo's float-determinism discipline — raw double AVG can flip
+    # the ROUND(,4) at .00005 boundaries between Spark and the oracle
+    b = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
     bounds = ev.agg(
         F.min(bucket).alias("mn"), F.max(bucket).alias("mx")
     )

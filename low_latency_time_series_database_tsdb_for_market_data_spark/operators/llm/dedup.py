@@ -167,6 +167,7 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     # strictly monotone: an unchanged sum == fixpoint.  One tiny agg job
     # per round instead of a join-based change detector.
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.doc_id)
@@ -180,8 +181,18 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning partial labels would make every downstream
+        # consumer (q66/q70 cluster tables, survivor picks) wrong with no
+        # signal — fail loudly; callers with genuinely deep graphs pass a
+        # larger max_iter
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -253,12 +253,17 @@ def q69_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the corpus size."""
     d = table(spark, sf_dir, "documents")
     toks = tokens("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # guard 1-token docs: sequence(1, size-1) would step DOWN to [1, 0]
+    # when size == 1 and element_at(toks, 0) throws under ANSI mode
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     # spread the explode: a local single-file parquet is ONE split (on a
     # cluster the input arrives pre-split, making this shuffle no-op-sized)
     par = spark.sparkContext.defaultParallelism

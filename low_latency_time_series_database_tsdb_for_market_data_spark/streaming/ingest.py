@@ -21,6 +21,15 @@ from pyspark.sql import types as T
 
 from ..sources.writer import write_ticks
 
+def require_nanos_as_long(spark: SparkSession) -> None:
+    """The events parquet is physically TIMESTAMP(NANOS); reading it with
+    TICK_STREAM_SCHEMA's LongType ts requires the legacy nanos-as-long
+    path.  Every streaming reader sets it here so standalone use works —
+    never rely on a prior catalog.table() call having set it session-wide
+    (PARQUET_TYPE_ILLEGAL otherwise)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 TICK_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -43,6 +52,7 @@ def ingest_available_now(
 
     source_dir must be a directory or glob (Spark's file stream source
     rejects a bare file path), e.g. ``.../sf0.01/events*.parquet``."""
+    require_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(TICK_STREAM_SCHEMA)
         .parquet(source_dir)
@@ -78,6 +88,7 @@ def windowed_counts_stream(
     streaming twin of q21_time_bucket.  Rows later than the watermark are
     dropped (explicit late-data policy); state is bounded by
     watermark/window, so it runs forever at 100 TB/day."""
+    require_nanos_as_long(spark)
     stream = (
         spark.readStream.schema(TICK_STREAM_SCHEMA)
         .parquet(source_dir)

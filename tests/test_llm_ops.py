@@ -135,3 +135,41 @@ def test_kmeans_centroid_training_reduces_inertia(spark, sf_dir):
     trained = train_centroids(e, k=4, iters=3)
     assert len(trained) == 4 and len(trained[0]) == len(init[0])
     assert inertia(trained) <= inertia(init) + 1e-9
+
+
+def test_shingles_and_bigrams_short_docs(spark):
+    """Docs with <3 (shingles) / <2 (bigrams) tokens must yield empty
+    arrays, not INVALID_ARRAY_INDEX_IN_ELEMENT_AT: sequence(1, size-2)
+    steps DOWNWARD when start > stop (regression for the latent crash on
+    short-doc corpora)."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.functions import (
+        texthash,
+    )
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three", ),
+         ("one two three four", )],
+        ["text"],
+    )
+    toks = texthash.tokens("text")
+    out = df.select(
+        F.size(texthash.shingles(toks)).alias("n_shingles"),
+        F.size(toks).alias("n_toks"),
+    ).collect()
+    by_toks = {r.n_toks: r.n_shingles for r in out}
+    # split("", " ") -> [""] i.e. one token
+    assert by_toks == {1: 0, 2: 0, 3: 1, 4: 2}
+
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.size(bigrams).alias("n"), F.size(toks).alias("t")).collect()
+    assert {r.t: r.n for r in bg} == {1: 0, 2: 1, 3: 2, 4: 3}

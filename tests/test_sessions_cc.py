@@ -145,3 +145,18 @@ def test_rolling_time_window_inclusive_bound(spark):
     }
     assert got[3] == 3  # rows 1 (exactly -1h, inclusive), 2, 3
     assert got[4] == 2  # row 2 fell out (older than 1h), rows 3, 4
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A diameter-6 chain cannot reach fixpoint in 2 rounds: the silent
+    partial-label failure mode must be a loud error instead."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "a bigint, b bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=2)
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {1}
