@@ -269,14 +269,32 @@ def q55_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(d, spark.sparkContext.defaultParallelism)
 
 
+# Corpus-relative document-frequency cap for q56's verify stage: shingles
+# appearing in >= max(5, 0.5% of docs) documents are stop-shingles (q81's
+# DF-table criterion, made corpus-relative) and are excluded from Jaccard
+# entirely, so per-shingle pair fan-out is hard-bounded by C(cap-1, 2) and
+# total pair count is LINEAR in corpus size — the IDF-pruning bound
+# enforced in code, not prose.  Relative, because an absolute cap
+# degenerates as the corpus grows: on a saturated vocabulary every shingle
+# eventually exceeds any constant.
+_DF_MIN_CAP = 5
+_DF_FRAC = 0.005
+
+
 @query(
     "q56_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_SQL},
     shd AS (SELECT DISTINCT doc_id, s FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    cap AS (SELECT greatest({_DF_MIN_CAP},
+                            CAST(ceil({_DF_FRAC} * COUNT(*)) AS BIGINT)) AS cap
+            FROM documents),
+    grp AS (SELECT s, COUNT(*) AS c FROM shd GROUP BY s),
+    kept AS (SELECT shd.doc_id, shd.s FROM shd JOIN grp USING (s), cap
+             WHERE grp.c < cap.cap),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
-               FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT ia AS doc_a, ib AS doc_b,
            ROUND((c * 1.0) / (sa.n + sb.n - c), 4) AS jaccard
@@ -288,40 +306,64 @@ def q55_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm-dedup",
 )
 def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.6 near-dup pairs (the verify stage after
-    LSH candidate generation; at 100 TB restrict the shingles to q55's
-    candidate buckets — here the full corpus doubles as the oracle check).
+    """3-gram Jaccard >= 0.6 near-dup pairs over the RETAINED shingle
+    vocabulary: stop-shingles (document frequency >= max(5, 0.5% of the
+    corpus) — q81's DF criterion made corpus-relative) are dropped before
+    pair generation, so both the numerator and the denominator count
+    discriminative shingles only — the standard IDF-pruned near-dup
+    verify.  The prune is what bounds the cost: every surviving shingle
+    touches < cap docs, so per-shingle pair fan-out is at most
+    C(cap-1, 2) and total pairs are linear in corpus size, never
+    |docs|^2.
 
-    Pair generation avoids a shingle self-join (which would scan and
-    shuffle the corpus twice): group by shingle, collect the sorted doc
-    set, and emit in-group pairs with two chained codegen generates
-    (posexplode + explode of the tail slice) — no interpreted HOFs in the
-    hot path.  Cost per shingle is |docs|^2 — at scale drop stop-shingles
-    above a document-frequency cap, exactly like IDF pruning (here max
-    group = 25).  Per-doc set sizes come from an in-row array_distinct on
-    the document itself: a narrow map, not a second pass over the
-    exploded shingles.  Jaccard arithmetic is integer-count based, so it
-    is order-exact."""
+    ONE corpus-scale shuffle: the per-shingle doc-set aggregation is
+    built once and feeds BOTH branches — per-doc retained-set sizes
+    (explode the kept sets back out, count per doc: input is the
+    vocabulary, not the corpus) and pair generation (posexplode + explode
+    of the tail slice — two chained codegen generates, never a shingle
+    self-join).  The branches share the identical Exchange subtree, so
+    Spark plans the second as ReusedExchange: the corpus is shingled,
+    hashed, and shuffled exactly once.  The DF cap itself arrives as a
+    1-row broadcast (count of documents), keeping the threshold fully
+    declarative.  Group on the 64-bit shingle hash, not the string: 8-byte
+    fixed keys keep the agg hash map compact (collision odds ~n^2/2^64 —
+    irrelevant for a near-dup *verifier*, and sub-ppb at these corpus
+    sizes).  Jaccard arithmetic is integer-count based, so it is
+    order-exact."""
     d = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    sizes = d.repartition(par).select(
-        "doc_id",
-        F.size(F.array_distinct(shingles(tokens("text")))).cast("bigint").alias("n"),
+    cap_row = d.agg(
+        F.greatest(
+            F.lit(_DF_MIN_CAP),
+            F.ceil(F.count(F.lit(1)) * _DF_FRAC),
+        ).alias("cap")
     )
     # no pre-distinct: collect_set dedups doc_ids per shingle in the same
-    # (single) shuffle a distinct would have cost extra.  Group on the
-    # 64-bit shingle hash, not the string: 8-byte fixed keys keep the agg
-    # hash map compact (collision odds ~n^2/2^64 — irrelevant for a
-    # near-dup *verifier*, and sub-ppb at these corpus sizes)
-    groups = (
+    # (single) shuffle a distinct would have cost extra.  localCheckpoint
+    # materializes the aggregation once: it feeds THREE consumers (sizes'
+    # broadcast build x2 and pair generation), and broadcast builds run as
+    # separate jobs where exchange reuse does not apply — without the
+    # checkpoint the corpus would be shingled and shuffled three times.
+    # The checkpointed set is O(vocabulary) rows with <cap-element arrays,
+    # megabytes even when the corpus is terabytes.
+    grouped = (
         _shingle_rows(spark, sf_dir)
         .select(F.xxhash64("s").alias("hs"), "doc_id")
         .groupBy("hs")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .crossJoin(F.broadcast(cap_row))
+        .where(F.size("ds") < F.col("cap"))
+        .localCheckpoint()
+    )
+    # per-doc retained-shingle counts from the SAME aggregation: explode
+    # the kept doc sets (O(vocabulary x cap) rows, tiny vs the corpus)
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     common = (
-        groups.select(F.posexplode("ds").alias("i", "ia"), "ds")
+        grouped.where(F.size("ds") > 1)
+        .select(F.posexplode("ds").alias("i", "ia"), "ds")
         .select(
             "ia",
             F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("ib"),

@@ -173,3 +173,35 @@ def test_shingles_and_bigrams_short_docs(spark):
     ).otherwise(F.array().cast("array<string>"))
     bg = df.select(F.size(bigrams).alias("n"), F.size(toks).alias("t")).collect()
     assert {r.t: r.n for r in bg} == {1: 0, 2: 1, 3: 2, 4: 3}
+
+def test_q56_stop_shingle_prune_enforced(spark, tmp_path):
+    """The DF cap is a CODE bound, not prose: two docs whose only common
+    shingle is a stop-shingle (doc_freq >= max(5, 0.5% of corpus)) must
+    NOT form a Jaccard pair, while a discriminative-shingle pair
+    survives.  This is what keeps per-shingle pair fan-out at C(cap-1,2)
+    and total pairs linear in corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stop = "alpha beta gamma"  # a shingle planted in >= 5 docs
+    docs = [
+        # 6 docs all sharing ONLY the stop shingle -> df=8 >= cap=5
+        (i, f"{stop} filler{i} x{i} y{i} z{i} w{i} v{i}") for i in range(6)
+    ] + [
+        # a true near-dup pair sharing rare shingles (plus the stop one)
+        (100, f"{stop} one two three four five six seven"),
+        (101, f"{stop} one two three four five six seven"),
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([t for _, t in docs], pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    reg = load_all()
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in reg["q56_ngram_jaccard_pairs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in pairs
+    # none of docs 0..5 may pair: their only common shingle is stopped
+    assert not any(a < 100 or b < 100 for a, b in pairs), pairs
