@@ -37,11 +37,22 @@ def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB prefer approx_percentile (t-digest, mergeable map-side);
     both are surfaced, this one is the oracle-checkable form."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
-            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
-        ]
+    # ONE percentile agg with an array of percentages: each percentile
+    # aggregate expression buffers every group value, so three separate
+    # calls would triple the buffer/sort work for identical output
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.col("ps")[i], 4).alias(name)
+                for i, name in enumerate(("p25", "p50", "p75"))
+            ],
+        )
     )
 
 

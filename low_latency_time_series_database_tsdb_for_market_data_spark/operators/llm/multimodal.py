@@ -4,9 +4,12 @@ Design (BASELINE.json north-star): media travels as an opaque BINARY column
 with typed metadata beside it; decode / feature-extraction runs as
 Arrow-batched pandas iterators (mapInPandas), so payload bytes stream
 through executors in columnar batches and never surface as Python
-row objects.  The actual image/audio decode is STUBBED (no codec libs in
-this environment, see decode_media) — the Spark-side schema, partitioning,
-UDF signature and batch shape are real and tested (tests/test_multimodal.py).
+row objects.  Container-header decode (decode_media/decode_headers) is
+REAL pure-stdlib parsing — PNG/GIF/BMP/JPEG dimensions, WAV audio params;
+only pixel/sample decode uses deterministic stand-ins (resize_images,
+sample_frames), since codec libraries are absent in this build.  The
+Spark-side schema, partitioning, UDF signatures and batch shapes are real
+and tested (tests/test_llm_ops.py, tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -53,13 +56,116 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str) -> bytes:
-    """Real decoder entry point — image/audio codecs are not available in
-    this environment; the feature extractor uses raw bytes instead."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this build; "
-        "extract_features() uses byte-level features instead"
-    )
+def decode_media(payload: bytes | None, mime: str | None = None) -> dict:
+    """Pure-stdlib container decode: sniffs the format from magic bytes
+    and parses the REAL header fields (image dimensions, audio channel
+    layout) for PNG, GIF, BMP, JPEG and WAV — no codec libraries needed.
+    Pixel/sample decode stays out of scope by design (resize_images /
+    sample_frames document their deterministic stand-ins); header decode
+    is the part every routing/filtering pipeline needs and it is fully
+    implemented here.
+
+    Returns {"fmt", "width", "height", "channels", "sample_rate"} with
+    None for fields the format does not carry or unparseable input —
+    never raises: at 100 TB a corrupt blob must degrade to nulls, not
+    kill the stage."""
+    import struct
+
+    out: dict = {
+        "fmt": None, "width": None, "height": None,
+        "channels": None, "sample_rate": None,
+    }
+    if not payload:
+        return out
+    b = payload
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR is mandatory-first: width/height are big-endian u32 at 16
+            out["fmt"] = "png"
+            out["width"], out["height"] = struct.unpack(">II", b[16:24])
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            out["fmt"] = "gif"
+            out["width"], out["height"] = struct.unpack("<HH", b[6:10])
+        elif b[:2] == b"BM" and len(b) >= 26:
+            # BITMAPINFOHEADER: signed LE i32 at 18/22 (height<0 = top-down)
+            out["fmt"] = "bmp"
+            w, h = struct.unpack("<ii", b[18:26])
+            out["width"], out["height"] = w, abs(h)
+        elif b[:2] == b"\xff\xd8":
+            # JPEG: walk segments to the first SOF0/1/2 frame header
+            out["fmt"] = "jpeg"
+            i = 2
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    out["height"], out["width"] = struct.unpack(
+                        ">HH", b[i + 5 : i + 9]
+                    )
+                    break
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+                i += 2 + seg_len
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 36:
+            # canonical layout: fmt chunk at 12
+            if b[12:16] == b"fmt ":
+                out["fmt"] = "wav"
+                out["channels"], out["sample_rate"] = struct.unpack(
+                    "<HI", b[22:28]
+                )
+    except (struct.error, IndexError):
+        pass  # truncated header: keep whatever was parsed before the cut
+    return out
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+    ]
+)
+
+
+def decode_headers(media: DataFrame) -> DataFrame:
+    """The decode stage as a Spark op: mapInPandas over binary payloads,
+    one output row per media row with parsed container metadata.  No
+    shuffle, Arrow-batched, memory bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch — the 100 TB shape for
+    a routing/filtering pass before any expensive pixel decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                decode_media(p, m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": [d["fmt"] for d in decoded],
+                    "width": pd.array(
+                        [d["width"] for d in decoded], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [d["height"] for d in decoded], dtype="Int64"
+                    ),
+                    "channels": pd.array(
+                        [d["channels"] for d in decoded], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [d["sample_rate"] for d in decoded], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODE_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

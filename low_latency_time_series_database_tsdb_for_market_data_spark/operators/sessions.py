@@ -103,9 +103,27 @@ def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q39_ewma",
-    oracle=None,  # recursive recurrence — not SQL-expressible; rows-only
+    # The recurrence IS SQL-expressible sequentially: a recursive CTE
+    # stepping i -> i+1 per group runs the identical double arithmetic
+    # (y = 0.1*x + 0.9*y; IEEE + is commutative, so pandas' (old*0.9 +
+    # new*0.1)/1.0 kernel produces bit-identical values), making q39
+    # hash-checkable instead of rows-only.
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS i
+        FROM events),
+    rec(event_type, i, ewma) AS (
+        SELECT event_type, i, value FROM ordered WHERE i = 1
+        UNION ALL
+        SELECT o.event_type, o.i, 0.1 * o.value + 0.9 * r.ewma
+        FROM rec r JOIN ordered o
+          ON o.event_type = r.event_type AND o.i = r.i + 1)
+    SELECT o.event_id, o.event_type, o.value, ROUND(r.ewma, 4) AS ewma
+    FROM rec r JOIN ordered o USING (event_type, i)
+    """,
     category="timeseries",
-    tags=("rows-only",),
 )
 def q39_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (alpha=0.1) of value per symbol — the one classic tick
@@ -114,9 +132,10 @@ def q39_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizons).  Runs as ONE Arrow-batched pandas pass per symbol group
     via applyInPandas: state is a single scalar per key, the shuffle
     is the same one exchange a window would need, and inside the batch
-    pandas' C ewm kernel does the scan.  Correctness is pinned against
-    pandas ewm in tests/test_golden_ticks.py (driver check: rows-only).
-    """
+    pandas' C ewm kernel does the scan.  The final round happens
+    JVM-side (F.round, half-up — numpy rounds half-even, which would
+    diverge from the oracle's ROUND at exact .00005 boundaries); the
+    DuckDB oracle replays the same recurrence via a recursive CTE."""
     import pandas as pd
 
     ev = table(spark, sf_dir, "events")
@@ -125,11 +144,12 @@ def q39_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         out = pdf[["event_id", "event_type", "value"]].copy()
-        out["ewma"] = (
-            pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(4)
-        )
+        out["ewma"] = pdf["value"].ewm(alpha=0.1, adjust=False).mean()
         return out
 
-    return ev.select("event_id", "event_type", "ts", "value").groupBy(
-        "event_type"
-    ).applyInPandas(ewma, schema)
+    return (
+        ev.select("event_id", "event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandas(ewma, schema)
+        .withColumn("ewma", F.round("ewma", 4))
+    )

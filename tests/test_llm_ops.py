@@ -59,11 +59,82 @@ def test_multimodal_feature_pipeline(spark, sf_dir):
     ]
 
 
-def test_decode_stub_raises():
-    import pytest
+def _png(w, h):
+    import struct
+    import zlib
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"\x00", "image/png")
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _jpeg(w, h):
+    import struct
+
+    # SOI, APP0 (JFIF), then SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(channels, rate):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+
+
+def test_decode_media_parses_real_headers():
+    import struct
+
+    png = multimodal.decode_media(_png(640, 480))
+    assert (png["fmt"], png["width"], png["height"]) == ("png", 640, 480)
+
+    gif = multimodal.decode_media(
+        b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    )
+    assert (gif["fmt"], gif["width"], gif["height"]) == ("gif", 320, 200)
+
+    bmp = multimodal.decode_media(
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 4
+    )
+    # negative BMP height means top-down rows; dimension is |h|
+    assert (bmp["fmt"], bmp["width"], bmp["height"]) == ("bmp", 100, 50)
+
+    jpg = multimodal.decode_media(_jpeg(1024, 768))
+    assert (jpg["fmt"], jpg["width"], jpg["height"]) == ("jpeg", 1024, 768)
+
+    wav = multimodal.decode_media(_wav(2, 44100))
+    assert (wav["fmt"], wav["channels"], wav["sample_rate"]) == ("wav", 2, 44100)
+
+    # corrupt/unknown payloads degrade to nulls, never raise
+    assert multimodal.decode_media(b"\x00")["fmt"] is None
+    assert multimodal.decode_media(None)["fmt"] is None
+    truncated = multimodal.decode_media(_png(9, 9)[:12])
+    assert truncated["width"] is None
+
+
+def test_decode_headers_stage(spark):
+    rows = [
+        (1, _png(64, 32), "image/png", None),
+        (2, _wav(1, 16000), "audio/wav", None),
+        (3, b"garbage", "application/octet-stream", None),
+        (4, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_headers(media).collect()}
+    assert len(got) == 4
+    assert (got[1].fmt, got[1].width, got[1].height) == ("png", 64, 32)
+    assert (got[2].fmt, got[2].channels, got[2].sample_rate) == ("wav", 1, 16000)
+    assert got[3].fmt is None and got[4].fmt is None
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
