@@ -221,7 +221,7 @@ def main() -> None:
     med = statistics.median(queries.values())
     outliers: dict[str, float] = {}
     for name, sec in list(queries.items()):
-        if sec > 10 * med and sec > 2.0:
+        if sec > 5 * med and sec > 2.0:
             outliers[name] = sec
             best = sec
             for _ in range(3):

@@ -103,3 +103,17 @@ def test_benchmark_runs(spark, data_dir):
 def test_help_on_bad_args(spark, data_dir):
     assert cli.run([], spark, data_dir) == [cli.HELP]
     assert cli.run(["query", "X"], spark, data_dir) == [cli.HELP]
+
+
+def test_benchmark_seq_continues_from_existing(spark, data_dir):
+    """cmd_benchmark on a pre-populated symbol must continue seq from the
+    symbol's max (same contract as insert/append) — duplicate seq values
+    would corrupt arrival-order `last` and (ts, seq) tie-breaking."""
+    for ts in (10, 20, 30):
+        cli.run(["insert", "B", str(ts), "1.0", "1"], spark, data_dir)
+    cli.run(["benchmark", "B", "5"], spark, data_dir)
+    df = cli._load(spark, data_dir, "B")
+    seqs = sorted(r.seq for r in df.select("seq").collect())
+    assert len(seqs) == 8
+    assert len(set(seqs)) == 8, "duplicate seq values after benchmark"
+    assert seqs == list(range(seqs[0], seqs[0] + 8))
