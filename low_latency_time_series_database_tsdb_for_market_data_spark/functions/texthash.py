@@ -25,25 +25,31 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def shingles(toks: Column) -> Column:
-    """Word 3-gram shingles, one per position (empty if < 3 tokens).
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram strings, one per position (empty if < n tokens).
 
-    The short-doc case must be guarded explicitly: ``sequence(1, size-2)``
-    steps DOWNWARD when ``size < 3`` (Spark's sequence uses step -1 when
+    The short-doc case must be guarded explicitly: ``sequence(1, size-k)``
+    steps DOWNWARD when ``size <= k`` (Spark's sequence uses step -1 when
     start > stop), so an unguarded transform would index past the array
     and throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode."""
+    # concat_ws over n element_at lookups, NOT array_join(slice(...)):
+    # slice allocates a fresh n-element array per position inside the
+    # (interpreted) higher-order lambda — measured ~4x slower over a
+    # full-corpus explode
     return F.when(
-        F.size(toks) >= 3,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(toks: Column) -> Column:
+    """Word 3-gram shingles (the dedup-pipeline unit; see ngrams)."""
+    return ngrams(toks, 3)
 
 
 def salted_md5(seed: Column | int, s: Column) -> Column:

@@ -4,5 +4,6 @@ similarity search, text analysis, multimodal column plumbing."""
 
 from . import dedup  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import pipeline_ext  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401
