@@ -81,8 +81,16 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # --- warm full-range scan (flagship S4) ---
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        ts_bound,
+    )
+
     raw = events_raw(spark, SF_DIR)
-    ranged = with_ts(raw.where((raw.ts >= 0) & (raw.ts <= (1 << 62))))
+    ranged = with_ts(
+        raw.where(
+            (raw.ts >= ts_bound(raw, 0)) & (raw.ts <= ts_bound(raw, 1 << 62))
+        )
+    )
     materialize(ranged)  # warm listing + page cache + this plan's codegen
     scan_sec = float("inf")
     for _ in range(2):

@@ -4,12 +4,37 @@ The reference binds one process to one symbol directory of raw column files
 (`column_storage.cpp:13-18`); here the catalog is simply partition-prunable
 parquet read through the DataFrame API so Catalyst gets pushdown and column
 pruning for free (SURVEY.md §1.3).
+
+`events.ts` is SCHEMA-ADAPTIVE.  Producers drift: the same logical column
+has shipped as parquet TIMESTAMP(NANOS) (Spark reads it only via the legacy
+nanos-as-long conf, surfacing int64 epoch-nanos) and as TIMESTAMP(MICROS)
+isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ).  The reference never
+faces this — it owns its storage format end to end — but any real Spark
+deployment does, so every reader here branches on the *loaded* dtype
+instead of hard-coding one physical layout:
+
+  * LongType        -> int64 epoch nanos: `timestamp_micros(ts div 1000)`,
+                       exactly DuckDB's nanos->micros truncation;
+  * TimestampNTZType-> cast to session-UTC TIMESTAMP (same micros instant;
+                       keeps the result schema identical across layouts and
+                       matching what the DuckDB oracle yields);
+  * TimestampType   -> already there.
+
+Range/point operators must keep their predicates on the RAW column in its
+native type so the comparison reaches the parquet scan as a pushed filter
+(row-group min/max pruning — the Spark analogue of the reference's B+ tree
+range probe, `bplus_tree.hpp:70-91`).  `ts_bound`/`ts_lit` build literals
+of the matching type so no cast ever lands on the column side of the
+comparison (a column-side cast would silently kill pushdown).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import tune
 
@@ -26,44 +51,81 @@ TABLES = (
     "embeddings",
 )
 
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _allow_nanos(spark: SparkSession) -> None:
+    """Permit the TIMESTAMP(NANOS) physical layout (read as int64).  No-op
+    for micros/NTZ files; without it a nanos file fails at schema read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def ts_is_long(df: DataFrame, col: str = "ts") -> bool:
+    """True iff the loaded ts column is the int64-epoch-nanos layout."""
+    return isinstance(df.schema[col].dataType, T.LongType)
+
+
+def with_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the raw ts column to a session-UTC microsecond TIMESTAMP,
+    whatever physical layout it was loaded from.  Cheap codegen'd
+    projection; apply AFTER range filters so pushdown sees the raw column."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ wall-clock reinterpreted in the (UTC-pinned) session zone —
+        # the same micros instant the nanos path produced, and the same
+        # naive values DuckDB returns for the same file
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def ts_bound(df: DataFrame, epoch_ns: int, *, upper: bool = False,
+             col: str = "ts") -> Column:
+    """Literal for filtering the RAW ts column in its native type.
+
+    epoch_ns is the bound as UTC epoch nanoseconds.  For the int64-nanos
+    layout an inclusive upper bound adds 999 ns so values that truncate to
+    the bound microsecond stay included; for timestamp layouts the literal
+    is the bound's exact microsecond.  Sub-microsecond remainders on
+    *lower* bounds only occur for non-round constants (ours are whole
+    seconds) — floor-to-us keeps those inclusive too."""
+    if ts_is_long(df, col):
+        return F.lit(epoch_ns + (999 if upper else 0))
+    return ts_lit(df, _EPOCH + _dt.timedelta(microseconds=epoch_ns // 1000),
+                  col=col)
+
+
+def ts_lit(df: DataFrame, value: _dt.datetime, *, col: str = "ts") -> Column:
+    """Timestamp literal matching the raw ts column's exact Catalyst type
+    (TIMESTAMP_NTZ vs TIMESTAMP), so comparisons never cast the column."""
+    iso = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+    return F.expr(f"TIMESTAMP '{iso}'")
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table.
+    """Load one testdata table (events gets the normalized TIMESTAMP ts).
 
     Sets UTC session TZ defensively so timestamp values compare cleanly
-    against the DuckDB oracle regardless of who built the session.
-
-    `events.ts` is physically parquet TIMESTAMP(NANOS) which Spark cannot
-    map to a Catalyst type; we read it via the legacy nanos-as-long path and
-    rebuild a microsecond timestamp (`timestamp_micros(ns div 1000)`), which
-    is exactly DuckDB's nanos->micros truncation.  The div/cast is a cheap
-    codegen'd projection and does not block predicate pushdown on the
-    underlying int64 column.
-    """
+    against the DuckDB oracle regardless of who built the session."""
     tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _allow_nanos(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = with_ts(df)
     return df
 
 
 def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` with `ts` left as raw int64 nanoseconds.
-
-    Time-range operators filter on this column so the comparison reaches the
-    parquet scan as a pushed filter on the physical int64 (row-group min/max
-    pruning — the Spark analogue of the reference's B+ tree range probe,
-    `bplus_tree.hpp:70-91`), then convert to timestamp on the surviving rows.
-    """
+    """`events` with `ts` left in its physical layout (int64 nanos or
+    native timestamp).  Time-range operators filter this column with
+    `ts_bound`/`ts_lit` literals so the comparison reaches the parquet scan
+    as a pushed filter, then convert with `with_ts` on the survivors."""
     tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _allow_nanos(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-def with_ts(df: DataFrame) -> DataFrame:
-    """Convert `events_raw`'s int64-nanos ts into a microsecond timestamp."""
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

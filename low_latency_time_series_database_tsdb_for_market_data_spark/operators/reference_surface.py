@@ -5,10 +5,12 @@ scan, projection, inclusive time-range scan, point lookup, last-N (arrival
 order), top-K, counts, CSV import — on the `events` table with the mapping
 event_type→symbol, ts→timestamp, value→price, event_id→seq (FIXTURES.md §B).
 
-Scale notes: the range/point scans filter on the *raw int64-nanos* ts column
-so the predicate is pushed into the parquet scan (row-group min/max pruning
-— the distributed analogue of the reference's B+ tree probe,
-`bplus_tree.hpp:70-91`); the timestamp conversion happens after pruning.
+Scale notes: the range/point scans filter on the *raw* ts column in its
+native physical type (int64 nanos or parquet timestamp — see
+catalog.ts_bound) so the predicate is pushed into the parquet scan
+(row-group min/max pruning — the distributed analogue of the reference's
+B+ tree probe, `bplus_tree.hpp:70-91`); normalization happens after
+pruning.
 Last-N / top-K use sort+limit, which Spark executes as a per-partition
 TakeOrdered + driver merge — no global sort, no full shuffle.
 """
@@ -20,7 +22,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import events_raw, table, with_ts
+from ..catalog import events_raw, table, ts_bound, ts_lit, with_ts
 from ..registry import query
 from ..sources.csv_ticks import read_tick_csv
 
@@ -84,13 +86,15 @@ def q03_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q04_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship query (S4): inclusive-both-ends time range.
 
-    Filters on raw int64 nanos so the BETWEEN reaches the parquet scan as a
-    pushed filter; `ns <= hi_us*1000 + 999` reproduces the micros truncation
-    exactly."""
+    Filters on the RAW ts column with literals of its native type
+    (`catalog.ts_bound`) so the BETWEEN reaches the parquet scan as a
+    pushed filter whichever physical layout the fixture shipped with; the
+    int64-nanos layout's upper bound is `us*1000 + 999`, reproducing the
+    nanos->micros truncation exactly."""
     raw = events_raw(spark, sf_dir)
-    lo_ns = _T1_NS
-    hi_ns = _T2_NS + 999  # inclusive upper bound after ns->us truncation
-    return with_ts(raw.where((F.col("ts") >= lo_ns) & (F.col("ts") <= hi_ns)))
+    lo = ts_bound(raw, _T1_NS)
+    hi = ts_bound(raw, _T2_NS, upper=True)
+    return with_ts(raw.where((F.col("ts") >= lo) & (F.col("ts") <= hi)))
 
 
 @query(
@@ -102,15 +106,16 @@ def q05_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate range (start == end), reference S4.  Two phases, like
     the CLI's point read: a scalar probe job resolves the target ts (the
     table min, so the query is meaningful at every SF), then the lookup
-    itself filters the RAW int64-nanos column with a constant — an
-    EqualTo that reaches the parquet scan as a pushed filter, so
+    itself filters the RAW ts column with a constant of its native type —
+    an EqualTo that reaches the parquet scan as a pushed filter, so
     row-group min/max stats prune exactly like the reference's B+ tree
     descent (`bplus_tree.hpp:95-106`).  A min-probe *join* instead would
     keep the plan lazy but defeat static pushdown — the wrong trade for
     a point lookup."""
     raw = events_raw(spark, sf_dir)
     t = raw.agg(F.min("ts")).collect()[0][0]
-    return with_ts(raw.where(F.col("ts") == t))
+    lit = F.lit(t) if isinstance(t, int) else ts_lit(raw, t)
+    return with_ts(raw.where(F.col("ts") == lit))
 
 
 @query(

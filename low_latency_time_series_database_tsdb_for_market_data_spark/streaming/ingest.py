@@ -11,6 +11,12 @@ re-expressed as micro-batch streaming (SURVEY.md §1.3, §3.2):
 Out-of-order timestamps are accepted forever by the reference (verified);
 the streaming aggregation path bounds that with an explicit watermark —
 the documented late-data policy the reference never had.
+
+The event-time column is SCHEMA-ADAPTIVE like the batch catalog
+(catalog.py module docstring): the file stream source needs a declared
+schema, so `stream_schema` reads it from the parquet footers (a
+metadata-only batch read, no data scan), and `with_ts_event` branches on
+the loaded ts dtype — int64 epoch nanos vs native parquet timestamp.
 """
 
 from __future__ import annotations
@@ -19,27 +25,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.writer import write_ticks
 
 def require_nanos_as_long(spark: SparkSession) -> None:
-    """The events parquet is physically TIMESTAMP(NANOS); reading it with
-    TICK_STREAM_SCHEMA's LongType ts requires the legacy nanos-as-long
-    path.  Every streaming reader sets it here so standalone use works —
-    never rely on a prior catalog.table() call having set it session-wide
-    (PARQUET_TYPE_ILLEGAL otherwise)."""
+    """Permit the TIMESTAMP(NANOS) physical layout (reads as int64 long).
+    No-op for micros/NTZ files; without it a nanos file fails at schema
+    read.  Every streaming reader sets it here so standalone use works —
+    never rely on a prior catalog.table() call having set it session-wide."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-TICK_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos on disk (events table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def stream_schema(spark: SparkSession, source_dir: str) -> T.StructType:
+    """Schema for the file stream source, inferred from the source's own
+    parquet footers (file streams require a declared schema; hard-coding
+    one breaks on producer drift — exactly what happened when events.ts
+    moved from TIMESTAMP(NANOS) to TIMESTAMP(MICROS))."""
+    require_nanos_as_long(spark)
+    return spark.read.parquet(source_dir).schema
+
+
+def with_ts_event(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Add `ts_event` — session-UTC microsecond TIMESTAMP event time —
+    from whichever physical ts layout the source carries."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts_event", F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts_event", F.col(col).cast("timestamp"))
+    return df.withColumn("ts_event", F.col(col))
+
+
+def open_tick_stream(spark: SparkSession, source_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source tick stream over the events layout with a normalized
+    `ts_event` event-time column.  source_dir must be a directory or glob
+    (Spark's file stream source rejects a bare file path)."""
+    reader = spark.readStream.schema(stream_schema(spark, source_dir))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return with_ts_event(reader.parquet(source_dir))
 
 
 def ingest_available_now(
@@ -48,16 +71,10 @@ def ingest_available_now(
     """Drain everything currently in source_dir into the partitioned tick
     table at dest_dir, then stop — the streaming equivalent of the
     reference's append_batch + sync().  Exactly-once via checkpoint +
-    parquet commit protocol.
+    parquet commit protocol."""
+    from ..sources.writer import write_ticks
 
-    source_dir must be a directory or glob (Spark's file stream source
-    rejects a bare file path), e.g. ``.../sf0.01/events*.parquet``."""
-    require_nanos_as_long(spark)
-    stream = (
-        spark.readStream.schema(TICK_STREAM_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("ts_event", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = open_tick_stream(spark, source_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         ticks = batch_df.select(
@@ -88,12 +105,7 @@ def windowed_counts_stream(
     streaming twin of q21_time_bucket.  Rows later than the watermark are
     dropped (explicit late-data policy); state is bounded by
     watermark/window, so it runs forever at 100 TB/day."""
-    require_nanos_as_long(spark)
-    stream = (
-        spark.readStream.schema(TICK_STREAM_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("ts_event", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = open_tick_stream(spark, source_dir)
     return (
         stream.withWatermark("ts_event", watermark)
         .groupBy(F.window("ts_event", window), F.col("event_type"))

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ingest import TICK_STREAM_SCHEMA, require_nanos_as_long
+from .ingest import open_tick_stream
 
 
 def _partial_bars(ticks: DataFrame, bucket: str) -> DataFrame:
@@ -55,13 +55,8 @@ def continuous_ohlc(
     """Run the continuous rollup over everything currently in source_dir
     (AvailableNow; in production the same query runs on a perpetual
     trigger).  Appends partial bars per micro-batch."""
-    require_nanos_as_long(spark)
-    reader = spark.readStream.schema(TICK_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        reader.parquet(source_dir)
-        .withColumn("ts_event", F.expr("timestamp_micros(ts div 1000)"))
+        open_tick_stream(spark, source_dir, max_files_per_trigger)
         .select(
             F.col("event_type").alias("symbol"),
             F.col("ts_event").alias("ts"),

@@ -75,7 +75,10 @@ def _update_symbol_state(
             continue
         pdf = pdf.sort_values("seq")
         n += len(pdf)
-        last_ts = int(pdf["ts"].iloc[-1])
+        ts_v = pdf["ts"].iloc[-1]
+        # ts may arrive as int64 epoch nanos or as a timestamp column
+        # (pd.Timestamp.value = epoch nanos) — state holds nanos either way
+        last_ts = int(ts_v.value) if isinstance(ts_v, pd.Timestamp) else int(ts_v)
         last_price = float(pdf["price"].iloc[-1])
         mn = min(mn, float(pdf["price"].min()))
         mx = max(mx, float(pdf["price"].max()))
@@ -101,9 +104,10 @@ def _update_symbol_state(
 def symbol_snapshot_stream(ticks: DataFrame) -> DataFrame:
     """Per-symbol running snapshot stream.
 
-    `ticks` must have (symbol, ts:long, price, volume, seq) — e.g. the
-    tick_view mapping of the events stream.  Emits one updated snapshot
-    row per symbol per micro-batch (update output mode)."""
+    `ticks` must have (symbol, ts, price, volume, seq) with ts either
+    int64 epoch nanos or a timestamp — e.g. the tick_view mapping of the
+    events stream.  Emits one updated snapshot row per symbol per
+    micro-batch (update output mode)."""
     return ticks.groupBy("symbol").applyInPandasWithState(
         _update_symbol_state,
         outputStructType=SNAPSHOT_SCHEMA,

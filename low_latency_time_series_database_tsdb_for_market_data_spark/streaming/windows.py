@@ -17,18 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ingest import TICK_STREAM_SCHEMA, require_nanos_as_long
+from .ingest import open_tick_stream
 
 
 def tick_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source tick stream with an event-time column (micros from the
-    events table's int64-nanos ts)."""
-    require_nanos_as_long(spark)
-    return (
-        spark.readStream.schema(TICK_STREAM_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("ts_event", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    """File-source tick stream with a normalized `ts_event` event-time
+    column (schema-adaptive — see ingest.open_tick_stream)."""
+    return open_tick_stream(spark, source_dir)
 
 
 def sliding_vwap_stream(

@@ -175,7 +175,7 @@ def test_symbol_snapshot_stateful_stream(spark, sf_dir):
 
     ticks = tick_stream(spark, f"{sf_dir}/events*.parquet").select(
         F.col("event_type").alias("symbol"),
-        F.col("ts").alias("ts"),  # int64 nanos: opaque long is fine for state
+        F.col("ts").alias("ts"),  # raw layout (nanos long OR timestamp) — state folds either
         F.col("value").alias("price"),
         F.col("user_id").alias("volume"),
         F.col("event_id").alias("seq"),
@@ -216,8 +216,8 @@ def test_continuous_rollup_equals_batch_ohlc(spark, sf_dir, tmp_path):
     # split events into 3 files so AvailableNow + maxFilesPerTrigger=1
     # yields 3 micro-batches with buckets spanning batch boundaries
     src = str(tmp_path / "src")
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev_raw.repartitionByRange(3, "event_id").write.parquet(src)
 
     continuous_ohlc(
