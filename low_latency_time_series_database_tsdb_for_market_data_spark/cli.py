@@ -137,16 +137,36 @@ def cmd_last(spark: SparkSession, data_dir: str, symbol: str, n: int) -> list[st
 def cmd_import(
     spark: SparkSession, data_dir: str, symbol: str, csv_path: str
 ) -> list[str]:
-    """CSV import with malformed-row tolerance (S8).  DROPMALFORMED
-    reproduces the reference's skip-bad-rows; unlike `cli.cpp:206` the
-    reported count is rows actually imported."""
-    from .sources.csv_ticks import read_tick_csv
+    """CSV import with malformed-row tolerance (S8).  The parse keeps the
+    reference's skip-bad-rows semantics; unlike `cli.cpp:206` the reported
+    count is rows actually imported.
 
+    The parsed rows flow straight from the distributed text scan into the
+    partitioned writer — no driver collect of row data (the old
+    `.collect()` round-trip was the classic scale-killer at any real
+    import size).  seq continues from the symbol's max in file-line order:
+    monotonically_increasing_id is increasing within a split and ordered
+    by split index across them, so row_number over it reproduces line
+    order; the single-partition window is the import's one narrow
+    bottleneck — the same single-writer discipline as the reference's one
+    writer thread — and only ever sees one CSV file's rows."""
+    from pyspark.sql import Window
+
+    from .sources.csv_ticks import read_tick_csv
+    from .sources.writer import write_ticks
+
+    base = _next_seq(_load(spark, data_dir, symbol))
     parsed = read_tick_csv(spark, csv_path)
-    rows = [
-        (int(r["ts"]), float(r["price"]), int(r["volume"])) for r in parsed.collect()
-    ]
-    n = _append(spark, data_dir, symbol, rows)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    df = parsed.select(
+        F.col("ts"),
+        F.col("price"),
+        F.col("volume"),
+        (F.lit(base) + F.row_number().over(w) - 1).alias("seq"),
+        F.lit(symbol).alias("symbol"),
+    )
+    write_ticks(df, _table_path(data_dir), mode="append")
+    n = parsed.agg(F.count(F.lit(1))).collect()[0][0]
     return [f"Imported {n} ticks for {symbol} from {csv_path}"]
 
 

@@ -117,27 +117,89 @@ def lsh_buckets(docs: DataFrame, par: int) -> DataFrame:
     )
 
 
-def candidate_edges(docs: DataFrame, par: int) -> DataFrame:
-    """(a, b) near-dup candidate pairs: docs sharing any LSH band bucket.
+# Per-bucket doc cap for LSH pair generation.  A degenerate hot bucket
+# (thousands of mutually-near-dup docs hashing to one band key) would
+# otherwise build an unbounded collect_set array on one executor and emit
+# C(n,2) pairs.  Exact duplicates — the overwhelmingly common cause — are
+# pre-collapsed to one representative BEFORE MinHash, so only >cap
+# *distinct* near-dup texts in one bucket ever hit the cap; above it the
+# bucket keeps the cap smallest doc_ids (deterministic sample).  Clusters
+# stay connected through the kept members in all but adversarial corpora;
+# `hot_buckets` reports any bucket that was truncated.
+_MAX_BUCKET_DOCS = 256
+
+
+def _exact_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(representatives, dup_edges): identical texts collapse to their min
+    doc_id; members attach to the representative by a direct edge (they
+    are near-dups by definition — Jaccard 1.0), so downstream connected
+    components are unchanged while MinHash/LSH run on distinct texts
+    only.  One window shuffle on the 32-byte fingerprint."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    tagged = docs.select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    ).withColumn("rep", F.min("doc_id").over(w))
+    reps = tagged.where(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    dup_edges = tagged.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("b")
+    )
+    return reps, dup_edges
+
+
+def hot_buckets(docs: DataFrame, par: int,
+                max_bucket: int = _MAX_BUCKET_DOCS) -> DataFrame:
+    """Diagnostic: (band, band_key, n_docs) for buckets whose DISTINCT-text
+    membership exceeds max_bucket — the buckets candidate_edges truncates.
+    Run it on a corpus sample before a production dedup; non-empty output
+    means the cap is active and max_bucket (or the banding width) should
+    be reviewed."""
+    reps, _ = _exact_collapse(docs)
+    return (
+        band_rows(reps, par)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def candidate_edges(docs: DataFrame, par: int,
+                    max_bucket: int = _MAX_BUCKET_DOCS) -> DataFrame:
+    """(a, b) near-dup candidate pairs: docs sharing any LSH band bucket,
+    plus (representative, member) edges from the exact-duplicate
+    pre-collapse.
 
     Same pair-generation shape as q56: group each bucket's doc set and
     emit in-group pairs with two chained codegen generates — never a
     bucket self-join.  Distinct collapses pairs that collide in several
-    bands."""
+    bands.
+
+    Scale guards: exact dups never reach MinHash (collapsed first), and a
+    row_number over the (band, band_key) window drops docs ranked past
+    max_bucket BEFORE the collect_set, so the per-bucket array is
+    hard-bounded — the window and the groupBy share the same partitioning
+    key, so the cap costs no extra shuffle."""
+    from pyspark.sql import Window
+
+    reps, dup_edges = _exact_collapse(docs)
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     groups = (
-        band_rows(docs, par)
+        band_rows(reps, par)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_bucket)
         .groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    return (
+    lsh_pairs = (
         groups.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             "a",
             F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
         )
-        .distinct()
     )
+    return lsh_pairs.unionByName(dup_edges).distinct()
 
 
 def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:

@@ -276,3 +276,52 @@ def test_q56_stop_shingle_prune_enforced(spark, tmp_path):
     assert (100, 101) in pairs
     # none of docs 0..5 may pair: their only common shingle is stopped
     assert not any(a < 100 or b < 100 for a, b in pairs), pairs
+
+
+def test_hot_bucket_exact_dups_bounded(spark):
+    """5000 byte-identical docs — the degenerate hot bucket.  The exact
+    pre-collapse must reduce pair generation to ONE representative plus a
+    4999-edge star, never C(5000,2) pairs, and the end-to-end cluster
+    must still contain all 5000 members with the min doc_id surviving."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        candidate_edges,
+        connected_components,
+    )
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical corpus poison document body repeated verbatim").alias(
+            "text"
+        ),
+    )
+    edges = candidate_edges(docs, 8)
+    assert edges.count() == 4999  # star to the representative, not C(n,2)
+    labels = connected_components(edges)
+    assert labels.count() == 5000
+    assert labels.agg(F.countDistinct("cluster_id")).collect()[0][0] == 1
+    assert labels.agg(F.min("cluster_id")).collect()[0][0] == 0
+
+
+def test_hot_bucket_cap_truncates_distinct_neardups(spark):
+    """Distinct near-dup texts sharing buckets: with max_bucket=1 every
+    bucket keeps a single doc, so LSH contributes zero pairs — the cap
+    provably bounds the collect_set/pair path (deterministic regardless
+    of which buckets the texts land in)."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        candidate_edges,
+        hot_buckets,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{base} tail{i}") for i in range(30)], "doc_id long, text string"
+    )
+    assert candidate_edges(docs, 8, max_bucket=1).count() == 0
+    # uncapped, the same corpus does produce candidate pairs
+    assert candidate_edges(docs, 8).count() > 0
+    # diagnostic view reports the overflowing buckets for the tiny cap
+    assert hot_buckets(docs, 8, max_bucket=1).count() > 0
