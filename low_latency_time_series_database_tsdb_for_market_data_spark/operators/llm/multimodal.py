@@ -5,11 +5,12 @@ with typed metadata beside it; decode / feature-extraction runs as
 Arrow-batched pandas iterators (mapInPandas), so payload bytes stream
 through executors in columnar batches and never surface as Python
 row objects.  Container-header decode (decode_media/decode_headers) is
-REAL pure-stdlib parsing — PNG/GIF/BMP/JPEG dimensions, WAV audio params;
-only pixel/sample decode uses deterministic stand-ins (resize_images,
-sample_frames), since codec libraries are absent in this build.  The
-Spark-side schema, partitioning, UDF signatures and batch shapes are real
-and tested (tests/test_llm_ops.py, tests/test_multimodal.py).
+REAL pure-stdlib parsing — PNG/GIF/BMP/JPEG dimensions, WAV audio params —
+and audio sample decode (decode_audio) is REAL too: stdlib `wave` + numpy
+PCM statistics.  Only image pixel decode uses deterministic stand-ins
+(resize_images, sample_frames), since no image codec library exists in
+this build.  The Spark-side schema, partitioning, UDF signatures and
+batch shapes are real and tested (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -222,6 +223,88 @@ def q63_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "magic_hex"
         ),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL sample-level audio decode for WAV/PCM payloads — stdlib
+    `wave` (always present) + vectorized numpy over the raw frames, no
+    external codec library.  Emits per-clip signal stats (RMS, peak,
+    duration) — the features an audio-curation pipeline filters on
+    (silence, clipping, truncation).  Non-WAV or corrupt payloads
+    degrade to null fields, never a stage failure.
+
+    Same 100 TB shape as the other decode stages: mapInPandas over Arrow
+    batches, zero shuffle, bytes never surface on the driver.  Image
+    pixel decode remains a documented stand-in (no PIL in this build);
+    this stage is the template for swapping a stand-in for a real codec
+    without touching the Spark plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave as _wave
+
+        import numpy as np
+
+        _DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(out, None)
+                row["media_id"] = mid
+                try:
+                    with _wave.open(io.BytesIO(b)) as w:
+                        ch, sw = w.getnchannels(), w.getsampwidth()
+                        sr, nf = w.getframerate(), w.getnframes()
+                        raw = w.readframes(nf)
+                    dtype = _DTYPES.get(sw)
+                    if dtype is not None and sr > 0:
+                        arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                        if sw == 1:  # 8-bit WAV PCM is unsigned
+                            arr -= 128.0
+                        row.update(
+                            channels=ch,
+                            sample_rate=sr,
+                            n_frames=nf,
+                            duration_sec=nf / sr,
+                            rms=float(math.sqrt((arr * arr).mean()))
+                            if arr.size
+                            else 0.0,
+                            peak=float(np.abs(arr).max()) if arr.size else 0.0,
+                        )
+                except Exception:
+                    pass  # not a WAV / truncated: null fields by design
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "channels": pd.array(out["channels"], dtype="Int64"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "duration_sec": pd.array(
+                        out["duration_sec"], dtype="float64"
+                    ),
+                    "rms": pd.array(out["rms"], dtype="float64"),
+                    "peak": pd.array(out["peak"], dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

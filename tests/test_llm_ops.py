@@ -325,3 +325,44 @@ def test_hot_bucket_cap_truncates_distinct_neardups(spark):
     assert candidate_edges(docs, 8).count() > 0
     # diagnostic view reports the overflowing buckets for the tiny cap
     assert hot_buckets(docs, 8, max_bucket=1).count() > 0
+
+
+def test_decode_audio_real_pcm(spark):
+    """decode_audio must recover the true signal parameters from real WAV
+    bytes (stdlib-generated 16-bit PCM sine): sample rate, channel count,
+    frame count, duration, and RMS ~ amplitude/sqrt(2)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pyspark.sql import functions as F
+
+    sr, n, amp = 8000, 8000, 12000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(amp * math.sin(2 * math.pi * 440 * i / sr))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    wav_bytes = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_bytes), "audio/wav", {}),
+         (2, bytearray(b"not a wav at all"), "text/plain", {})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in multimodal.decode_audio(media).collect()}
+    good = rows[1]
+    assert (good.channels, good.sample_rate, good.n_frames) == (1, sr, n)
+    assert abs(good.duration_sec - 1.0) < 1e-9
+    assert abs(good.rms - amp / math.sqrt(2)) / amp < 0.01
+    assert good.peak <= amp
+    bad = rows[2]
+    assert bad.channels is None and bad.rms is None
