@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    """Final physical plan string (post-AQE initial plan)."""
+    """Final physical plan string (post-AQE initial plan).
+
+    Raises the scan-metadata truncation limit first: the default 100
+    chars elides long PushedFilters lists mid-bracket ("...", no closing
+    ]), which would make pushed_filters() silently return [] for plans
+    with verbose literals (e.g. sub-second timestamp bounds)."""
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -1,0 +1,107 @@
+"""Schema-adaptive events reader: both physical ts layouts the fixtures
+have ever shipped (int64 TIMESTAMP(NANOS) in rounds 1-2, timestamp[us] /
+TIMESTAMP_NTZ from round 3) must produce identical query results and keep
+range predicates pushed to the parquet scan.  This pins the round-3
+regression class: a producer-side layout change must never break readers
+again."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+    events_raw,
+    table,
+    ts_bound,
+    with_ts,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+    pushed_filters,
+)
+
+# one logical table: 3 events around the q04 bounds, plus a sub-second tail
+_BASE_US = 1704844800 * 1_000_000  # 2024-01-10T00:00:00Z
+_ROWS_US = [_BASE_US - 1, _BASE_US, _BASE_US + 5, _BASE_US + 86_400_000_000]
+
+
+def _write_events(tmpdir: str, unit: str) -> str:
+    path = f"{tmpdir}/events_{unit}.parquet"
+    scale = 1000 if unit == "ns" else 1
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(_ROWS_US)), type=pa.int64()),
+            "ts": pa.array(
+                [us * scale for us in _ROWS_US], type=pa.timestamp(unit)
+            ),
+            "user_id": pa.array([7] * len(_ROWS_US), type=pa.int64()),
+            "event_type": pa.array(["view"] * len(_ROWS_US)),
+            "value": pa.array([1.5] * len(_ROWS_US), type=pa.float64()),
+            "props": pa.array(["{}"] * len(_ROWS_US)),
+        }
+    )
+    pq.write_table(t, path, version="2.6")
+    return path
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("adaptive"))
+    out = {}
+    for unit in ("ns", "us"):
+        d = f"{base}/{unit}"
+        import os
+
+        os.makedirs(d)
+        _write_events(d, unit)
+        import shutil
+
+        shutil.move(f"{d}/events_{unit}.parquet", f"{d}/events.parquet")
+        out[unit] = d
+    return out
+
+
+def test_both_layouts_load_identically(spark, layouts):
+    collected = {}
+    for unit, d in layouts.items():
+        df = table(spark, d, "events").orderBy("event_id")
+        assert str(df.schema["ts"].dataType) == "TimestampType()", unit
+        collected[unit] = [
+            (r.event_id, r.ts.isoformat()) for r in df.collect()
+        ]
+    assert collected["ns"] == collected["us"]
+
+
+def test_range_filter_matches_and_pushes_down_both_layouts(spark, layouts):
+    lo_ns = _BASE_US * 1000
+    hi_ns = (_BASE_US + 10) * 1000
+    got = {}
+    for unit, d in layouts.items():
+        raw = events_raw(spark, d)
+        q = with_ts(
+            raw.where(
+                (F.col("ts") >= ts_bound(raw, lo_ns))
+                & (F.col("ts") <= ts_bound(raw, hi_ns, upper=True))
+            )
+        )
+        pf = " ".join(pushed_filters(q))
+        assert "GreaterThanOrEqual(ts" in pf, (unit, pf)
+        assert "LessThanOrEqual(ts" in pf, (unit, pf)
+        got[unit] = sorted(r.event_id for r in q.collect())
+    # inclusive both ends: rows at +0 and +5 us, not -1 us or +1 day
+    assert got["ns"] == got["us"] == [1, 2]
+
+
+def test_point_probe_matches_both_layouts(spark, layouts):
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    q05 = load_all()["q05_point_lookup"].fn
+    got = {
+        unit: sorted(r.event_id for r in q05(spark, d).collect())
+        for unit, d in layouts.items()
+    }
+    assert got["ns"] == got["us"] == [0]
