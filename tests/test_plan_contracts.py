@@ -175,3 +175,32 @@ def test_sample_and_histogram_single_exchange(reg, spark, sf_dir):
     # one partial+final agg: one exchange, nothing before it
     assert exchanges(q(reg, spark, sf_dir, "q29_deterministic_sample")) == 1
     assert exchanges(q(reg, spark, sf_dir, "q49_histogram")) == 1
+
+
+def test_written_tick_table_ts_pushdown(spark, sf_dir, tmp_path):
+    # the engine's OWN writer output must keep ts predicates prunable:
+    # the INT96 default would silently drop timestamp pushdown on every
+    # table write_ticks produces (ts stats unusable -> no row-group
+    # pruning); session config pins TIMESTAMP_MICROS instead
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        read_ticks,
+        write_ticks,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.ticks import (
+        tick_view,
+    )
+
+    assert (
+        spark.conf.get("spark.sql.parquet.outputTimestampType")
+        == "TIMESTAMP_MICROS"
+    )
+    write_ticks(tick_view(spark, sf_dir), str(tmp_path / "t"), mode="overwrite")
+    back = read_ticks(spark, str(tmp_path / "t"))
+    pf = " ".join(
+        pushed_filters(
+            back.where(F.col("ts") >= F.expr("TIMESTAMP '2024-01-05 00:00:00'"))
+        )
+    )
+    assert "GreaterThanOrEqual(ts" in pf, pf
