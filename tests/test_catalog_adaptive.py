@@ -105,3 +105,25 @@ def test_point_probe_matches_both_layouts(spark, layouts):
         for unit, d in layouts.items()
     }
     assert got["ns"] == got["us"] == [0]
+
+
+def test_streaming_ingest_both_layouts(spark, layouts, tmp_path):
+    """The streaming reader must infer the source's own schema and
+    normalize ts_event under both physical layouts; ingest results from
+    the same logical data must be identical."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        ingest_available_now,
+    )
+
+    got = {}
+    for unit, d in layouts.items():
+        dest = str(tmp_path / f"dest_{unit}")
+        ingest_available_now(
+            spark, f"{d}/events*.parquet", dest, str(tmp_path / f"ck_{unit}")
+        )
+        back = spark.read.parquet(dest).orderBy("seq")
+        got[unit] = [
+            (r.symbol, r.seq, r.ts.isoformat(), r.price) for r in back.collect()
+        ]
+    assert got["ns"] == got["us"]
+    assert len(got["ns"]) == 4
