@@ -204,3 +204,20 @@ def test_written_tick_table_ts_pushdown(spark, sf_dir, tmp_path):
         )
     )
     assert "GreaterThanOrEqual(ts" in pf, pf
+
+
+def test_no_cartesian_or_row_python_any_query(reg, spark, sf_dir):
+    # blanket contract over the ENTIRE declared surface: no plan may
+    # contain a CartesianProduct (quadratic blow-up) or BatchEvalPython
+    # (row-at-a-time Python UDF — the forbidden slow path).  Arrow-batched
+    # pandas execution (ArrowEvalPython / FlatMapGroupsInPandas /
+    # MapInPandas / FlatMapGroupsInPandasWithState) stays allowed: those
+    # are the documented vectorized exceptions.
+    offenders = []
+    for name in reg:
+        plan = physical_plan(reg[name].fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
