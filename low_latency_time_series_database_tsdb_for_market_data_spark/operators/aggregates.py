@@ -63,7 +63,8 @@ def q20_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            COUNT(*) AS n,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
+           ((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 200 + COUNT(*))
+            // (2 * COUNT(*))) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -72,17 +73,33 @@ def q20_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time bucket in batch form (streaming analogue: F.window +
     watermark, see streaming/).  date_trunc keys partition-prune cleanly
-    when data is laid out by date."""
+    when data is laid out by date.
+
+    avg_value is rounded to 4 decimals ENTIRELY in integer arithmetic —
+    floor((2a+b)/(2b)) = round-half-up of a/b — because double `round()`
+    diverges between engines on ties (Spark rounds the shortest decimal
+    rendering, DuckDB the exact binary value; observed at sf0.1:
+    47.25375 -> 47.2538 vs 47.2537).  Integer-decided, the same bigint
+    comes out of both engines and the /10000.0 is exact."""
     ev = table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    avg_e4 = F.expr(
+        "(sum_cents * 200 + n) div (2 * n)"
+    )
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("bucket"),
             F.col("event_type"),
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(cents("value")) / 100.0 / F.count(F.lit(1)), 4).alias(
-                "avg_value"
-            ),
+        )
+        .agg(
+            cnt.alias("n"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            "event_type",
+            "n",
+            (avg_e4 / 10000.0).alias("avg_value"),
         )
     )
 
