@@ -184,7 +184,8 @@ _BUCKET_S = 1800  # 30-min resample grid: sparse enough to have real gaps
     oracle=f"""
     WITH b AS (SELECT event_type,
                       CAST(to_timestamp(floor(epoch(ts)/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) AS bucket,
-                      SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS v,
+                      (SUM(CAST(ROUND(value * 100) AS BIGINT)) * 200 + COUNT(*))
+                       // (2 * COUNT(*)) AS v_e4,
                       COUNT(*) AS n
                FROM events GROUP BY 1, 2),
     bounds AS (SELECT CAST(to_timestamp(floor(epoch(min(ts))/{_BUCKET_S})*{_BUCKET_S}) AS TIMESTAMP) mn,
@@ -195,9 +196,9 @@ _BUCKET_S = 1800  # 30-min resample grid: sparse enough to have real gaps
                   (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL {_BUCKET_S} SECOND)) AS TIMESTAMP) AS bucket
                    FROM bounds) gs)
     SELECT g.event_type, g.bucket, COALESCE(b.n, 0) AS n,
-           ROUND(last_value(b.v IGNORE NULLS) OVER (
+           last_value(b.v_e4 IGNORE NULLS) OVER (
                  PARTITION BY g.event_type ORDER BY g.bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS v_locf
     FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
     """,
     category="timeseries",
@@ -215,15 +216,16 @@ def q36_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / _BUCKET_S) * _BUCKET_S
     )
-    # bucket mean in integer cents (summation-order independent), matching
-    # the repo's float-determinism discipline — raw double AVG can flip
-    # the ROUND(,4) at .00005 boundaries between Spark and the oracle
+    # bucket mean rounded to 4 decimals ENTIRELY in bigint arithmetic
+    # (floor((2a+b)/(2b)) = round-half-up of a/b): double round() diverges
+    # between engines on .00005 ties (Spark rounds the shortest decimal
+    # rendering, DuckDB the exact binary; 18 tie buckets at sf0.1), so the
+    # LOCF carries an exact e4 integer and divides once at the end
     b = ev.groupBy("event_type", bucket.alias("bucket")).agg(
-        (
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
-            / 100.0
-            / F.count(F.lit(1))
-        ).alias("v"),
+        F.expr(
+            "(sum(cast(round(value * 100) as bigint)) * 200 + count(1))"
+            " div (2 * count(1))"
+        ).alias("v_e4"),
         F.count(F.lit(1)).alias("n"),
     )
     bounds = ev.agg(
@@ -251,6 +253,8 @@ def q36_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "bucket",
             F.coalesce("n", F.lit(0)).alias("n"),
-            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_locf"),
+            (F.last("v_e4", ignorenulls=True).over(w) / 10000.0).alias(
+                "v_locf"
+            ),
         )
     )
