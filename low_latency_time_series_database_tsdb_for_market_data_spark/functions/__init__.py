@@ -1,2 +1,9 @@
-from .deterministic import cents, money_avg, money_sum  # noqa: F401
+from .deterministic import (  # noqa: F401
+    cents,
+    money_avg,
+    money_sum,
+    ratio_e4,
+    ratio_e4_signed,
+    ratio_round,
+)
 from .texthash import salted_md5, shingles, simhash16, tokens  # noqa: F401

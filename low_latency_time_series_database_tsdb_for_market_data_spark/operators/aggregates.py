@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents
+from ..functions.deterministic import cents, ratio_e4, ratio_round
 from ..registry import query
 
 
@@ -27,11 +27,15 @@ from ..registry import query
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                  AS sum_qty,
            ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
+           (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) * 200
+            + 10000) // 20000 / 100.0 AS sum_disc,
+           (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) * 200
+            + 1000000) // 2000000 / 100.0 AS sum_charge,
+           (SUM(CAST(l_quantity AS BIGINT)) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS avg_qty,
+           (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 20000 + 100 * COUNT(*))
+            // (200 * COUNT(*)) / 10000.0 AS avg_price,
+           (SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 20000 + 100 * COUNT(*))
+            // (200 * COUNT(*)) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -40,21 +44,42 @@ from ..registry import query
 )
 def q20_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two group keys, eight aggregates, one shuffle of
-    partial states."""
+    partial states.
+
+    Every rounded column whose pre-round value is an integer ratio is
+    decided in integer arithmetic (functions.ratio_round) — double
+    round() diverges between engines on half-way ties (see q21/q36);
+    sum_base is int-cents/100 (exactly 2 decimals already), so its
+    round(,2) cannot tie."""
     li = table(spark, sf_dir, "lineitem")
     ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
     n = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-        F.round(F.sum(cents(ep)) / 100.0, 2).alias("sum_base"),
-        F.round(F.sum(cents(ep * (F.lit(1) - disc), 10000)) / 10000.0, 2).alias("sum_disc"),
-        F.round(
-            F.sum(cents(ep * (F.lit(1) - disc) * (F.lit(1) + tax), 1000000)) / 1000000.0, 2
-        ).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.sum(cents(ep)) / 100.0 / n, 4).alias("avg_price"),
-        F.round(F.sum(cents(disc)) / 100.0 / n, 4).alias("avg_disc"),
-        n.alias("count_order"),
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(F.sum(cents(ep)) / 100.0, 2).alias("sum_base"),
+            F.sum(cents(ep * (F.lit(1) - disc), 10000)).alias("disc_e4"),
+            F.sum(
+                cents(ep * (F.lit(1) - disc) * (F.lit(1) + tax), 1000000)
+            ).alias("charge_e6"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+            F.sum(cents(ep)).alias("price_c"),
+            F.sum(cents(disc)).alias("disc_c"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base",
+            ratio_round("disc_e4", "10000", 2).alias("sum_disc"),
+            ratio_round("charge_e6", "1000000", 2).alias("sum_charge"),
+            ratio_e4("qty_sum", "count_order").alias("avg_qty"),
+            ratio_e4("price_c", "100 * count_order").alias("avg_price"),
+            ratio_e4("disc_c", "100 * count_order").alias("avg_disc"),
+            "count_order",
+        )
     )
 
 
@@ -155,8 +180,9 @@ def q22_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_vwap",
     oracle="""
     SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT)) / 100.0
-                 / SUM(CAST(l_quantity AS BIGINT)), 4) AS vwap
+           (SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT)) * 20000
+            + 100 * SUM(CAST(l_quantity AS BIGINT)))
+            // (200 * SUM(CAST(l_quantity AS BIGINT))) / 10000.0 AS vwap
     FROM lineitem
     GROUP BY 1
     """,
@@ -164,13 +190,20 @@ def q22_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-weighted average price — numerator summed as exact integer
-    cents (price*qty is cent-exact because quantity is integral)."""
+    cents (price*qty is cent-exact because quantity is integral); the
+    4-decimal round is integer-decided (functions.ratio_e4, see q21)."""
     li = table(spark, sf_dir, "lineitem")
-    num = F.sum(cents(F.col("l_extendedprice") * F.col("l_quantity")))
-    den = F.sum(F.col("l_quantity").cast("bigint"))
     return (
         li.groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month"))
-        .agg(F.round(num / 100.0 / den, 4).alias("vwap"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_quantity"))).alias(
+                "pv_c"
+            ),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .select(
+            "ship_month", ratio_e4("pv_c", "100 * qty").alias("vwap")
+        )
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...catalog import table
+from ...functions.deterministic import ratio_e4
 from ...functions.texthash import N_MINHASH, shingles, tokens
 from ...registry import query
 
@@ -359,11 +360,12 @@ _DF_FRAC = 0.005
                FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT ia AS doc_a, ib AS doc_b,
-           ROUND((c * 1.0) / (sa.n + sb.n - c), 4) AS jaccard
+           (c * 20000 + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c))
+             / 10000.0 AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = ia
     JOIN sizes sb ON sb.doc_id = ib
-    WHERE (c * 1.0) / (sa.n + sb.n - c) >= 0.6
+    WHERE c * 5 >= (sa.n + sb.n - c) * 3
     """,
     category="llm-dedup",
 )
@@ -435,15 +437,19 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
-    jac = (F.col("c") * 1.0) / (F.col("na") + F.col("nb") - F.col("c"))
+    # threshold by integer cross-multiplication (c/d >= 0.6 <=> 5c >= 3d)
+    # and round the reported jaccard in integer arithmetic — both the
+    # boundary test and the 4-decimal value are then engine-exact
+    # (double division could flip either at a representability boundary)
+    union_sz = F.col("na") + F.col("nb") - F.col("c")
     return (
         common.join(F.broadcast(sa), "ia")
         .join(F.broadcast(sb), "ib")
-        .where(jac >= 0.6)
+        .where(F.col("c") * 5 >= union_sz * 3)
         .select(
             F.col("ia").alias("doc_a"),
             F.col("ib").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            ratio_e4("c", "na + nb - c").alias("jaccard"),
         )
     )
 

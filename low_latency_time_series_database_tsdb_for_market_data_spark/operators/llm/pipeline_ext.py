@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...catalog import table
+from ...functions.deterministic import ratio_e4
 from ...functions.texthash import ngrams, tokens
 from ...registry import query
 
@@ -45,9 +46,10 @@ _REP_THRESHOLD = 0.1
                  CAST(len(list_distinct(bg)) AS BIGINT) AS distinct_bigrams
           FROM b)
     SELECT doc_id, n_bigrams, distinct_bigrams,
-           ROUND((n_bigrams - distinct_bigrams) * 1.0 / n_bigrams, 4) AS rep_ratio,
-           CAST(CASE WHEN (n_bigrams - distinct_bigrams) * 1.0 / n_bigrams
-                          > {_REP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+           ((n_bigrams - distinct_bigrams) * 20000 + n_bigrams)
+             // (2 * n_bigrams) / 10000.0 AS rep_ratio,
+           CAST(CASE WHEN (n_bigrams - distinct_bigrams) * 10
+                          > n_bigrams THEN 1 ELSE 0 END AS BIGINT)
                AS is_repetitive
     FROM m WHERE n_bigrams > 0
     """,
@@ -79,15 +81,19 @@ def q82_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rep = (F.col("n_bigrams") - F.col("distinct_bigrams")) * 1.0 / F.col(
-        "n_bigrams"
-    )
+    # ratio rounded and thresholded in integer arithmetic: the double
+    # ratio could tie at round() or flip at the exact threshold between
+    # engines (see q21); 10*(n-d) > n is exactly rep > 0.1
+    dup = F.col("n_bigrams") - F.col("distinct_bigrams")
+    assert _REP_THRESHOLD == 0.1  # the integer form below encodes 1/10
     return base.select(
         "doc_id",
         "n_bigrams",
         "distinct_bigrams",
-        F.round(rep, 4).alias("rep_ratio"),
-        (rep > _REP_THRESHOLD).cast("bigint").alias("is_repetitive"),
+        ratio_e4("n_bigrams - distinct_bigrams", "n_bigrams").alias(
+            "rep_ratio"
+        ),
+        (dup * 10 > F.col("n_bigrams")).cast("bigint").alias("is_repetitive"),
     )
 
 
@@ -195,7 +201,8 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       CAST(SUM(n_chars) AS BIGINT) AS total_chars
                FROM documents GROUP BY lang, source)
     SELECT lang, source, n_docs, total_chars,
-           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS doc_share
+           (n_docs * 20000 + SUM(n_docs) OVER ())
+             // (2 * SUM(n_docs) OVER ()) / 10000.0 AS doc_share
     FROM m
     """,
     category="llm-text",
@@ -219,8 +226,11 @@ def q85_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_chars",
-        F.round(
-            F.col("n_docs") * 1.0 / F.sum("n_docs").over(Window.partitionBy()),
-            4,
-        ).alias("doc_share"),
+        F.sum("n_docs").over(Window.partitionBy()).alias("corpus_docs"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        ratio_e4("n_docs", "corpus_docs").alias("doc_share"),
     )

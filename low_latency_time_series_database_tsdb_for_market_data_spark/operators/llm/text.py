@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...catalog import table
+from ...functions.deterministic import ratio_e4
 from ...functions.texthash import SIMHASH_BITS, simhash16, tokens
 from ...registry import query
 
@@ -31,19 +32,30 @@ _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     "q52_text_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
+           (SUM(n_chars) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0
+               AS avg_chars,
            COUNT(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
     category="llm-text",
 )
 def q52_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus stats per language (exact integer sums -> stable division)."""
+    """Corpus stats per language (exact integer sums; 4-decimal average
+    decided in integer arithmetic — functions.ratio_e4, see q21)."""
     d = table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 4).alias("avg_chars"),
-        F.countDistinct("source").alias("n_sources"),
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            ratio_e4("sum_chars", "n_docs").alias("avg_chars"),
+            "n_sources",
+        )
     )
 
 
@@ -183,28 +195,33 @@ def q58_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(len(list_filter(toks, w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop
           FROM t)
     SELECT doc_id, n_tok,
-           ROUND(n_stop * 1.0 / n_tok, 4) AS stop_ratio,
-           ROUND(0.6 * (n_stop * 1.0 / n_tok)
-                 + 0.4 * LEAST(n_tok / 100.0, 1.0), 4) AS score
+           (n_stop * 20000 + n_tok) // (2 * n_tok) / 10000.0 AS stop_ratio,
+           ((600 * n_stop + 4 * n_tok * LEAST(n_tok, 100)) * 20000
+            + 1000 * n_tok) // (2000 * n_tok) / 10000.0 AS score
     FROM m
     """,
     category="llm-text",
 )
 def q59_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score from stopword ratio + length saturation — the
-    classic cheap pre-filter before expensive LLM processing."""
+    classic cheap pre-filter before expensive LLM processing.
+
+    Both outputs are rationals of the integer counts, so the 4-decimal
+    rounds are integer-decided (functions.ratio_e4, see q21):
+    0.6*(s/t) + 0.4*min(t/100, 1) == (600s + 4*t*min(t,100)) / (1000t)
+    exactly."""
     d = table(spark, sf_dir, "documents")
     toks = tokens("text")
     n_tok = F.size(toks).cast("bigint")
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS))).cast("bigint")
     m = d.select("doc_id", n_tok.alias("n_tok"), n_stop.alias("n_stop"))
-    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tok")
-    score = 0.6 * stop_ratio + 0.4 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
     return m.select(
         "doc_id",
         "n_tok",
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("score"),
+        ratio_e4("n_stop", "n_tok").alias("stop_ratio"),
+        ratio_e4(
+            "600 * n_stop + 4 * n_tok * least(n_tok, 100)", "1000 * n_tok"
+        ).alias("score"),
     )
 
 

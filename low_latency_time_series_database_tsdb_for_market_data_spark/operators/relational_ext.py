@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents
+from ..functions.deterministic import cents, ratio_e4, ratio_e4_signed
 from ..registry import query
 
 
@@ -25,8 +25,8 @@ from ..registry import query
                       COUNT(*) AS cnt
                FROM part GROUP BY p_brand)
     SELECT p.p_brand, COUNT(*) AS n_above,
-           ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0
-                 / COUNT(*), 4) AS avg_above
+           (SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 20000
+            + 100 * COUNT(*)) // (200 * COUNT(*)) / 10000.0 AS avg_above
     FROM part p JOIN b ON p.p_brand = b.p_brand
     WHERE CAST(ROUND(p_retailprice * 100) AS BIGINT) * b.cnt > b.sum_c
     GROUP BY p.p_brand
@@ -52,9 +52,12 @@ def q19_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
-            F.round(
-                F.sum(cents("p_retailprice")) / 100.0 / F.count(F.lit(1)), 4
-            ).alias("avg_above"),
+            F.sum(cents("p_retailprice")).alias("sum_above_c"),
+        )
+        .select(
+            "p_brand",
+            "n_above",
+            ratio_e4("sum_above_c", "100 * n_above").alias("avg_above"),
         )
     )
 
@@ -137,8 +140,8 @@ def q47_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
            ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
                  FILTER (WHERE c_acctbal > 0) / 100.0, 2) AS sum_pos,
-           ROUND(COUNT(*) FILTER (WHERE c_acctbal < 0) * 1.0 / COUNT(*), 4)
-             AS neg_share
+           (COUNT(*) FILTER (WHERE c_acctbal < 0) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS neg_share
     FROM customer GROUP BY c_nationkey
     """,
     category="aggregation",
@@ -150,13 +153,24 @@ def q48_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which would double the 100 TB scan)."""
     c = table(spark, sf_dir, "customer")
     neg = F.col("c_acctbal") < 0
-    return c.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_if(neg).alias("n_neg"),
-        F.round(
-            F.sum(F.when(F.col("c_acctbal") > 0, cents("c_acctbal"))) / 100.0, 2
-        ).alias("sum_pos"),
-        F.round(F.count_if(neg) * 1.0 / F.count(F.lit(1)), 4).alias("neg_share"),
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(neg).alias("n_neg"),
+            F.round(
+                F.sum(F.when(F.col("c_acctbal") > 0, cents("c_acctbal")))
+                / 100.0,
+                2,
+            ).alias("sum_pos"),
+        )
+        .select(
+            "c_nationkey",
+            "n_total",
+            "n_neg",
+            "sum_pos",
+            ratio_e4("n_neg", "n_total").alias("neg_share"),
+        )
     )
 
 
@@ -166,8 +180,8 @@ def q48_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(LEAST(GREATEST(floor(value / 100.0), 0), 9) AS BIGINT)
              AS bucket,
            COUNT(*) AS n,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
-                 / COUNT(*), 4) AS avg_v
+           (SUM(CAST(ROUND(value * 100) AS BIGINT)) * 20000 + 100 * COUNT(*))
+             // (200 * COUNT(*)) / 10000.0 AS avg_v
     FROM events GROUP BY 1
     """,
     category="aggregation",
@@ -184,9 +198,11 @@ def q49_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     )
-    return ev.groupBy(bucket).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(cents("value")) / 100.0 / F.count(F.lit(1)), 4).alias(
-            "avg_v"
-        ),
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_c"),
+        )
+        .select("bucket", "n", ratio_e4("sum_c", "100 * n").alias("avg_v"))
     )

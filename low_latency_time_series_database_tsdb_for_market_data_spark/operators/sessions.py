@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents
+from ..functions.deterministic import cents, ratio_e4, ratio_e4_signed
 from ..registry import query
 
 _GAP_S = 1800  # session gap: 30 min of inactivity starts a new session
@@ -75,7 +75,8 @@ def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - epoch_us(ts) AS dur_us
                FROM events)
     SELECT event_type,
-           ROUND(SUM(v_c * dur_us) / 100.0 / SUM(dur_us), 4) AS twap,
+           (SUM(v_c * dur_us) * 20000 + 100 * SUM(dur_us))
+             // (200 * SUM(dur_us)) / 10000.0 AS twap,
            COUNT(*) AS n
     FROM w WHERE dur_us IS NOT NULL GROUP BY event_type
     """,
@@ -93,11 +94,18 @@ def q38_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ev.select(
         "event_type", cents("value").alias("v_c"), dur.alias("dur_us")
     ).where(F.col("dur_us").isNotNull())
-    return rows.groupBy("event_type").agg(
-        F.round(
-            F.sum(F.col("v_c") * F.col("dur_us")) / 100.0 / F.sum("dur_us"), 4
-        ).alias("twap"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.sum(F.col("v_c") * F.col("dur_us")).alias("wsum"),
+            F.sum("dur_us").alias("wtot"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            ratio_e4("wsum", "100 * wtot").alias("twap"),
+            "n",
+        )
     )
 
 

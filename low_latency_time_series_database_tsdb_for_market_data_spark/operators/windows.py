@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents
+from ..functions.deterministic import cents, ratio_e4, ratio_e4_signed
 from ..registry import query
 
 def _order():
@@ -25,8 +25,9 @@ def _order():
     "q30_moving_avg",
     oracle="""
     SELECT event_id, event_type, value,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0
-                 / COUNT(*) OVER w, 4) AS mavg
+           (SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w * 20000
+            + 100 * COUNT(*) OVER w)
+            // (200 * COUNT(*) OVER w) / 10000.0 AS mavg
     FROM events
     WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
@@ -34,14 +35,23 @@ def _order():
     category="window",
 )
 def q30_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-row trailing average per symbol — integer-cents sum over the frame
-    keeps the value independent of evaluation order."""
+    """10-row trailing average per symbol — integer-cents sum over the
+    frame keeps the value independent of evaluation order, and the
+    4-decimal round is integer-decided (functions.ratio_e4, see q21)."""
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(*_order()).rowsBetween(-9, W.currentRow)
-    mavg = F.round(
-        F.sum(cents("value")).over(w) / 100.0 / F.count(F.lit(1)).over(w), 4
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(cents("value")).over(w).alias("sc"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        ratio_e4("sc", "100 * nc").alias("mavg"),
     )
-    return ev.select("event_id", "event_type", "value", mavg.alias("mavg"))
 
 
 @query(
@@ -165,7 +175,8 @@ def q74_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ROWS UNBOUNDED PRECEDING) AS runmax_c
                FROM events)
     SELECT event_type,
-           ROUND(MIN(v_c / (runmax_c * 1.0) - 1), 4) AS max_dd,
+           MIN((v_c * 20000 + runmax_c) // (2 * runmax_c) / 10000.0 - 1)
+               AS max_dd,
            COUNT(*) AS n
     FROM m GROUP BY event_type
     """,
@@ -175,7 +186,13 @@ def q76_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per symbol: running peak (cumulative MAX over the
     (ts, seq) total order), per-tick drawdown v/peak - 1, then the MIN.
     Window and aggregate share the symbol key — ONE exchange; all math
-    on integer cents until the final exact division."""
+    on integer cents until the final exact division.
+
+    The per-tick ratio is rounded to 4 decimals in integer arithmetic
+    BEFORE the -1 shift (round4(x-1) == round4(x)-1 exactly, since the
+    shift is an integer at e4 scale) — double round() on the ratio would
+    tie-diverge between engines (see q21); MIN then compares exact
+    multiples of 1e-4."""
     ev = table(spark, sf_dir, "events")
     w = (
         W.partitionBy("event_type")
@@ -187,11 +204,12 @@ def q76_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("value").alias("v_c"),
         F.max(cents("value")).over(w).alias("runmax_c"),
     )
-    return m.groupBy("event_type").agg(
-        F.round(
-            F.min(F.col("v_c") / (F.col("runmax_c") * 1.0) - 1), 4
-        ).alias("max_dd"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        m.select(
+            "event_type", (ratio_e4("v_c", "runmax_c") - 1).alias("dd")
+        )
+        .groupBy("event_type")
+        .agg(F.min("dd").alias("max_dd"), F.count(F.lit(1)).alias("n"))
     )
 
 
