@@ -110,3 +110,39 @@ def test_count_consistency(ticks, b, parts):
     inside = range_scan(df, lo, hi).count()
     outside = df.where((F.col("ts") < lo) | (F.col("ts") > hi)).count()
     assert inside + outside == N_ROWS
+
+
+def test_ratio_round_matches_duckdb_mirror(spark, ddb):
+    """functions.ratio_e4 / ratio_e4_signed must equal their documented
+    DuckDB oracle mirrors on ties, negatives, zero, and 1e15 magnitudes
+    (the engine-divergence class behind the q21/q36 fixes)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.functions import (
+        ratio_e4,
+        ratio_e4_signed,
+    )
+
+    cases = [
+        (755, 16), (-755, 16), (1, 3), (-1, 3), (5, 2), (-5, 2),
+        (0, 7), (10**15, 7), (-(10**15), 7), (99995, 200000),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", ratio_e4_signed("a", "b").alias("r")
+    )
+    got = {(r.a, r.b): r.r for r in df.collect()}
+    for a, b in cases:
+        want = ddb.execute(
+            f"""SELECT CASE WHEN ({a}) < 0
+                THEN -(((-CAST({a} AS HUGEINT)) * 20000 + ({b})) // (2 * ({b})))
+                ELSE ((CAST({a} AS HUGEINT) * 20000 + ({b})) // (2 * ({b})))
+                END / 10000.0"""
+        ).fetchone()[0]
+        assert got[(a, b)] == float(want), (a, b, got[(a, b)], want)
+    # positive-domain helper agrees with the signed one where both apply
+    pos = [(a, b) for a, b in cases if a >= 0]
+    df2 = spark.createDataFrame(pos, "a long, b long").select(
+        "a", "b", ratio_e4("a", "b").alias("r")
+    )
+    for r in df2.collect():
+        assert r.r == got[(r.a, r.b)]
+    # exact ties keep 4-decimal-exact values fixed (the -2.5 case)
+    assert got[(-5, 2)] == -2.5 and got[(5, 2)] == 2.5
