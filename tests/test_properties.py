@@ -146,3 +146,32 @@ def test_ratio_round_matches_duckdb_mirror(spark, ddb):
         assert r.r == got[(r.a, r.b)]
     # exact ties keep 4-decimal-exact values fixed (the -2.5 case)
     assert got[(-5, 2)] == -2.5 and got[(5, 2)] == 2.5
+
+
+def test_q25_approx_distinct_within_error_bound(spark, sf_dir):
+    """q25 is rows-only at the oracle gate (HLL sketches differ between
+    engines by design) — this is its real check: per-group approximate
+    cardinality within 3x the configured rsd (2%) of the exact count."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in load_all()["q25_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, approx[k], n)
