@@ -144,30 +144,50 @@ def cmd_import(
     The parsed rows flow straight from the distributed text scan into the
     partitioned writer — no driver collect of row data (the old
     `.collect()` round-trip was the classic scale-killer at any real
-    import size).  seq continues from the symbol's max in file-line order:
-    monotonically_increasing_id is increasing within a split and ordered
-    by split index across them, so row_number over it reproduces line
-    order; the single-partition window is the import's one narrow
-    bottleneck — the same single-writer discipline as the reference's one
-    writer thread — and only ever sees one CSV file's rows."""
-    from pyspark.sql import Window
-
+    import size).  seq continues from the symbol's max in FILE-LINE order
+    with NO Exchange at all: one tiny probe job collects per-split
+    surviving-row counts (one row per split — KBs at any import size),
+    the driver turns them into cumulative per-split seq bases (splits are
+    planned in file-offset order, so split k's base = rows of splits
+    < k), and seq = base + split_base[partition] + in-split record index
+    (the documented low-33-bit payload of monotonically_increasing_id).
+    A pure narrow expression — the old single-partition row_number window
+    serialized the whole import through one task; this keeps the scan's
+    own parallelism while assigning the identical numbers."""
     from .sources.csv_ticks import read_tick_csv
     from .sources.writer import write_ticks
 
     base = _next_seq(_load(spark, data_dir, symbol))
     parsed = read_tick_csv(spark, csv_path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    df = parsed.select(
-        F.col("ts"),
-        F.col("price"),
-        F.col("volume"),
-        (F.lit(base) + F.row_number().over(w) - 1).alias("seq"),
-        F.lit(symbol).alias("symbol"),
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in parsed.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    write_ticks(df, _table_path(data_dir), mode="append")
-    n = parsed.agg(F.count(F.lit(1))).collect()[0][0]
-    return [f"Imported {n} ticks for {symbol} from {csv_path}"]
+    split_base: list[F.Column] = []
+    total = 0
+    for pid, cnt in counts:
+        split_base.extend([F.lit(pid), F.lit(total)])
+        total += cnt
+    if total:
+        local_idx = F.monotonically_increasing_id() - F.shiftleft(
+            F.spark_partition_id().cast("long"), 33
+        )
+        seq = (
+            F.lit(base)
+            + F.element_at(F.create_map(*split_base), F.spark_partition_id())
+            + local_idx
+        ).cast("long")
+        df = parsed.select(
+            F.col("ts"),
+            F.col("price"),
+            F.col("volume"),
+            seq.alias("seq"),
+            F.lit(symbol).alias("symbol"),
+        )
+        write_ticks(df, _table_path(data_dir), mode="append")
+    return [f"Imported {total} ticks for {symbol} from {csv_path}"]
 
 
 def cmd_benchmark(

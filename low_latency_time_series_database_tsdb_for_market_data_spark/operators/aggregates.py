@@ -105,12 +105,12 @@ def q21_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges between engines on ties (Spark rounds the shortest decimal
     rendering, DuckDB the exact binary value; observed at sf0.1:
     47.25375 -> 47.2538 vs 47.2537).  Integer-decided, the same bigint
-    comes out of both engines and the /10000.0 is exact."""
+    comes out of both engines and the /10000.0 is exact.  The ratio rides
+    ratio_e4 so the intermediate product gets the DECIMAL(38,0) overflow
+    headroom every other integer-decided ratio in the repo has (a raw
+    BIGINT sum_cents*20000 would overflow silently at ~5e14 cents)."""
     ev = table(spark, sf_dir, "events")
     cnt = F.count(F.lit(1))
-    avg_e4 = F.expr(
-        "(sum_cents * 200 + n) div (2 * n)"
-    )
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("bucket"),
@@ -124,7 +124,7 @@ def q21_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "event_type",
             "n",
-            (avg_e4 / 10000.0).alias("avg_value"),
+            ratio_e4("sum_cents", "100 * n").alias("avg_value"),
         )
     )
 

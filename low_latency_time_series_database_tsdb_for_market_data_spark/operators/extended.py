@@ -216,15 +216,18 @@ def q36_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_seconds(
         F.floor(F.unix_timestamp("ts") / _BUCKET_S) * _BUCKET_S
     )
-    # bucket mean rounded to 4 decimals ENTIRELY in bigint arithmetic
+    # bucket mean rounded to 4 decimals ENTIRELY in integer arithmetic
     # (floor((2a+b)/(2b)) = round-half-up of a/b): double round() diverges
     # between engines on .00005 ties (Spark rounds the shortest decimal
     # rendering, DuckDB the exact binary; 18 tie buckets at sf0.1), so the
-    # LOCF carries an exact e4 integer and divides once at the end
+    # LOCF carries an exact e4 integer and divides once at the end.  The
+    # cents sum is widened to DECIMAL(38,0) before the *200 so the product
+    # keeps the same overflow headroom ratio_e4 gives every other
+    # integer-decided ratio (DuckDB's bigint SUM is already HUGEINT).
     b = ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.expr(
-            "(sum(cast(round(value * 100) as bigint)) * 200 + count(1))"
-            " div (2 * count(1))"
+            "(cast(sum(cast(round(value * 100) as bigint)) as decimal(38,0))"
+            " * 200 + count(1)) div (2 * count(1))"
         ).alias("v_e4"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -166,7 +166,8 @@ def hot_buckets(docs: DataFrame, par: int,
 
 
 def candidate_edges(docs: DataFrame, par: int,
-                    max_bucket: int = _MAX_BUCKET_DOCS) -> DataFrame:
+                    max_bucket: int = _MAX_BUCKET_DOCS,
+                    strict_cap: bool = True) -> DataFrame:
     """(a, b) near-dup candidate pairs: docs sharing any LSH band bucket,
     plus (representative, member) edges from the exact-duplicate
     pre-collapse.
@@ -180,8 +181,32 @@ def candidate_edges(docs: DataFrame, par: int,
     row_number over the (band, band_key) window drops docs ranked past
     max_bucket BEFORE the collect_set, so the per-bucket array is
     hard-bounded — the window and the groupBy share the same partitioning
-    key, so the cap costs no extra shuffle."""
+    key, so the cap costs no extra shuffle.
+
+    strict_cap (default): FAIL LOUDLY if any bucket reached the cap.  The
+    oracle-checked consumers (q66/q70) compare against an UNCAPPED
+    transitive-closure oracle, so a silently truncated bucket would make
+    them quietly wrong; a corpus that hot must instead surface the
+    condition (run `hot_buckets` to see the offenders, then raise
+    max_bucket or widen the banding).  The signal is max(row_number) ==
+    max_bucket from the aggregation already being computed — zero extra
+    jobs over the corpus, and it keeps the row_number filter eligible for
+    the WindowGroupLimit map-side heap (a pre-cap COUNT over the window
+    would force every row through the shuffle).  A bucket with EXACTLY
+    max_bucket distinct texts also trips it — conservative by design.
+    Production dedups that accept truncation pass strict_cap=False.
+    The signal lives on multi-doc buckets (a capped bucket has
+    size(ds) == max_rn >= 2), so strict mode requires max_bucket >= 2 —
+    max_bucket=1 keeps one doc per bucket, which disables LSH pair
+    generation altogether and is only meaningful with strict_cap=False."""
     from pyspark.sql import Window
+
+    if strict_cap and max_bucket < 2:
+        raise ValueError(
+            "strict_cap requires max_bucket >= 2 (max_bucket=1 disables "
+            "LSH pair generation entirely; pass strict_cap=False if that "
+            "degenerate mode is intended)"
+        )
 
     reps, dup_edges = _exact_collapse(docs)
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
@@ -190,9 +215,27 @@ def candidate_edges(docs: DataFrame, par: int,
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_bucket)
         .groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ds"),
+            F.max("rn").alias("max_rn"),
+        )
         .where(F.size("ds") > 1)
     )
+    if strict_cap:
+        # materialize once; the checkpoint is bucket-scale (vocabulary-ish,
+        # KB-MB), and downstream connected_components re-reads it instead
+        # of recomputing the MinHash pipeline
+        groups = groups.localCheckpoint()
+        hot = groups.where(F.col("max_rn") >= max_bucket).limit(1).count()
+        if hot:
+            raise RuntimeError(
+                f"candidate_edges: an LSH bucket reached the per-bucket cap "
+                f"({max_bucket}); results would silently diverge from the "
+                "uncapped oracle semantics.  Inspect hot_buckets(), then "
+                "raise max_bucket/banding width, or pass strict_cap=False "
+                "to accept deterministic truncation."
+            )
+    groups = groups.drop("max_rn")
     lsh_pairs = (
         groups.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
@@ -572,51 +615,157 @@ def q70_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
 
 
+# q62 blocking: hard per-block capacity.  k = ceil(n / _TARGET_BLOCK)
+# seed vectors partition the space Voronoi-style (IVF coarse quantizer);
+# a row_number sub-split inside each cell then guarantees NO block ever
+# exceeds _TARGET_BLOCK rows — even on the adversarial corpus where every
+# embedding is identical and one cell swallows everything.  So the
+# in-block O(B^2) matmul is bounded by a constant independent of corpus
+# size, and k (the seed count) scales linearly with it.
+_TARGET_BLOCK = 512
+# embeddings quantized to integer 1e-4 grid for the seed-distance argmin:
+# integer distances are order-independent and identical in Spark, numpy
+# and DuckDB, so the blocking is oracle-exact (float argmin could flip on
+# representability ties between engines)
+_Q_SCALE = 10000
+
+
+def quantized_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, qv): qv = round(x * 1e4) as bigint, computed
+    JVM-side so every consumer (Spark, Arrow batch, oracle mirror) sees
+    the identical integers."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _Q_SCALE).cast("bigint"),
+    )
+    return e.select("vec_id", "embedding", qv.alias("qv"))
+
+
+def assign_blocks(e: DataFrame, target_block: int = _TARGET_BLOCK) -> DataFrame:
+    """(vec_id, embedding, cell, blk) — capacity-bounded IVF-style blocks.
+
+    Seeds = the k = ceil(n/target_block) quantized embeddings with the
+    smallest vec_ids (deterministic first-k init — the zero-iteration
+    k-means every run reproduces; production can refine with
+    `train_centroids`, the mechanics are identical).  Assignment is a
+    narrow map: seeds broadcast as a k x dim int matrix, one integer
+    matmul per Arrow batch gives every vector its nearest seed
+    (ties -> smallest seed index, numpy argmin's first-occurrence rule).
+    A row_number sub-split inside each cell then hard-caps the block:
+    blk = (rank - 1) div target_block, so max block size == target_block
+    by construction, whatever the data distribution.  At 100 TB: model
+    state is k x dim ints on the driver (KBs-MBs), assignment shuffles
+    nothing, and the two real shuffles are the cell window + the block
+    groupBy — the minimum for a bounded blocked self-comparison."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    qe = e.transform(quantized_embeddings)
+    n = qe.count()
+    k = max(1, -(-n // target_block))  # ceil
+    seed_mat = np.array(
+        [r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()],
+        dtype=np.int64,
+    )
+    seed_sq = (seed_mat * seed_mat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            # argmin_j ||q - s_j||^2 == argmin_j (||s_j||^2 - 2 q.s_j);
+            # ||q||^2 is constant per row, so dropping it keeps both the
+            # order and the tie structure exact
+            d = seed_sq[None, :] - 2 * (q @ seed_mat.T)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell"] = d.argmin(axis=1).astype("int64")
+            yield out
+
+    assigned = qe.mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, cell bigint"
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    blk = F.expr(f"(rn - 1) div {target_block}")
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .withColumn("blk", blk)
+        .drop("rn")
+    )
+
+
 @query(
     "q62_embedding_neardup",
-    oracle="""
-    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-    norms AS (SELECT vec_id, label, embedding,
+    oracle=f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * {_Q_SCALE}) AS BIGINT)) AS qv
+               FROM embeddings),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS sv
+              FROM q
+              QUALIFY row_number() OVER (ORDER BY vec_id) <=
+                      (SELECT CAST(ceil(COUNT(*) / {_TARGET_BLOCK}.0) AS BIGINT)
+                       FROM embeddings)),
+    dists AS (SELECT q.vec_id, s.j,
+                     list_sum(list_transform(range(1, 65),
+                         i -> (q.qv[i] - s.sv[i]) * (q.qv[i] - s.sv[i]))) AS d
+              FROM q CROSS JOIN seeds s),
+    cells AS (SELECT vec_id, j AS cell FROM dists
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, j) = 1),
+    blocked AS (SELECT vec_id, cell,
+                       (row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1)
+                         // {_TARGET_BLOCK} AS blk
+                FROM cells),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    norms AS (SELECT vec_id,
                      SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nn
-              FROM embeddings, idx GROUP BY vec_id, label, embedding),
-    pairs AS (SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
-                     a.nn AS na, b.nn AS nb,
-                     SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
-              FROM norms a JOIN norms b
-                ON a.label = b.label AND a.vec_id < b.vec_id, idx
-              GROUP BY 1, 2, 3, 4, 5)
-    SELECT CAST(label AS BIGINT) AS label, ia AS id_a, ib AS id_b,
-           ROUND(dot / sqrt(na * nb), 4) AS cos
-    FROM pairs WHERE dot / sqrt(na * nb) >= 0.4
+              FROM embeddings, idx GROUP BY vec_id),
+    pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot
+              FROM blocked a
+              JOIN blocked b ON a.cell = b.cell AND a.blk = b.blk
+                            AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id, idx
+              GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, ROUND(dot / sqrt(na.nn * nb.nn), 4) AS cos
+    FROM pairs
+    JOIN norms na ON na.vec_id = ia
+    JOIN norms nb ON nb.vec_id = ib
+    WHERE dot / sqrt(na.nn * nb.nn) >= 0.4
     """,
     category="llm-dedup",
 )
 def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the IVF-style
-    coarse partition): pairs only form inside a block, so cost is
-    sum(block^2), not n^2.
+    """Embedding-cosine near-dup pairs over CAPACITY-BOUNDED blocks.
+
+    Blocking is `assign_blocks`: a deterministic IVF-style seed quantizer
+    whose seed count scales with the corpus (k = ceil(n/512)) plus a
+    row_number sub-split that hard-caps every block at 512 vectors — so
+    the per-block O(B^2) cosine matmul is constant-bounded regardless of
+    data skew (a fixed-cardinality key like `label` would grow blocks
+    linearly with the corpus and eventually OOM the in-block matmul).
+    The DuckDB oracle reproduces the identical blocking from the same
+    integer-quantized distances, so the result is hash-exact, not merely
+    plausible.
 
     Each block's all-pairs cosine runs as ONE Arrow-batched numpy matmul
     inside applyInPandas — the documented exception to the JVM-only rule:
     for dense linear algebra a vectorized BLAS call beats per-pair
     expression evaluation by orders of magnitude, and the shuffle is
-    exactly one partition per block either way.  At 100 TB block sizes
-    are capped by the coarse quantizer (more centroids -> smaller
-    blocks), keeping the n_block^2 matmul in-memory."""
+    exactly one partition per block either way."""
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
+    blocked = assign_blocks(e)
 
-    out_schema = (
-        "label bigint, id_a bigint, id_b bigint, cos double"
-    )
+    out_schema = "id_a bigint, id_b bigint, cos double"
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"label": [], "id_a": [], "id_b": [], "cos": []}
-            ).astype({"label": "int64", "id_a": "int64", "id_b": "int64"})
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
@@ -626,11 +775,10 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         return pd.DataFrame(
             {
-                "label": np.full(keep.sum(), int(pdf["label"].iloc[0])),
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
                 "cos": np.round(sims[ia, ib][keep], 4),
             }
         )
 
-    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
+    return blocked.groupBy("cell", "blk").applyInPandas(block_pairs, out_schema)

@@ -22,7 +22,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import events_raw, table, ts_bound, ts_lit, with_ts
+from ..catalog import events_raw, table, ts_bound, ts_is_long, with_ts
 from ..registry import query
 from ..sources.csv_ticks import read_tick_csv
 
@@ -111,11 +111,22 @@ def q05_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group min/max stats prune exactly like the reference's B+ tree
     descent (`bplus_tree.hpp:95-106`).  A min-probe *join* instead would
     keep the plan lazy but defeat static pushdown — the wrong trade for
-    a point lookup."""
+    a point lookup.
+
+    The probe is LAYOUT-NEUTRAL: it returns epoch integers (nanos for the
+    int64 layout, unix_micros otherwise), never a Python datetime — a
+    collected TimestampType datetime goes through the driver's OS
+    timezone, which would corrupt the literal on any non-UTC host."""
     raw = events_raw(spark, sf_dir)
-    t = raw.agg(F.min("ts")).collect()[0][0]
-    lit = F.lit(t) if isinstance(t, int) else ts_lit(raw, t)
-    return with_ts(raw.where(F.col("ts") == lit))
+    if ts_is_long(raw):
+        epoch_ns = raw.agg(F.min("ts")).collect()[0][0]
+    else:
+        # NTZ naive values are UTC by the catalog's session pin (tune)
+        us = raw.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).collect()[0][0]
+        epoch_ns = us * 1000
+    return with_ts(raw.where(F.col("ts") == ts_bound(raw, epoch_ns)))
 
 
 @query(

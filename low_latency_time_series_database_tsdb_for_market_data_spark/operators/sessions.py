@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents, ratio_e4, ratio_e4_signed
+from ..functions.deterministic import cents, ratio_e4
 from ..registry import query
 
 _GAP_S = 1800  # session gap: 30 min of inactivity starts a new session

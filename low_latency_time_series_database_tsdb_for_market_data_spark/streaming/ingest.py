@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import tune
+
 
 def require_nanos_as_long(spark: SparkSession) -> None:
     """Permit the TIMESTAMP(NANOS) physical layout (reads as int64 long).
@@ -38,7 +40,12 @@ def stream_schema(spark: SparkSession, source_dir: str) -> T.StructType:
     """Schema for the file stream source, inferred from the source's own
     parquet footers (file streams require a declared schema; hard-coding
     one breaks on producer drift — exactly what happened when events.ts
-    moved from TIMESTAMP(NANOS) to TIMESTAMP(MICROS))."""
+    moved from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)).
+
+    Also pins the session to UTC (tune) — with_ts_event's TIMESTAMP_NTZ
+    branch casts via the session zone, and a foreign non-UTC session
+    would otherwise shift ts_event relative to the batch catalog path."""
+    tune(spark)
     require_nanos_as_long(spark)
     return spark.read.parquet(source_dir).schema
 

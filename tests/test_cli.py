@@ -92,6 +92,36 @@ def test_import_malformed_true_count(spark, data_dir):
     ]
 
 
+def test_import_seq_assignment_is_narrow(spark, data_dir, monkeypatch):
+    """cmd_import's seq assignment must be a pure narrow expression over
+    the CSV scan — no Window, no Exchange (the old implementation
+    serialized every import through a single-partition row_number
+    window).  Captured at the write boundary so the asserted plan is
+    exactly what the import would execute, and the multi-split base
+    arithmetic is exercised by re-importing (seq continues from max)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources import (
+        writer,
+    )
+
+    captured = {}
+    real_write = writer.write_ticks
+
+    def spy(df, path, mode="append"):
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return real_write(df, path, mode=mode)
+
+    monkeypatch.setattr(writer, "write_ticks", spy)
+    cli.run(["import", "CSV", str(FIXTURES / "ticks_malformed.csv")], spark, data_dir)
+    plan = captured["plan"]
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # second import: seq continues from the stored max, still narrow
+    cli.run(["import", "CSV", str(FIXTURES / "ticks_malformed.csv")], spark, data_dir)
+    df = cli._load(spark, data_dir, "CSV")
+    seqs = sorted(r.seq for r in df.select("seq").collect())
+    assert seqs == list(range(6))
+
+
 def test_benchmark_runs(spark, data_dir):
     out = cli.run(["benchmark", "B", "1000"], spark, data_dir)
     assert len(out) == 2

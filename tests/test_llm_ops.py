@@ -308,8 +308,10 @@ def test_hot_bucket_cap_truncates_distinct_neardups(spark):
     """Distinct near-dup texts sharing buckets: with max_bucket=1 every
     bucket keeps a single doc, so LSH contributes zero pairs — the cap
     provably bounds the collect_set/pair path (deterministic regardless
-    of which buckets the texts land in)."""
-    from pyspark.sql import functions as F
+    of which buckets the texts land in).  Truncation must be OPT-IN:
+    the default strict_cap raises instead of silently diverging from the
+    uncapped-oracle semantics (q66/q70's correctness contract)."""
+    import pytest
 
     from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
         candidate_edges,
@@ -320,11 +322,61 @@ def test_hot_bucket_cap_truncates_distinct_neardups(spark):
     docs = spark.createDataFrame(
         [(i, f"{base} tail{i}") for i in range(30)], "doc_id long, text string"
     )
-    assert candidate_edges(docs, 8, max_bucket=1).count() == 0
+    assert candidate_edges(docs, 8, max_bucket=1, strict_cap=False).count() == 0
+    # the strict default fails loudly once a bucket reaches the cap
+    with pytest.raises(RuntimeError, match="per-bucket cap"):
+        candidate_edges(docs, 8, max_bucket=2).count()
+    # and the degenerate cap=1 is rejected outright under strict mode
+    with pytest.raises(ValueError, match="max_bucket >= 2"):
+        candidate_edges(docs, 8, max_bucket=1)
     # uncapped, the same corpus does produce candidate pairs
     assert candidate_edges(docs, 8).count() > 0
     # diagnostic view reports the overflowing buckets for the tiny cap
     assert hot_buckets(docs, 8, max_bucket=1).count() > 0
+
+
+def test_hot_bucket_cap_inactive_on_shipped_corpus_sf01(spark):
+    """The load-bearing claim behind q66/q70's oracle-exactness at scale:
+    on the largest shipped corpus (sf0.1, 5000 docs) NO band bucket
+    reaches the 256 cap — hot_buckets is empty, so the capped Spark path
+    and the uncapped oracle are provably computing the same graph."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        candidate_edges,
+        hot_buckets,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.1", "documents")
+    assert hot_buckets(docs, 8).count() == 0
+    # and the strict guard passes end-to-end on the same corpus
+    assert candidate_edges(docs, 8).count() > 0
+
+
+def test_q62_blocks_bounded_on_single_cell_corpus(spark):
+    """The adversarial case label-blocking failed: every embedding
+    identical, so ONE Voronoi cell swallows the whole corpus.  The
+    row_number sub-split must still cap every block at target_block."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        assign_blocks,
+    )
+
+    n, target = 3000, 256
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(0.25 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    blocked = assign_blocks(e, target_block=target)
+    sizes = blocked.groupBy("cell", "blk").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= target
+    # nothing dropped, and the sub-split actually engaged
+    assert blocked.count() == n
+    assert sizes.count() >= n // target
 
 
 def test_decode_audio_real_pcm(spark):
