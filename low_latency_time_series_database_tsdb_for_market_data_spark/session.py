@@ -20,8 +20,45 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "tsdb-spark") -> SparkSession:
-    """Build (or reuse) the tuned local session."""
+_WARMED: set[str] = set()
+
+
+def warm_start(spark: SparkSession) -> None:
+    """Pre-pay Spark's lazy first-use costs at session open: Hadoop
+    FileSystem init, parquet read+write datasource setup, whole-stage
+    codegen/Janino compilation, scheduler spin-up.  One tiny self-owned
+    parquet roundtrip (never user data) — ~4-5 s once per session.
+
+    The reference makes the same trade at storage open: its constructor
+    replays every tick into the in-memory B+ tree BEFORE the first query
+    (`timeseries_db.cpp:29-59`), which is why its cold point reads take
+    ~78 ms.  A long-lived Spark service (the 100 TB deployment shape)
+    warms at startup for the same reason; one-shot CLI invocations skip
+    it — total process wall-clock is their metric, and lazy init pays
+    the same cost only once either way."""
+    key = spark.sparkContext.applicationId
+    if key in _WARMED:
+        return
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="tsdb_warm_")
+    try:
+        spark.range(1).selectExpr(
+            "id", "cast(id as double) AS d", "'x' AS s"
+        ).write.mode("overwrite").parquet(f"{tmp}/w")
+        spark.read.parquet(f"{tmp}/w").filter("id >= 0").write.mode(
+            "overwrite"
+        ).format("noop").save()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    _WARMED.add(key)
+
+
+def get_spark(app_name: str = "tsdb-spark", warm: bool = False) -> SparkSession:
+    """Build (or reuse) the tuned local session.  warm=True additionally
+    runs :func:`warm_start` so the first real query pays serving cost,
+    not lazy-init cost."""
     cpus = cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -53,6 +90,8 @@ def get_spark(app_name: str = "tsdb-spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if warm:
+        warm_start(spark)
     return spark
 
 

@@ -256,6 +256,84 @@ def test_continuous_rollup_equals_batch_ohlc(spark, sf_dir, tmp_path):
     assert sorted(compacted.select(*direct.columns).collect()) == want
 
 
+def test_rollup_compaction_cycles_sf01(spark, tmp_path):
+    """Production maintenance loop at sf0.1 (100k events): THREE
+    ingest -> compact cycles, each appending new partials to the live
+    rollup table and then re-reducing it IN PLACE (swap).  Pins the
+    merge-on-read algebra across compaction generations: after every
+    cycle the table holds exactly one row per (symbol, bucket), and the
+    final read equals the one-shot batch OHLC over the full corpus —
+    monoid fields bit-exactly, the double-sum average to the rounding
+    quantum (partial sums re-associate across batch/compaction
+    boundaries)."""
+    import shutil
+    from pathlib import Path
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.rollup import (
+        compact_rollup,
+        continuous_ohlc,
+        read_bars,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = str(tmp_path / "staged")
+    spark.read.parquet(f"{sf01}/events.parquet").repartitionByRange(
+        6, "event_id"
+    ).write.parquet(staged)
+    files = sorted(Path(staged).glob("part-*.parquet"))
+    assert len(files) == 6
+    src = tmp_path / "src"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    for cycle in range(3):
+        for f in files[cycle * 2 : (cycle + 1) * 2]:
+            shutil.copy(f, src / f.name)
+        # the checkpoint makes each run process only the newly arrived
+        # files — this IS the perpetual trigger, run in 3 slices
+        continuous_ohlc(spark, str(src), rollup, ckpt, max_files_per_trigger=1)
+        compacted = str(tmp_path / f"compact{cycle}")
+        compact_rollup(spark, rollup, compacted)
+        shutil.rmtree(rollup)
+        shutil.move(compacted, rollup)
+        merged = spark.read.parquet(rollup)
+        assert (
+            merged.groupBy("symbol", "bucket")
+            .count()
+            .where("count > 1")
+            .count()
+            == 0
+        ), "compaction left duplicate partials"
+
+    bars = read_bars(spark, rollup)
+    direct = (
+        tick_view(spark, sf01)
+        .groupBy("symbol", F.window("ts", "1 hour")["start"].alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("ts", "seq", "price"))["price"].alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct("ts", "seq", "price"))["price"].alias("close"),
+            (F.sum("price") / F.count(F.lit(1))).alias("avg_exact"),
+        )
+    )
+    j = bars.alias("b").join(direct.alias("d"), ["symbol", "bucket"], "full")
+    assert j.where("b.n IS NULL OR d.n IS NULL").count() == 0
+    assert (
+        j.where(
+            "b.n <> d.n OR b.open <> d.open OR b.high <> d.high "
+            "OR b.low <> d.low OR b.close <> d.close"
+        ).count()
+        == 0
+    )
+    assert (
+        j.where("abs(b.avg_price - d.avg_exact) > 1e-4").count() == 0
+    )
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
         load_all,
