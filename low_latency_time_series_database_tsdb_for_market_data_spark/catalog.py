@@ -148,6 +148,22 @@ def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
     return ((lo - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata — no scan, no Spark
+    job (None if the path holds no parquet files).  Footers are the
+    catalog's statistics store; planning-time scalars (block counts,
+    quantizer k) should read them, not run count jobs."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+    if not files:
+        return None
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (events gets the normalized TIMESTAMP ts).
 

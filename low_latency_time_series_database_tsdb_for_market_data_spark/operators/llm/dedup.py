@@ -11,7 +11,11 @@ Pipeline shape at 100 TB:
                         sharing a band bucket become candidate pairs —
                         candidate generation is linear, not O(n^2);
   exact verify       -> n-gram Jaccard computed ONLY for candidates;
-  embedding near-dup -> label-blocked (IVF-style coarse partition) cosine.
+  embedding near-dup -> capacity-bounded blocked cosine: deterministic
+                        IVF-style seed quantizer (k scales with the
+                        corpus) + a row_number sub-split hard-capping
+                        every block, so the in-block matmul is
+                        constant-bounded at any skew.
 
 Everything is built from portable primitives (md5, string ops, integer
 arithmetic) so each stage is verified bit-for-bit against a DuckDB oracle.
@@ -641,7 +645,9 @@ def quantized_embeddings(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "embedding", qv.alias("qv"))
 
 
-def assign_blocks(e: DataFrame, target_block: int = _TARGET_BLOCK) -> DataFrame:
+def assign_blocks(
+    e: DataFrame, target_block: int = _TARGET_BLOCK, n_hint: int | None = None
+) -> DataFrame:
     """(vec_id, embedding, cell, blk) — capacity-bounded IVF-style blocks.
 
     Seeds = the k = ceil(n/target_block) quantized embeddings with the
@@ -656,13 +662,17 @@ def assign_blocks(e: DataFrame, target_block: int = _TARGET_BLOCK) -> DataFrame:
     by construction, whatever the data distribution.  At 100 TB: model
     state is k x dim ints on the driver (KBs-MBs), assignment shuffles
     nothing, and the two real shuffles are the cell window + the block
-    groupBy — the minimum for a bounded blocked self-comparison."""
+    groupBy — the minimum for a bounded blocked self-comparison.
+
+    n_hint: the corpus size, when the caller already knows it (e.g. from
+    parquet footer metadata — `catalog.parquet_num_rows`); saves the
+    count job that otherwise sizes k."""
     import numpy as np
 
     from pyspark.sql import Window
 
     qe = e.transform(quantized_embeddings)
-    n = qe.count()
+    n = n_hint if n_hint is not None else qe.count()
     k = max(1, -(-n // target_block))  # ceil
     seed_mat = np.array(
         [r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()],
@@ -756,8 +766,12 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ...catalog import parquet_num_rows
+
     e = table(spark, sf_dir, "embeddings")
-    blocked = assign_blocks(e)
+    blocked = assign_blocks(
+        e, n_hint=parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    )
 
     out_schema = "id_a bigint, id_b bigint, cos double"
 
