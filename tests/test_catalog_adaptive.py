@@ -107,6 +107,29 @@ def test_point_probe_matches_both_layouts(spark, layouts):
     assert got["ns"] == got["us"] == [0]
 
 
+def test_footer_stats_helpers_both_layouts(layouts, tmp_path):
+    """The planning-time footer readers: exact num_rows for any layout;
+    min-ts only for the micros layout (the nanos layout must return None
+    so callers take the Spark-agg fallback q05's both-layout test
+    exercises), and None again for paths with no parquet files."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        parquet_num_rows,
+        ts_min_epoch_ns,
+    )
+
+    for unit, d in layouts.items():
+        assert parquet_num_rows(f"{d}/events.parquet") == len(_ROWS_US)
+    assert (
+        ts_min_epoch_ns(f"{layouts['us']}/events.parquet")
+        == (_BASE_US - 1) * 1000
+    )
+    assert ts_min_epoch_ns(f"{layouts['ns']}/events.parquet") is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert parquet_num_rows(str(empty)) is None
+    assert ts_min_epoch_ns(str(empty)) is None
+
+
 def test_streaming_ingest_both_layouts(spark, layouts, tmp_path):
     """The streaming reader must infer the source's own schema and
     normalize ts_event under both physical layouts; ingest results from
