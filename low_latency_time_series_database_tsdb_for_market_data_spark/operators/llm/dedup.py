@@ -627,6 +627,10 @@ def q70_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-block O(B^2) matmul is bounded by a constant independent of corpus
 # size, and k (the seed count) scales linearly with it.
 _TARGET_BLOCK = 512
+# seed-count ceiling: bounds the driver-collected quantizer model at
+# 64k x dim ints (32 MB at dim=64) however large the corpus; see
+# assign_blocks' scale accounting
+_MAX_SEEDS = 65536
 # embeddings quantized to integer 1e-4 grid for the seed-distance argmin:
 # integer distances are order-independent and identical in Spark, numpy
 # and DuckDB, so the blocking is oracle-exact (float argmin could flip on
@@ -659,10 +663,19 @@ def assign_blocks(
     (ties -> smallest seed index, numpy argmin's first-occurrence rule).
     A row_number sub-split inside each cell then hard-caps the block:
     blk = (rank - 1) div target_block, so max block size == target_block
-    by construction, whatever the data distribution.  At 100 TB: model
-    state is k x dim ints on the driver (KBs-MBs), assignment shuffles
-    nothing, and the two real shuffles are the cell window + the block
-    groupBy — the minimum for a bounded blocked self-comparison.
+    by construction, whatever the data distribution.
+
+    Scale accounting: k is CAPPED at _MAX_SEEDS so driver/broadcast model
+    state is bounded (64k seeds x 64 dims x 8 B = 32 MB — broadcast-sized,
+    never O(corpus)).  Up to ~33M vectors (k_cap x target_block) the
+    quantizer alone keeps blocks near target size; beyond that the
+    row_number sub-split still enforces the hard cap, at the price of
+    rank-arbitrary splits inside hot cells — the signal to add a second
+    quantizer level there (train_centroids per hot cell, mechanics
+    identical; FAISS-style IVF makes exactly this k ~ sqrt(n) /
+    hierarchy trade).  Assignment shuffles nothing, and the two real
+    shuffles are the cell window + the block groupBy — the minimum for a
+    bounded blocked self-comparison.
 
     n_hint: the corpus size, when the caller already knows it (e.g. from
     parquet footer metadata — `catalog.parquet_num_rows`); saves the
@@ -673,7 +686,7 @@ def assign_blocks(
 
     qe = e.transform(quantized_embeddings)
     n = n_hint if n_hint is not None else qe.count()
-    k = max(1, -(-n // target_block))  # ceil
+    k = min(max(1, -(-n // target_block)), _MAX_SEEDS)  # ceil, capped
     seed_mat = np.array(
         [r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()],
         dtype=np.int64,
@@ -713,7 +726,8 @@ def assign_blocks(
     seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS sv
               FROM q
               QUALIFY row_number() OVER (ORDER BY vec_id) <=
-                      (SELECT CAST(ceil(COUNT(*) / {_TARGET_BLOCK}.0) AS BIGINT)
+                      (SELECT least(CAST(ceil(COUNT(*) / {_TARGET_BLOCK}.0) AS BIGINT),
+                                    {_MAX_SEEDS})
                        FROM embeddings)),
     dists AS (SELECT q.vec_id, s.j,
                      list_sum(list_transform(range(1, 65),
