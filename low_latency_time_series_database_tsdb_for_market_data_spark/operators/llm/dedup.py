@@ -693,15 +693,32 @@ def assign_blocks(
     )
     seed_sq = (seed_mat * seed_mat).sum(axis=1)
 
+    # chunk the seed axis so the per-batch distance matrix stays bounded
+    # (rows x 64k seeds x 8 B would be GBs); a running strict-< merge
+    # preserves global first-occurrence argmin tie semantics exactly
+    seed_chunk = 1024
+
     def assign(batches):
         for pdf in batches:
             q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            # argmin_j ||q - s_j||^2 == argmin_j (||s_j||^2 - 2 q.s_j);
-            # ||q||^2 is constant per row, so dropping it keeps both the
-            # order and the tie structure exact
-            d = seed_sq[None, :] - 2 * (q @ seed_mat.T)
+            best_d = None
+            best_j = None
+            for off in range(0, seed_mat.shape[0], seed_chunk):
+                s = seed_mat[off : off + seed_chunk]
+                # argmin_j ||q - s_j||^2 == argmin_j (||s_j||^2 - 2 q.s_j);
+                # ||q||^2 is constant per row, so dropping it keeps both
+                # the order and the tie structure exact
+                d = seed_sq[off : off + seed_chunk][None, :] - 2 * (q @ s.T)
+                jloc = d.argmin(axis=1)
+                dmin = d[np.arange(len(q)), jloc]
+                if best_d is None:
+                    best_d, best_j = dmin, jloc + off
+                else:
+                    upd = dmin < best_d  # strict: earlier chunk wins ties
+                    best_d = np.where(upd, dmin, best_d)
+                    best_j = np.where(upd, jloc + off, best_j)
             out = pdf[["vec_id", "embedding"]].copy()
-            out["cell"] = d.argmin(axis=1).astype("int64")
+            out["cell"] = best_j.astype("int64")
             yield out
 
     assigned = qe.mapInPandas(

@@ -379,6 +379,28 @@ def test_q62_blocks_bounded_on_single_cell_corpus(spark):
     assert sizes.count() >= n // target
 
 
+def test_q62_argmin_seed_chunking(spark):
+    """Force k past the 1024-seed chunk (target_block=2 -> k=1500) so the
+    running strict-< argmin merge across seed chunks is exercised: every
+    row still lands in a cell, blocks still respect the hard cap."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        assign_blocks,
+    )
+
+    e = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(id % 7 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    blocked = assign_blocks(e, target_block=2)
+    assert blocked.count() == 3000
+    sizes = blocked.groupBy("cell", "blk").count()
+    assert sizes.agg(F.max("count")).collect()[0][0] <= 2
+
+
 def test_decode_audio_real_pcm(spark):
     """decode_audio must recover the true signal parameters from real WAV
     bytes (stdlib-generated 16-bit PCM sine): sample rate, channel count,
