@@ -113,39 +113,44 @@ def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
     B+ tree root (`bplus_tree.hpp:95-106`), not run an aggregation job.
 
     Returns None (caller falls back to a Spark agg probe) when any row
-    group lacks stats, or for the int64-nanos physical layout — pyarrow
+    group lacks stats, for the int64-nanos physical layout — pyarrow
     converts its stats to datetimes whose sub-microsecond behaviour is
-    not worth trusting for an exactness-gated literal."""
+    not worth trusting for an exactness-gated literal — or when the path
+    is not locally listable (object stores): the probe is an
+    optimization, so every failure degrades to the data probe."""
     from pathlib import Path
 
     import pyarrow.parquet as pq
 
-    p = Path(path)
-    files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
-    if not files:
-        return None
-    lo: _dt.datetime | None = None
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if col not in idx:
+    try:
+        p = Path(path)
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+        if not files or not files[0].exists():
             return None
-        lt = str(md.schema.column(idx[col]).logical_type)
-        if not lt.startswith("Timestamp(") or "timeUnit=microseconds" not in lt:
-            return None  # nanos/other layouts: let Spark probe the data
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[col]).statistics
-            if st is None or not st.has_min_max:
+        lo: _dt.datetime | None = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in idx:
                 return None
-            mn = st.min
-            if not isinstance(mn, _dt.datetime):
-                return None
-            if mn.tzinfo is not None:  # adjusted-to-UTC stats arrive tz-aware
-                mn = mn.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            lo = mn if lo is None or mn < lo else lo
-    if lo is None:
+            lt = str(md.schema.column(idx[col]).logical_type)
+            if not lt.startswith("Timestamp(") or "timeUnit=microseconds" not in lt:
+                return None  # nanos/other layouts: let Spark probe the data
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min
+                if not isinstance(mn, _dt.datetime):
+                    return None
+                if mn.tzinfo is not None:  # adjusted-to-UTC stats are tz-aware
+                    mn = mn.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                lo = mn if lo is None or mn < lo else lo
+        if lo is None:
+            return None
+        return ((lo - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
+    except Exception:  # missing/corrupt/unlistable -> data-probe fallback
         return None
-    return ((lo - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
 
 
 def parquet_num_rows(path: str) -> int | None:
@@ -157,11 +162,14 @@ def parquet_num_rows(path: str) -> int | None:
 
     import pyarrow.parquet as pq
 
-    p = Path(path)
-    files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
-    if not files:
+    try:
+        p = Path(path)
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+        if not files or not files[0].exists():
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # missing/corrupt/unlistable -> data-probe fallback
         return None
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

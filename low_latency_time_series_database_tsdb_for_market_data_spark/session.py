@@ -50,6 +50,12 @@ def warm_start(spark: SparkSession) -> None:
         spark.read.parquet(f"{tmp}/w").filter("id >= 0").write.mode(
             "overwrite"
         ).format("noop").save()
+    except Exception:
+        # warm-up is best-effort: on a cluster a driver-local temp path
+        # is not executor-visible — first-use init then simply lands on
+        # the first real query, which is the un-warmed behaviour, never
+        # a reason to fail session construction
+        pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     _WARMED.add(key)
