@@ -267,10 +267,20 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     # (here: the whole MinHash candidate generation) would execute twice
     edges = edges.localCheckpoint()
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # init labels at min(self, neighbors), not self: any vertex id from the
+    # same component is a valid starting label, and this one puts every
+    # STAR component (the dominant near-dup shape — exact-dup pre-collapse
+    # emits hub-and-spokes) at its fixpoint immediately, so the loop's
+    # first round is the convergence check rather than real work — one
+    # whole round (join + checkpoint) saved on shallow graphs, identical
+    # labels on all graphs.  Costs one groupBy that replaces the distinct
+    # the self-init needed anyway.
     labels = (
-        sym.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        sym.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nb"))
+        .select(
+            "doc_id", F.least(F.col("doc_id"), F.col("nb")).alias("cluster_id")
+        )
         .localCheckpoint()
     )
     # labels only ever decrease (min-propagation), so the label SUM is
