@@ -105,6 +105,26 @@ def ts_lit(df: DataFrame, value: _dt.datetime, *, col: str = "ts") -> Column:
     return F.expr(f"TIMESTAMP '{iso}'")
 
 
+def _footer_metadatas(path: str):
+    """Parquet FileMetaData for every file under `path` (a file or a
+    directory tree), or None when the path is missing, unlistable, or
+    holds no parquet files.  Shared walk for the planning-time footer
+    probes — they are optimizations, so every failure mode maps to None
+    and the caller's Spark data probe."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    try:
+        p = Path(path)
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+        if not files or not files[0].exists():
+            return None
+        return [pq.ParquetFile(f).metadata for f in files]
+    except Exception:  # missing/corrupt/unlistable -> data-probe fallback
+        return None
+
+
 def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
     """Minimum ts as UTC epoch nanos read from parquet FOOTER statistics —
     no data scan, no Spark job.  Row-group min/max stats are this engine's
@@ -118,18 +138,12 @@ def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
     not worth trusting for an exactness-gated literal — or when the path
     is not locally listable (object stores): the probe is an
     optimization, so every failure degrades to the data probe."""
-    from pathlib import Path
-
-    import pyarrow.parquet as pq
-
+    mds = _footer_metadatas(path)
+    if mds is None:
+        return None
     try:
-        p = Path(path)
-        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
-        if not files or not files[0].exists():
-            return None
         lo: _dt.datetime | None = None
-        for f in files:
-            md = pq.ParquetFile(f).metadata
+        for md in mds:
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if col not in idx:
                 return None
@@ -149,7 +163,7 @@ def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
         if lo is None:
             return None
         return ((lo - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
-    except Exception:  # missing/corrupt/unlistable -> data-probe fallback
+    except Exception:  # malformed stats -> data-probe fallback
         return None
 
 
@@ -158,18 +172,10 @@ def parquet_num_rows(path: str) -> int | None:
     job (None if the path holds no parquet files).  Footers are the
     catalog's statistics store; planning-time scalars (block counts,
     quantizer k) should read them, not run count jobs."""
-    from pathlib import Path
-
-    import pyarrow.parquet as pq
-
-    try:
-        p = Path(path)
-        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
-        if not files or not files[0].exists():
-            return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:  # missing/corrupt/unlistable -> data-probe fallback
+    mds = _footer_metadatas(path)
+    if mds is None:
         return None
+    return sum(md.num_rows for md in mds)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -159,24 +159,30 @@ def cmd_import(
 
     base = _next_seq(_load(spark, data_dir, symbol))
     parsed = read_tick_csv(spark, csv_path)
-    counts = sorted(
+    counts = dict(
         (r["pid"], r["n"])
         for r in parsed.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    split_base: list[F.Column] = []
+    # dense base array indexed by partition id (empty splits hold a 0
+    # placeholder): element_at on an array literal is an O(1) index, where
+    # a literal map would be a per-row linear key scan at import scale
+    bases: list[int] = []
     total = 0
-    for pid, cnt in counts:
-        split_base.extend([F.lit(pid), F.lit(total)])
-        total += cnt
+    for pid in range(max(counts) + 1 if counts else 0):
+        bases.append(total)
+        total += counts.get(pid, 0)
     if total:
         local_idx = F.monotonically_increasing_id() - F.shiftleft(
             F.spark_partition_id().cast("long"), 33
         )
         seq = (
             F.lit(base)
-            + F.element_at(F.create_map(*split_base), F.spark_partition_id())
+            + F.element_at(
+                F.array(*[F.lit(b) for b in bases]),
+                F.spark_partition_id() + 1,
+            )
             + local_idx
         ).cast("long")
         df = parsed.select(

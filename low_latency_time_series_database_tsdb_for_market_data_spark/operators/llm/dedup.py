@@ -697,10 +697,14 @@ def assign_blocks(
     qe = e.transform(quantized_embeddings)
     n = n_hint if n_hint is not None else qe.count()
     k = min(max(1, -(-n // target_block)), _MAX_SEEDS)  # ceil, capped
-    seed_mat = np.array(
-        [r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()],
-        dtype=np.int64,
-    )
+    seeds = [
+        r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()
+    ]
+    if not seeds:  # empty corpus: no seeds, no blocks — empty result
+        return e.sparkSession.createDataFrame(
+            [], "vec_id bigint, embedding array<float>, cell bigint, blk bigint"
+        )
+    seed_mat = np.array(seeds, dtype=np.int64)
     seed_sq = (seed_mat * seed_mat).sum(axis=1)
 
     # chunk the seed axis so the per-batch distance matrix stays bounded
@@ -828,11 +832,16 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ia, ib = np.triu_indices(len(pdf), k=1)
         keep = sims[ia, ib] >= 0.4
         ids = pdf["vec_id"].to_numpy()
+        kept = sims[ia, ib][keep]
+        # round half AWAY from zero to mirror DuckDB's ROUND(double, 4)
+        # (std::round semantics); np.round is half-to-even and diverges on
+        # exact .00005 ties — the q21/q36 engine-tie class.  cos >= 0.4
+        # here, so floor(x*1e4 + 0.5) IS half-away for every kept value.
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cos": np.round(sims[ia, ib][keep], 4),
+                "cos": np.floor(kept * 10000.0 + 0.5) / 10000.0,
             }
         )
 

@@ -379,6 +379,33 @@ def test_q62_blocks_bounded_on_single_cell_corpus(spark):
     assert sizes.count() >= n // target
 
 
+def test_q62_empty_corpus_and_round_tie_parity(spark):
+    """Two review-caught edges: an empty embeddings table must yield an
+    empty blocked set (not a numpy AxisError on the empty seed matrix),
+    and the per-pair cosine rounding must match DuckDB's half-away-from-
+    zero ROUND on exact .00005 ties (np.round is half-to-even — the same
+    engine-tie class q21/q36 hit)."""
+    import duckdb
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        assign_blocks,
+    )
+
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<float>, label int")
+    b = assign_blocks(e)
+    assert b.count() == 0
+    assert [f.name for f in b.schema.fields] == ["vec_id", "embedding", "cell", "blk"]
+
+    ties = [0.40005, 0.40015, 0.4000499999999999, 0.99995, 0.43215]
+    ours = [float(np.floor(np.float64(v) * 10000.0 + 0.5) / 10000.0) for v in ties]
+    theirs = [
+        duckdb.execute(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 4)").fetchone()[0]
+        for v in ties
+    ]
+    assert ours == theirs, list(zip(ties, ours, theirs))
+
+
 def test_q62_argmin_seed_chunking(spark):
     """Force k past the 1024-seed chunk (target_block=2 -> k=1500) so the
     running strict-< argmin merge across seed chunks is exercised: every
