@@ -1,9 +1,9 @@
-"""Schema-adaptive events reader: both physical ts layouts the fixtures
-have ever shipped (int64 TIMESTAMP(NANOS) in rounds 1-2, timestamp[us] /
-TIMESTAMP_NTZ from round 3) must produce identical query results and keep
-range predicates pushed to the parquet scan.  This pins the round-3
-regression class: a producer-side layout change must never break readers
-again."""
+"""Schema-adaptive events reader: every physical ts layout a producer can
+ship — int64 TIMESTAMP(NANOS) (fixtures rounds 1-2), timestamp[us] NTZ
+(fixtures round 3+), and timestamp[us] isAdjustedToUTC=true (reads as
+TimestampType) — must produce identical query results and keep range
+predicates pushed to the parquet scan.  This pins the round-3 regression
+class: a producer-side layout change must never break readers again."""
 
 from __future__ import annotations
 
@@ -30,11 +30,16 @@ _ROWS_US = [_BASE_US - 1, _BASE_US, _BASE_US + 5, _BASE_US + 86_400_000_000]
 def _write_events(tmpdir: str, unit: str) -> str:
     path = f"{tmpdir}/events_{unit}.parquet"
     scale = 1000 if unit == "ns" else 1
+    # us_utc = TIMESTAMP(MICROS) isAdjustedToUTC=true -> Spark reads
+    # TimestampType (the third layout a producer can ship)
+    ts_type = (
+        pa.timestamp("us", tz="UTC") if unit == "us_utc" else pa.timestamp(unit)
+    )
     t = pa.table(
         {
             "event_id": pa.array(range(len(_ROWS_US)), type=pa.int64()),
             "ts": pa.array(
-                [us * scale for us in _ROWS_US], type=pa.timestamp(unit)
+                [us * scale for us in _ROWS_US], type=ts_type
             ),
             "user_id": pa.array([7] * len(_ROWS_US), type=pa.int64()),
             "event_type": pa.array(["view"] * len(_ROWS_US)),
@@ -50,7 +55,7 @@ def _write_events(tmpdir: str, unit: str) -> str:
 def layouts(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("adaptive"))
     out = {}
-    for unit in ("ns", "us"):
+    for unit in ("ns", "us", "us_utc"):
         d = f"{base}/{unit}"
         import os
 
@@ -71,7 +76,7 @@ def test_both_layouts_load_identically(spark, layouts):
         collected[unit] = [
             (r.event_id, r.ts.isoformat()) for r in df.collect()
         ]
-    assert collected["ns"] == collected["us"]
+    assert collected["ns"] == collected["us"] == collected["us_utc"]
 
 
 def test_range_filter_matches_and_pushes_down_both_layouts(spark, layouts):
@@ -91,7 +96,7 @@ def test_range_filter_matches_and_pushes_down_both_layouts(spark, layouts):
         assert "LessThanOrEqual(ts" in pf, (unit, pf)
         got[unit] = sorted(r.event_id for r in q.collect())
     # inclusive both ends: rows at +0 and +5 us, not -1 us or +1 day
-    assert got["ns"] == got["us"] == [1, 2]
+    assert got["ns"] == got["us"] == got["us_utc"] == [1, 2]
 
 
 def test_point_probe_matches_both_layouts(spark, layouts):
@@ -104,7 +109,9 @@ def test_point_probe_matches_both_layouts(spark, layouts):
         unit: sorted(r.event_id for r in q05(spark, d).collect())
         for unit, d in layouts.items()
     }
-    assert got["ns"] == got["us"] == [0]
+    # ns takes the Spark-agg fallback; us reads NTZ footer stats; us_utc
+    # reads TZ-AWARE footer stats (the astimezone branch) — all one row
+    assert got["ns"] == got["us"] == got["us_utc"] == [0]
 
 
 def test_footer_stats_helpers_both_layouts(layouts, tmp_path):
@@ -119,10 +126,11 @@ def test_footer_stats_helpers_both_layouts(layouts, tmp_path):
 
     for unit, d in layouts.items():
         assert parquet_num_rows(f"{d}/events.parquet") == len(_ROWS_US)
-    assert (
-        ts_min_epoch_ns(f"{layouts['us']}/events.parquet")
-        == (_BASE_US - 1) * 1000
-    )
+    for unit in ("us", "us_utc"):  # NTZ and tz-aware stats, same instant
+        assert (
+            ts_min_epoch_ns(f"{layouts[unit]}/events.parquet")
+            == (_BASE_US - 1) * 1000
+        )
     assert ts_min_epoch_ns(f"{layouts['ns']}/events.parquet") is None
     empty = tmp_path / "empty"
     empty.mkdir()
@@ -148,5 +156,5 @@ def test_streaming_ingest_both_layouts(spark, layouts, tmp_path):
         got[unit] = [
             (r.symbol, r.seq, r.ts.isoformat(), r.price) for r in back.collect()
         ]
-    assert got["ns"] == got["us"]
+    assert got["ns"] == got["us"] == got["us_utc"]
     assert len(got["ns"]) == 4
