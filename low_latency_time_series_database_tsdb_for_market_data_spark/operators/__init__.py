@@ -9,4 +9,5 @@ from . import reference_surface  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import sessions  # noqa: F401
 from . import setops  # noqa: F401
+from . import tsdb_ext  # noqa: F401
 from . import windows  # noqa: F401

@@ -1,0 +1,174 @@
+"""Corpus-organization operators (q90-q92): deterministic train/val/test
+splitting, the cross-source n-gram overlap matrix, and the token
+document-frequency (vocabulary) table.
+
+Same discipline as pipeline_ext: JVM-side column expressions only, every
+ratio integer-decided, every hash built from the md5/substring/compare
+primitives texthash.py pins as cross-engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import table
+from ...functions.deterministic import ratio_e4
+from ...functions.texthash import hex_nibble_sql, ngrams, tokens
+from ...registry import query
+from .pipeline_ext import _ngram_sql
+
+# Split fractions over the 256 buckets of the leading md5 byte:
+# [0,204) train (~80%), [204,230) val (~10%), [230,256) test (~10%).
+_VAL_LO = 204
+_TEST_LO = 230
+
+
+def split_assign(doc_id_col: str = "doc_id") -> "F.Column":
+    """Deterministic split label from the leading byte of md5(doc_id).
+
+    Keyed on the IMMUTABLE id, never the text: re-running the pipeline
+    after a cleaning pass must keep every document in its original split
+    (text-keyed splits leak val into train whenever a revision lands).
+    A pure narrow map — composes into any scan without a shuffle."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        F.when(bucket < _VAL_LO, "train")
+        .when(bucket < _TEST_LO, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "q90_hash_split",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+    b AS (SELECT doc_id, n_chars,
+                 {hex_nibble_sql("substr(hx, 1, 1)")} * 16
+                   + {hex_nibble_sql("substr(hx, 2, 1)")} AS bucket
+          FROM h)
+    SELECT CASE WHEN bucket < {_VAL_LO} THEN 'train'
+                WHEN bucket < {_TEST_LO} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM b GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q90_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report (~80/10/10 by the
+    leading md5(doc_id) byte) — the assignment every training pipeline
+    needs to be reproducible across re-runs, machines, and engines.
+    min_doc_id is a spot-check handle for auditing membership.
+
+    Shape: narrow map (one md5 per row) + a 3-group hash-agg; the split
+    column itself (`split_assign`) is reusable as a partition key for
+    writing split-separated output at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            split_assign().alias("split"), "n_chars", "doc_id"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+_OVERLAP_N = 5  # 5-gram overlap: long enough to mean shared provenance
+
+
+@query(
+    "q91_source_overlap",
+    oracle=f"""
+    WITH {_ngram_sql(_OVERLAP_N)},
+    sg AS (SELECT DISTINCT d.source AS source, g.g
+           FROM g JOIN documents d USING (doc_id)),
+    p AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source)
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM p GROUP BY src_a, src_b
+    """,
+    category="llm-curation",
+)
+def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix: for every source pair, how many
+    distinct 5-grams they share — the corpus-vs-corpus generalization of
+    q83's probe-vs-corpus contamination screen, and the report that
+    decides which acquired datasets are actually redundant.
+
+    Shape: explode to (source, gram), distinct (collapses each source's
+    repeats map-side), self-join on gram, hash-agg on the pair.  The join
+    key is the GRAM, so per-gram fan-out is bounded by C(|sources|, 2) —
+    pair count never scales with corpus size, only with the source count
+    (a 100 TB corpus with 1e4 sources caps a gram's contribution at ~5e7
+    pairs; vocabulary-frequency caps like q56's DF bound apply above
+    that).  Both join sides read one ReusedExchange of the distinct."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sg = (
+        d.repartition(par)
+        .select(
+            "source",
+            F.explode(ngrams(tokens("text"), _OVERLAP_N)).alias("g"),
+        )
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "q92_token_df",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    t AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM t GROUP BY token)
+    SELECT token, cf, df,
+           (df * 20000 + tot) // (2 * tot) / 10000.0 AS df_share
+    FROM v CROSS JOIN (SELECT COUNT(*) AS tot FROM documents)
+    """,
+    category="llm-curation",
+)
+def q92_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary table: per token, collection frequency (total
+    occurrences), document frequency, and the share of documents
+    containing it — the statistics behind IDF weighting, stopword lists,
+    and tokenizer-vocabulary audits.
+
+    Shape: explode + one hash-agg keyed by token (partial counts
+    map-side); the corpus-size scalar joins in as a broadcast single-row
+    aggregate, so df_share costs no second pass over the data.  At
+    100 TB the vocabulary is still orders of magnitude smaller than the
+    corpus — the agg output is the small side."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    v = (
+        d.repartition(par)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("tot"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        "token", "cf", "df", ratio_e4("df", "tot").alias("df_share")
+    )
