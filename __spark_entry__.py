@@ -39,10 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest driver row is round 3 (pre-round-4 code — the round-4 rotation
 # pushed them past the cap; the round-4 integer-rounding sweep touched
 # their modules, so the official trail should be refreshed on current
-# code), then the queries verified green in round 4.  The 4 rows-only
-# queries (q25/q64/q65/q73, oracle omitted by declared design) close the
-# stale block so they get fresh rows-only records too.  A driver that
-# sorts keys or checks all 85 is unaffected — the key set is identical.
+# code), then the round-5 additions q86-q92 (no driver row yet) and the
+# three queries whose read path changed in round 5 (q02 distributed CSV
+# import, q04/q05 footer-stats probes), then the queries verified green
+# in round 4.  The 4 rows-only queries (q25/q64/q65/q73, oracle omitted
+# by declared design) close the stale block so they get fresh rows-only
+# records too.  A driver that sorts keys or checks all 92 is unaffected
+# — the key set is identical.
 _STALE_R3 = [
     "q20_agg_basic", "q23_vwap", "q27_percentiles",
     "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
@@ -58,11 +61,19 @@ _STALE_R3 = [
     "q73_approx_percentile",
 ]
 
+_NEW_R5 = [
+    "q86_realized_variance", "q87_gap_report", "q88_tick_direction",
+    "q89_resample_linear", "q90_hash_split", "q91_source_overlap",
+    "q92_token_df",
+    "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
+]
+
 
 def _ordered() -> list[str]:
     reg = load_all()
-    seen = set(_STALE_R3)
-    return _STALE_R3 + [n for n in reg if n not in seen]
+    head = _STALE_R3 + _NEW_R5
+    seen = set(head)
+    return head + [n for n in reg if n not in seen]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
