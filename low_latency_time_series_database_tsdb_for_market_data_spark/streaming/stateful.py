@@ -115,3 +115,116 @@ def symbol_snapshot_stream(ticks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming feed-gap monitor (the real-time form of q87) ---------------
+
+GAP_ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("gap_start_us", T.LongType()),
+        T.StructField("gap_end_us", T.LongType()),  # -1 while still open
+        T.StructField("gap_us", T.LongType()),  # -1 while still open
+        T.StructField("open_gap", T.BooleanType()),
+    ]
+)
+
+GAP_STATE_SCHEMA = T.StructType([T.StructField("last_ts_us", T.LongType())])
+
+
+def _ts_us(pdf: pd.DataFrame) -> "pd.Series":
+    """ts column as int64 epoch MICROS, whatever layout arrived (int64
+    epoch nanos or a timestamp column — pandas datetime64[ns/us])."""
+    s = pdf["ts"]
+    if str(s.dtype).startswith("datetime64"):
+        unit = "us" if "us" in str(s.dtype) else "ns"
+        vals = s.astype("int64")
+        return vals if unit == "us" else vals // 1000
+    return s.astype("int64") // 1000
+
+
+def make_gap_monitor(gap_us: int, open_alerts: bool):
+    """Build the applyInPandasWithState update function for
+    :func:`gap_alert_stream` (closure carries the threshold)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        if open_alerts and state.hasTimedOut:
+            # watermark passed last_ts + gap with no new tick: the feed
+            # is silent NOW — emit one open-gap alert and disarm (the
+            # next tick re-arms; no repeated alerts for one silence).
+            # Disarming = re-persisting state WITHOUT a new timeout: a
+            # timeout only clears when the invocation touches state, so
+            # returning untouched would refire every subsequent batch.
+            (last,) = state.get
+            state.update((last,))
+            yield pd.DataFrame(
+                [
+                    {
+                        "symbol": sym,
+                        "gap_start_us": last,
+                        "gap_end_us": -1,
+                        "gap_us": -1,
+                        "open_gap": True,
+                    }
+                ]
+            )
+            return
+        import numpy as np
+
+        ts_list = [_ts_us(pdf) for pdf in pdfs if not pdf.empty]
+        if not ts_list:
+            return
+        ts = np.sort(pd.concat(ts_list).to_numpy())
+        prev = state.get[0] if state.exists else None
+        seq = ts if prev is None else np.concatenate(([prev], ts))
+        gaps = np.diff(seq)
+        idx = np.nonzero(gaps > gap_us)[0]
+        state.update((int(seq[-1]),))
+        if open_alerts:
+            # re-arm: silent past last_ts + gap -> open-gap timeout
+            state.setTimeoutTimestamp(int(seq[-1]) // 1000 + gap_us // 1000)
+        if len(idx):
+            yield pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "gap_start_us": seq[idx].astype("int64"),
+                    "gap_end_us": seq[idx + 1].astype("int64"),
+                    "gap_us": gaps[idx].astype("int64"),
+                    "open_gap": False,
+                }
+            )
+
+    return update
+
+
+def gap_alert_stream(
+    ticks: DataFrame, gap_s: int = 300, open_alerts: bool = False
+) -> DataFrame:
+    """Streaming feed-gap alerts — the real-time form of q87's batch
+    report.  Emits one row per inter-tick gap longer than `gap_s` the
+    moment the closing tick arrives; with open_alerts=True ALSO fires an
+    event-time timeout when the watermark passes a symbol's last tick by
+    more than the threshold — the "symbol went dark and is still dark"
+    page, which pure arrival-driven logic can never raise.  open_alerts
+    requires `ticks` to carry a watermark (EventTimeTimeout contract).
+
+    `ticks` needs (symbol, ts) with ts int64 epoch nanos or timestamp.
+    State is one int64 per symbol; alerts are O(gaps), not O(ticks) —
+    at 100 TB/day the output stream stays alert-sized, and partitioning
+    is by symbol exactly like the batch operator."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        make_gap_monitor(gap_s * 1_000_000, open_alerts),
+        outputStructType=GAP_ALERT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if open_alerts
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -353,3 +353,139 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         for r in load_all()["q17_interval_join"].fn(spark, sf_dir).collect()
     )
     assert streamed == batch
+
+
+def _write_ordered_files(tmp_path, splits, spark):
+    """Write each DataFrame in `splits` as one parquet file under
+    events.parquet/ with strictly increasing mtimes, so the file stream
+    source (oldest-first) replays them as ordered micro-batches."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    dest = tmp_path / "events.parquet"
+    dest.mkdir(parents=True, exist_ok=True)
+    base = _time.time() - 1000
+    for i, df in enumerate(splits):
+        part = tmp_path / f"part{i}"
+        df.coalesce(1).write.parquet(str(part))
+        f = _glob.glob(str(part / "*.parquet"))[0]
+        out = dest / f"{i:02d}.parquet"
+        _shutil.copy(f, out)
+        _os.utime(out, (base + 10 * i, base + 10 * i))
+    return str(tmp_path)
+
+
+def test_gap_alert_stream_matches_batch_q87(spark, sf_dir, tmp_path):
+    """Closed-gap alerts across micro-batch boundaries must reproduce the
+    batch q87 report exactly: per symbol, alert count == n_gaps, summed
+    gap == gap_time_us, max gap == max_gap_us.  The fixture is re-split
+    into 3 time-ordered files so state must carry last_ts ACROSS batches
+    (a boundary-crossing gap is invisible to any single batch)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        gap_alert_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p33, p66 = (
+        ev.selectExpr(
+            "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+        ).collect()[0][0]
+    )
+    us = F.unix_micros("ts")
+    splits = [
+        ev.where(us <= int(p33)),
+        ev.where((us > int(p33)) & (us <= int(p66))),
+        ev.where(us > int(p66)),
+    ]
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    stream = open_tick_stream(
+        spark, f"{sf}/events.parquet", max_files_per_trigger=1
+    )
+    ticks = stream.select(
+        F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+    )
+    _run_to_memory(gap_alert_stream(ticks, gap_s=300), "gap_out", mode="append")
+    alerts = spark.sql("SELECT * FROM gap_out").toPandas()
+    assert not alerts.open_gap.any()
+
+    batch = {
+        r["event_type"]: r
+        for r in load_all()["q87_gap_report"].fn(spark, sf).collect()
+    }
+    got = alerts.groupby("symbol")
+    for sym, row in batch.items():
+        if row["n_gaps"] == 0:
+            assert sym not in got.groups
+            continue
+        g = got.get_group(sym)
+        assert len(g) == row["n_gaps"]
+        assert int(g.gap_us.sum()) == row["gap_time_us"]
+        assert int(g.gap_us.max()) == row["max_gap_us"]
+
+
+def test_gap_alert_stream_open_timeout(spark, tmp_path):
+    """open_alerts=True pages on STILL-OPEN silence: once the watermark
+    passes a symbol's last tick by more than the threshold, the event-time
+    timeout fires exactly one open-gap alert for it — the case no
+    arrival-driven check can raise (the symbol never ticks again)."""
+    import datetime as dt
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        gap_alert_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), 1, sym, 1.0, "{}")
+                for i, (sym, s) in enumerate(specs)
+            ],
+            schema,
+        )
+
+    splits = [
+        rows(("A", 0), ("B", 0)),
+        rows(("B", 600)),   # A silent; B closes a 600 s gap
+        rows(("B", 1200)),  # watermark now passes A's 300 s deadline
+    ]
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    stream = open_tick_stream(
+        spark, f"{sf}/events.parquet", max_files_per_trigger=1
+    )
+    ticks = stream.select(
+        F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+    ).withWatermark("ts", "0 seconds")
+    _run_to_memory(
+        gap_alert_stream(ticks, gap_s=300, open_alerts=True),
+        "gap_open_out",
+        mode="append",
+    )
+    alerts = spark.sql("SELECT * FROM gap_open_out").toPandas()
+
+    t0_us = int(t0.timestamp()) * 1_000_000
+    opened = alerts[alerts.open_gap]
+    assert list(opened.symbol) == ["A"]
+    assert int(opened.gap_start_us.iloc[0]) == t0_us
+    assert int(opened.gap_end_us.iloc[0]) == -1
+    closed = alerts[~alerts.open_gap]
+    assert list(closed.symbol) == ["B", "B"]
+    assert set(closed.gap_us) == {600 * 1_000_000}
