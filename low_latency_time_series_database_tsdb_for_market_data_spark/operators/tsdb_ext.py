@@ -248,7 +248,14 @@ def q89_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts.  The interpolated value is decided entirely in integer
     cents x micros arithmetic (DECIMAL(38,0) headroom, round-half-up at
     4 decimals), so both engines emit the identical double."""
-    ev = table(spark, sf_dir, "events")
+    return resample_linear_frame(table(spark, sf_dir, "events"))
+
+
+def resample_linear_frame(ev: DataFrame) -> DataFrame:
+    """q89's transformation over any (event_type, ts, event_id, value)
+    frame — split out so property tests can drive it with in-memory
+    corpora (the oracle gate covers the fixture; properties cover random
+    tick layouts against an exact rational mirror)."""
     t = ev.select(
         "event_type",
         F.unix_micros("ts").alias("us"),

@@ -175,3 +175,93 @@ def test_q25_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, approx[k], n)
+
+
+def _interp_mirror(ticks_us_cents, grid_us):
+    """Exact rational mirror of q89's interpolation: round-half-up at 4
+    decimals via fractions — the ground truth the integer arithmetic
+    must reproduce bit-for-bit.  ticks: sorted [(us, cents)]."""
+    from fractions import Fraction
+
+    out = {}
+    for g in grid_us:
+        prev = [(u, c) for u, c in ticks_us_cents if u <= g]
+        nxt = [(u, c) for u, c in ticks_us_cents if u > g]
+        if not prev:
+            continue
+        pu, pc = prev[-1]
+        if not nxt:
+            out[g] = (pc * 100) / 10000.0
+            continue
+        nu, nc = nxt[0]
+        v = Fraction(pc * (nu - g) + nc * (g - pu), 100 * (nu - pu))
+        e4 = (2 * 10000 * v.numerator + v.denominator) // (2 * v.denominator)
+        out[g] = int(e4) / 10000.0
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 4 * 1800 - 1),  # seconds inside a 4-bucket span
+            st.integers(1, 99999),  # cents
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_resample_linear_matches_rational_mirror(spark, data):
+    """q89 on random tick layouts == the exact Fraction round-half-up
+    mirror at every grid point (bracketing, on-grid ticks, LOCF tail,
+    and dropped leading edge all included)."""
+    import datetime as dt
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.tsdb_ext import (
+        _GRID_US,
+        resample_linear_frame,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), c / 100.0)
+        for i, (s, c) in enumerate(sorted(data))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).withColumn("event_type", F.lit("X"))
+    got = {
+        int(r["bucket"].timestamp()) * 1_000_000: r["v_interp"]
+        for r in resample_linear_frame(ev).collect()
+    }
+    base_us = int(base.timestamp()) * 1_000_000
+    ticks = sorted((base_us + s * 1_000_000, c) for s, c in data)
+    lo = (ticks[0][0] // _GRID_US) * _GRID_US
+    hi = (ticks[-1][0] // _GRID_US) * _GRID_US
+    grid = range(lo, hi + 1, _GRID_US)
+    want = _interp_mirror(ticks, grid)
+    assert got == want
+
+
+def test_split_assign_matches_hashlib_mirror(spark):
+    """split_assign == a driver-side hashlib md5 reimplementation for the
+    first 512 ids (the cross-engine hash recipe, pinned outside Spark)."""
+    import hashlib
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.curation_ext import (
+        _TEST_LO,
+        _VAL_LO,
+        split_assign,
+    )
+
+    got = {
+        r.doc_id: r.s
+        for r in spark.range(512)
+        .select(F.col("id").alias("doc_id"), split_assign().alias("s"))
+        .collect()
+    }
+    for i in range(512):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+        want = "train" if b < _VAL_LO else ("val" if b < _TEST_LO else "test")
+        assert got[i] == want, i
