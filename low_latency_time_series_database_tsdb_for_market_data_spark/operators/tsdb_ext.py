@@ -1,5 +1,6 @@
-"""Time-series depth operators (q86-q89): realized variance, data-gap
-reporting, tick-rule direction counts, and linear-interpolation resampling.
+"""Time-series depth operators (q86-q89, q93): realized variance,
+data-gap reporting, tick-rule direction counts, linear-interpolation
+resampling, and MAD-based spike detection.
 
 These extend the reference's scan/count surface (`timeseries_db.cpp:29-233`)
 with the microstructure reports a market-data warehouse actually serves.
@@ -183,6 +184,80 @@ def q88_tick_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fl).cast("bigint").alias("flats"),
             (F.sum(up) - F.sum(dn)).cast("bigint").alias("net_direction"),
         )
+    )
+
+
+_MAD_K = 4  # spike threshold: deviation > 4 robust sigmas (MADs)
+
+
+@query(
+    "q93_spike_mad",
+    oracle=f"""
+    WITH b AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    m AS (SELECT event_type, c,
+                 CAST(median(c) OVER (PARTITION BY event_type) * 2 AS BIGINT)
+                     AS med2
+          FROM b),
+    d AS (SELECT event_type, med2, abs(2 * c - med2) AS dev2 FROM m),
+    m2 AS (SELECT event_type, med2, dev2,
+                  CAST(median(dev2) OVER (PARTITION BY event_type) * 2
+                       AS BIGINT) AS mad2
+           FROM d)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CASE WHEN dev2 > {_MAD_K} * mad2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spikes,
+           MAX(med2) / 200.0 AS med_value,
+           MAX(mad2) / 200.0 AS mad_value,
+           MAX(dev2) / 200.0 AS max_dev_value
+    FROM m2 GROUP BY event_type
+    """,
+    category="timeseries-quality",
+)
+def q93_spike_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spike detection per symbol: ticks whose price deviates from
+    the symbol median by more than 4 MADs (median absolute deviation) —
+    the fat-finger / bad-print screen that mean/stddev z-scores miss
+    because outliers inflate their own yardstick.
+
+    Exactness: medians of integers interpolate to halves at worst, so
+    DOUBLED medians are exact BIGINTs in both engines; every deviation
+    and the spike comparison live in that doubled-cents integer domain
+    (the /200.0 reporting division is a single identical IEEE op).
+
+    Shape: two exact per-symbol median window passes over (symbol, cents)
+    pairs, then one hash-agg — symbol-partitioned like every
+    microstructure op here.  Exact medians buffer a symbol's cents column
+    per partition; the 100 TB variant swaps approx_percentile (and the
+    answer leaves the oracle-exact regime, q73's documented territory)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = ev.select("event_type", cents("value").alias("c"))
+    d = base.select(
+        "event_type",
+        "c",
+        (F.median("c").over(w) * 2).cast("bigint").alias("med2"),
+    ).select(
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"),
+    )
+    m2 = d.select(
+        "event_type",
+        "med2",
+        "dev2",
+        (F.median("dev2").over(w) * 2).cast("bigint").alias("mad2"),
+    )
+    return m2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(
+            F.when(F.col("dev2") > _MAD_K * F.col("mad2"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_spikes"),
+        (F.max("med2") / 200.0).alias("med_value"),
+        (F.max("mad2") / 200.0).alias("mad_value"),
+        (F.max("dev2") / 200.0).alias("max_dev_value"),
     )
 
 

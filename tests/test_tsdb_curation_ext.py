@@ -98,6 +98,24 @@ def test_resample_linear_bracketing(spark, tmp_path):
     assert out[("B", dt.datetime(2024, 1, 1, 1, 0, 0))] == 5.0
 
 
+def test_spike_mad_planted_outlier(spark, tmp_path):
+    """A planted fat-finger print is the ONLY spike; a constant-price
+    symbol (MAD 0) flags its single off-price tick."""
+    base = [(i, _ts(i), 1, "A", 100.0 + (i % 2) * 0.02, "{}") for i in range(20)]
+    spike = [(99, _ts(30), 1, "A", 250.0, "{}")]
+    const = [(200 + i, _ts(i), 1, "B", 50.0, "{}") for i in range(10)]
+    const += [(299, _ts(40), 1, "B", 50.01, "{}")]
+    sf = _events(spark, base + spike + const, tmp_path, "spikes")
+    out = {
+        r["event_type"]: r for r in tsdb_ext.q93_spike_mad(spark, sf).collect()
+    }
+    a = out["A"]
+    assert a["n_spikes"] == 1
+    assert round(a["max_dev_value"] - (250.0 - a["med_value"]), 9) == 0
+    b = out["B"]  # MAD 0: any deviation is a spike
+    assert b["mad_value"] == 0.0 and b["n_spikes"] == 1
+
+
 def test_hash_split_stable_and_total(spark, sf_dir):
     """Split fractions land near 80/10/10, every doc gets exactly one
     split, and the assignment is a pure function of doc_id (stable under
