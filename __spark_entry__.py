@@ -64,7 +64,7 @@ _STALE_R3 = [
 _NEW_R5 = [
     "q86_realized_variance", "q87_gap_report", "q88_tick_direction",
     "q89_resample_linear", "q90_hash_split", "q91_source_overlap",
-    "q92_token_df", "q93_spike_mad",
+    "q92_token_df", "q93_spike_mad", "q94_stratified_sample",
     "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
 ]
 

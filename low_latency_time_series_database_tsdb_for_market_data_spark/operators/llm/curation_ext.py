@@ -1,6 +1,7 @@
-"""Corpus-organization operators (q90-q92): deterministic train/val/test
-splitting, the cross-source n-gram overlap matrix, and the token
-document-frequency (vocabulary) table.
+"""Corpus-organization operators (q90-q92, q94): deterministic
+train/val/test splitting, the cross-source n-gram overlap matrix, the
+token document-frequency (vocabulary) table, and deterministic
+stratified subsampling.
 
 Same discipline as pipeline_ext: JVM-side column expressions only, every
 ratio integer-decided, every hash built from the md5/substring/compare
@@ -129,6 +130,92 @@ def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# Corpus-rebalancing rates per source bucket, in 256ths of the hash space
+# (deterministic subsampling toward a target mix): even-numbered sources
+# keep everything, odd-numbered downsample to ~50%.
+_KEEP_EVEN = 256
+_KEEP_ODD = 128
+
+
+def sample_keep(doc_id_col: str = "doc_id", source_col: str = "source") -> "F.Column":
+    """Deterministic keep/drop decision for stratified subsampling: keep
+    iff the leading byte of md5('s:' || doc_id) falls under the source's
+    rate (in 256ths).  The hash is SALTED differently from split_assign's
+    — reusing q90's bytes would make "kept" correlate perfectly with
+    "train", quietly starving val/test.  Narrow map, no shuffle."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("s:"), F.col(doc_id_col).cast("string"))),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    src_num = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("int")
+    rate = F.when(src_num % 2 == 0, _KEEP_EVEN).otherwise(_KEEP_ODD)
+    return bucket < rate
+
+
+@query(
+    "q94_stratified_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, n_chars,
+                      md5('s:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+    b AS (SELECT source, n_chars,
+                 {hex_nibble_sql("substr(hx, 1, 1)")} * 16
+                   + {hex_nibble_sql("substr(hx, 2, 1)")} AS bucket,
+                 CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT)
+                           % 2 = 0
+                      THEN {_KEEP_EVEN} ELSE {_KEEP_ODD} END AS rate
+          FROM h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           (SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) * 20000
+            + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS kept_share
+    FROM b GROUP BY source
+    """,
+    category="llm-curation",
+)
+def q94_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling report — the corpus-mix
+    REBALANCING step q85's report feeds: each source keeps a configured
+    fraction of the hash space (here even sources 100%, odd ~50%),
+    decided per document by a salted md5 so the sample is reproducible
+    across engines and runs and independent of q90's split hash.
+
+    Shape: narrow map (one salted md5 + one regexp per row) + hash-agg
+    keyed by source; the keep decision (`sample_keep`) composes into any
+    scan as a pushed residual filter — the 100 TB rebalance is a single
+    filtered write with zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    keep = sample_keep().cast("int")
+    return (
+        d.select("source", "n_chars", keep.alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").cast("bigint").alias("n_kept"),
+            F.sum(F.col("k") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.sum("k").alias("kept_raw"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            "kept_chars",
+            ratio_e4("kept_raw", "n_total").alias("kept_share"),
+        )
     )
 
 

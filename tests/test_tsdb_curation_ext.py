@@ -141,6 +141,37 @@ def test_hash_split_stable_and_total(spark, sf_dir):
     assert j.where(F.col("s1") != F.col("s2")).count() == 0
 
 
+def test_stratified_sample_rates_and_hash_independence(spark, sf_dir):
+    """Even sources keep 100%, odd ~50%; and the keep decision must be
+    statistically independent of q90's split hash (different salt) —
+    among kept docs of a downsampled source, train-share stays near 80%
+    (a shared hash would make kept == a fixed split region)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.curation_ext import (
+        sample_keep,
+        split_assign,
+    )
+
+    reg = load_all()
+    out = reg["q94_stratified_sample"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        num = int("".join(ch for ch in r.source if ch.isdigit()))
+        if num % 2 == 0:
+            assert r.n_kept == r.n_total and r.kept_share == 1.0
+        else:
+            assert 0.25 <= r.kept_share <= 0.75  # ~0.5 at fixture sizes
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", sample_keep().alias("k"), split_assign().alias("s")
+    )
+    kept = d.where(F.col("k")).toPandas()
+    odd_kept = kept[kept.source.str.extract(r"(\d+)$")[0].astype(int) % 2 == 1]
+    if len(odd_kept) >= 50:
+        train_share = (odd_kept.s == "train").mean()
+        assert 0.6 <= train_share <= 0.95
+
+
 def test_source_overlap_brute_force(spark, tmp_path):
     """q91 matches a brute-force pair count on a corpus with planted
     cross-source 5-gram overlap."""
