@@ -107,12 +107,15 @@ def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides which acquired datasets are actually redundant.
 
     Shape: explode to (source, gram), distinct (collapses each source's
-    repeats map-side), self-join on gram, hash-agg on the pair.  The join
-    key is the GRAM, so per-gram fan-out is bounded by C(|sources|, 2) —
-    pair count never scales with corpus size, only with the source count
-    (a 100 TB corpus with 1e4 sources caps a gram's contribution at ~5e7
-    pairs; vocabulary-frequency caps like q56's DF bound apply above
-    that).  Both join sides read one ReusedExchange of the distinct."""
+    repeats map-side), then q56's pair-generation shape instead of a
+    gram-keyed self-join: group each gram's source SET (bounded by the
+    source count, never the corpus) and emit in-set pairs with two
+    chained codegen generates — one shuffle on (source, g) for the
+    distinct plus one on g, where the self-join needed a third exchange
+    and materialized both sides.  Per-gram fan-out is C(|sources|, 2) —
+    pair count scales with the source count only (a 100 TB corpus with
+    1e4 sources caps a gram's contribution at ~5e7 pairs; vocabulary-
+    frequency caps like q56's DF bound apply above that)."""
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     sg = (
@@ -123,13 +126,19 @@ def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = sg.select(F.col("source").alias("src_a"), "g")
-    b = sg.select(F.col("source").alias("src_b"), "g")
-    return (
-        a.join(b, "g")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    groups = (
+        sg.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs = groups.select(
+        F.posexplode("ss").alias("i", "src_a"), "ss"
+    ).select(
+        "src_a",
+        F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("src_b"),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
 
 
