@@ -221,3 +221,43 @@ def test_no_cartesian_or_row_python_any_query(reg, spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_microstructure_ops_reuse_symbol_partitioning(reg, spark, sf_dir):
+    """q86/q87/q88/q93: the post-window hash-agg groups by (symbol, ...)
+    with the window already partitioned by symbol — a subset partitioning
+    satisfies the clustering, so each query is exactly ONE shuffle.  A
+    second exchange here means the agg stopped riding the window's
+    partitioning (performance regression at any scale)."""
+    for name in (
+        "q86_realized_variance",
+        "q87_gap_report",
+        "q88_tick_direction",
+        "q93_spike_mad",
+    ):
+        assert exchanges(q(reg, spark, sf_dir, name)) == 1, name
+
+
+def test_resample_linear_two_shuffles_and_broadcast_bounds(reg, spark, sf_dir):
+    """q89: one shuffle for the symbol list, one for the sorted-union
+    window; the grid bounds row arrives by broadcast, and both window
+    passes share the symbol partitioning (no third exchange)."""
+    df = q(reg, spark, sf_dir, "q89_resample_linear")
+    assert exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_ops_single_pass(reg, spark, sf_dir):
+    """q90/q94 are narrow map + one hash-agg (the md5 decisions never
+    shuffle); q91/q92 spend their shuffles on distinct/agg only."""
+    for name, budget in (
+        ("q90_hash_split", 1),
+        ("q94_stratified_sample", 1),
+        ("q91_source_overlap", 2),
+        ("q92_token_df", 2),
+    ):
+        # +1 allowance: the explode-spreading repartition of a single
+        # local split (no-op-sized on a pre-split cluster input)
+        assert exchanges(q(reg, spark, sf_dir, name)) <= budget + 1, name
