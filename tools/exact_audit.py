@@ -47,7 +47,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, oras = E.queries(), E.oracle_sql()
-    names = names or [n for n in qs if n in oras]
+    if names is None:
+        names = [n for n in qs if n in oras]
+        # q39's recursive-CTE oracle is O(rows^2)-ish in DuckDB and
+        # infeasible beyond sf0.01 — auto-skip on bigger fixtures instead
+        # of hanging the default run (name it explicitly to force it)
+        if "sf0.001" not in sf and "sf0.01" not in sf and "q39_ewma" in names:
+            names.remove("q39_ewma")
+            print("q39_ewma SKIP recursive oracle infeasible at this sf "
+                  "(audit it at sf0.01 or pass it explicitly)", flush=True)
     bad = 0
     for name in names:
         if name not in oras:
