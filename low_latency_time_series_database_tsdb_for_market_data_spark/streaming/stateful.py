@@ -134,13 +134,18 @@ GAP_STATE_SCHEMA = T.StructType([T.StructField("last_ts_us", T.LongType())])
 
 def _ts_us(pdf: pd.DataFrame) -> "pd.Series":
     """ts column as int64 epoch MICROS, whatever layout arrived (int64
-    epoch nanos or a timestamp column — pandas datetime64[ns/us])."""
+    epoch nanos, or a datetime64 column of any unit/tz — the unit comes
+    from dtype introspection, never a substring sniff: a tz name like
+    Australia/Sydney would false-positive an 'us' search)."""
+    import numpy as np
+
     s = pdf["ts"]
     if str(s.dtype).startswith("datetime64"):
-        unit = "us" if "us" in str(s.dtype) else "ns"
+        unit = getattr(s.dtype, "unit", None) or np.datetime_data(s.dtype)[0]
         vals = s.astype("int64")
-        return vals if unit == "us" else vals // 1000
-    return s.astype("int64") // 1000
+        to_us = {"s": 1_000_000, "ms": 1_000, "us": 1}
+        return vals * to_us[unit] if unit in to_us else vals // 1_000
+    return s.astype("int64") // 1_000
 
 
 def make_gap_monitor(gap_us: int, open_alerts: bool):
