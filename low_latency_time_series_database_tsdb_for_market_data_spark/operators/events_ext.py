@@ -1,0 +1,237 @@
+"""Events-table depth operators (q96-q98): intraday seasonality profile,
+the multi-resolution volatility signature, and the user conversion
+funnel.
+
+These widen the microstructure block (tsdb_ext, q86-q89/q93) with the
+reporting layer a market-data warehouse serves on top of raw ticks:
+when-in-the-day liquidity, how measured volatility changes with the
+sampling interval, and ordered user-journey counts.  Same determinism
+discipline as tsdb_ext: prices as exact integer cents, ratios decided in
+integer arithmetic (functions.deterministic), total order (ts, event_id),
+and every window keyed by the natural 100 TB partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents, ratio_e4
+from ..registry import query
+
+
+@query(
+    "q96_intraday_profile",
+    oracle="""
+    WITH b AS (SELECT event_type, EXTRACT(HOUR FROM ts) AS hour_of_day,
+                      user_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events)
+    SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (SUM(c) * 20000 + 100 * COUNT(*)) // (2 * 100 * COUNT(*))
+               / 10000.0 AS avg_value,
+           MIN(c) / 100.0 AS min_value,
+           MAX(c) / 100.0 AS max_value
+    FROM b GROUP BY event_type, hour_of_day
+    """,
+    category="timeseries-profile",
+)
+def q96_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday seasonality profile: per symbol x hour-of-day, tick
+    count, distinct active users, and the average/min/max price — the
+    U-shaped-liquidity report every execution desk keeps, and the
+    capacity input for partition sizing (hot hours get more ticks).
+
+    Exactness: prices aggregate as integer cents; the hour average is
+    integer-decided 4-decimal (ratio_e4); min/max report through one
+    identical IEEE division.  Shape: a narrow map (hour + cents per
+    row) into one hash-agg keyed by (symbol, hour) — map-side partials,
+    single shuffle, 24 x |symbols| output rows at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            "user_id",
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("c").alias("sum_c"),
+            (F.min("c") / 100.0).alias("min_value"),
+            (F.max("c") / 100.0).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_ticks",
+            "n_users",
+            ratio_e4("sum_c", "100 * n_ticks").alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# Volatility-signature sampling intervals (seconds): 1 min / 5 min / 15 min.
+_SIG_WIDTHS = (60, 300, 900)
+
+
+def _sig_block_sql(w: int) -> str:
+    """One width's oracle block: bucket-close prices via ROW_NUMBER over
+    the (ts, event_id) total order, then squared close-to-close moves."""
+    return f"""
+    SELECT event_type, CAST({w} AS BIGINT) AS width_s,
+           CAST(COUNT(*) AS BIGINT) AS n_returns,
+           CAST(SUM((c - pc) * (c - pc)) AS BIGINT) AS rv
+    FROM (
+        SELECT event_type, c,
+               lag(c) OVER (PARTITION BY event_type ORDER BY b) AS pc
+        FROM (
+            SELECT event_type, b, c,
+                   row_number() OVER (PARTITION BY event_type, b
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM (SELECT event_type, ts, event_id,
+                         epoch_us(ts) // {w * 1_000_000} AS b,
+                         CAST(ROUND(value * 100) AS BIGINT) AS c
+                  FROM events)
+        ) WHERE rn = 1
+    ) WHERE pc IS NOT NULL
+    GROUP BY event_type
+    """
+
+
+@query(
+    "q97_vol_signature",
+    oracle=" UNION ALL ".join(_sig_block_sql(w) for w in _SIG_WIDTHS),
+    category="timeseries-microstructure",
+)
+def q97_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility signature: realized variance per symbol recomputed at
+    1/5/15-minute sampling from bucket CLOSE prices — how measured
+    volatility inflates as sampling approaches tick frequency
+    (microstructure noise), the standard plot for choosing an RV
+    sampling interval.  Complements q86, which samples every tick.
+
+    Exactness: closes are integer cents picked by ROW_NUMBER over the
+    (ts, event_id) total order (arg-max by timestamp would need a
+    portable composite-key tie rule; row_number pins it identically in
+    both engines); rv stays in cents^2 integers, sqrt-free.
+
+    Shape per width: one shuffle to (symbol, bucket) for the close pick
+    (WindowGroupLimit prunes below the exchange: rn = 1 keeps one row
+    per bucket map-side), then the symbol-keyed lag and the final agg
+    reuse that partitioning without a new exchange.  The three widths
+    are independent branches over the same scan, unioned — at 100 TB
+    each branch's post-close data is |symbols| x buckets rows, and the
+    union is append-only (no extra shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    out = None
+    for w in _SIG_WIDTHS:
+        us = F.unix_micros("ts")
+        base = ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(us / (w * 1_000_000)).alias("b"),
+            cents("value").alias("c"),
+        )
+        pick = Window.partitionBy("event_type", "b").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        closes = (
+            base.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("event_type", "b", "c")
+        )
+        lagw = Window.partitionBy("event_type").orderBy("b")
+        r = closes.select(
+            "event_type", "c", F.lag("c").over(lagw).alias("pc")
+        ).where(F.col("pc").isNotNull())
+        dlt = F.col("c") - F.col("pc")
+        branch = r.groupBy("event_type").agg(
+            F.lit(w).cast("bigint").alias("width_s"),
+            F.count(F.lit(1)).alias("n_returns"),
+            F.sum(dlt * dlt).cast("bigint").alias("rv"),
+        ).select("event_type", "width_s", "n_returns", "rv")
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+# Funnel stage definitions: strictly-later chaining over event micros.
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "q98_user_funnel",
+    oracle=f"""
+    WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    a AS (SELECT *, MIN(CASE WHEN event_type = '{_FUNNEL[0]}' THEN us END)
+                    OVER (PARTITION BY user_id) AS t1 FROM s),
+    b AS (SELECT *, MIN(CASE WHEN event_type = '{_FUNNEL[1]}' AND us > t1
+                             THEN us END)
+                    OVER (PARTITION BY user_id) AS t2 FROM a),
+    c AS (SELECT *, MIN(CASE WHEN event_type = '{_FUNNEL[2]}' AND us > t2
+                             THEN us END)
+                    OVER (PARTITION BY user_id) AS t3 FROM b),
+    u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM c GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_stage1,
+           CAST(COUNT(t2) AS BIGINT) AS n_stage2,
+           CAST(COUNT(t3) AS BIGINT) AS n_stage3
+    FROM u
+    """,
+    category="events-analytics",
+)
+def q98_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the earliest view, the earliest click STRICTLY AFTER that view, and
+    the earliest purchase strictly after that click (min-chaining — the
+    standard funnel semantics that a naive per-type min gets wrong when
+    a user purchases before ever viewing).
+
+    Exactness: all comparisons on epoch-microsecond integers.
+
+    Shape: three unpartitioned-ORDER-free window passes all keyed by
+    user_id — Spark plans ONE exchange and chains the Window nodes —
+    then a per-user agg on the same key (no new shuffle) and a single-row
+    global fold.  At 100 TB this is one user-keyed shuffle total, and
+    user_id is the natural bucketing key for the events table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    s = ev.select("user_id", "event_type", us.alias("us"))
+    t1 = F.min(
+        F.when(F.col("event_type") == _FUNNEL[0], F.col("us"))
+    ).over(w)
+    s = s.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[1]) & (F.col("us") > F.col("t1")),
+            F.col("us"),
+        )
+    ).over(w)
+    s = s.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[2]) & (F.col("us") > F.col("t2")),
+            F.col("us"),
+        )
+    ).over(w)
+    s = s.withColumn("t3", t3)
+    u = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_stage1"),
+        F.count("t2").alias("n_stage2"),
+        F.count("t3").alias("n_stage3"),
+    )

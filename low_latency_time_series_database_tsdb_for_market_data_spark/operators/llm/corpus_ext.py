@@ -1,0 +1,229 @@
+"""Corpus depth operators (q95, q99, q100): banded SimHash near-dup
+pairs, per-label embedding centroids, and the per-source duplication
+report.
+
+These complete the dedup/embedding families: q57 computes signatures —
+q95 turns them into verified near-dup PAIRS; q67 quantizes embeddings —
+q99 reduces them to the per-class centroids that drive clustering
+diagnostics and IVF seeding; q50 collapses exact dups — q100 reports
+WHERE the duplication lives (which sources, and whether it crosses
+source boundaries).  Same discipline as the rest of the llm package:
+JVM-side expressions only, integer-decided ratios, hashes from the
+cross-engine-identical md5 primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import table
+from ...functions.deterministic import ratio_e4, ratio_e4_signed
+from ...registry import query
+from .text import simhash_cte, simhash_df
+
+# SimHash banding: the 16-bit signature splits into two 8-bit bands; a
+# pair is a candidate iff it matches on at least one whole band, which
+# guarantees recall for Hamming distance <= 1 and probabilistically
+# catches distance 2-3 (a miss needs both flips to straddle the band
+# boundary).  Verification keeps pairs within _HAM_MAX bits.
+_HAM_MAX = 3
+
+
+@query(
+    "q95_simhash_pairs",
+    oracle=f"""
+    WITH {simhash_cte()},
+    b AS (SELECT doc_id, simhash, simhash // 256 AS bv, 0 AS band FROM sim
+          UNION ALL
+          SELECT doc_id, simhash, simhash % 256 AS bv, 1 AS band FROM sim),
+    p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT))
+                      AS BIGINT) AS hamming
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {_HAM_MAX}
+    """,
+    category="llm-dedup",
+)
+def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band each 16-bit signature (q57) into two
+    8-bit bands, generate candidate pairs inside each band bucket, and
+    keep pairs within Hamming distance 3 — the signature-side
+    counterpart of the MinHash pipeline (q54-q56), cheaper per doc (one
+    int vs 8 minhashes) at coarser recall.
+
+    Shape: the q56/q91 in-set pair generation, not a self-join — one
+    shuffle groups each (band, value) bucket's (doc_id, simhash) SET
+    (signatures ride along, so no join-back to resolve them), two
+    chained codegen generates emit ordered in-bucket pairs, and the
+    Hamming verify is a single bit_count(xor) per pair.  The distinct
+    that collapses pairs caught by both bands runs AFTER the <= 3
+    filter, so it dedups only verified near-dups.
+
+    Scale: bucket occupancy is corpus/256 per band at 16 bits — fine at
+    report scale; the 100 TB path widens the signature (64-bit, four
+    16-bit bands -> 65,536 values/band) and applies dedup.py's exact-dup
+    pre-collapse + hot-bucket cap (`dedup.py:130`) so a bucket's pair
+    fan-out stays hard-bounded; the operator shape is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    sim = simhash_df(d)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(F.expr("simhash div 256"), F.expr("simhash % 256"))
+        ).alias("band", "bv"),
+    )
+    groups = (
+        banded.groupBy("band", "bv")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") > 1)
+    )
+    pairs = groups.select(
+        F.posexplode("ds").alias("i", "a"), "ds"
+    ).select(
+        "a",
+        F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
+    )
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _HAM_MAX)
+        .distinct()
+    )
+
+
+# Fixed-point embedding scale for exact cross-engine sums.  FLOOR, not
+# ROUND: the synthetic embeddings contain components whose value*1e4
+# lands EXACTLY on .5 ties (measured at sf0.1), and Spark (shortest
+# decimal string, HALF_UP) and DuckDB (exact binary) resolve such ties
+# differently — floor of the identical double is unambiguous.
+_Q_SCALE = 10_000
+
+
+@query(
+    "q99_label_centroids",
+    oracle=f"""
+    WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                      unnest(range(1, len(embedding) + 1)) AS dim,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                 * {_Q_SCALE}) AS BIGINT) AS q
+               FROM embeddings)
+    SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CASE WHEN SUM(q) < 0
+                THEN -((-SUM(q) * 20000 + COUNT(*)) // (2 * COUNT(*)))
+                ELSE ((SUM(q) * 20000 + COUNT(*)) // (2 * COUNT(*)))
+           END / 10000.0 AS centroid_e4
+    FROM x GROUP BY label, dim
+    """,
+    category="llm-embedding",
+)
+def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension):
+    the class means behind clustering diagnostics, nearest-centroid
+    classification, and warm-starting the IVF coarse quantizer
+    (similarity.train_centroids) from labeled data.
+
+    Exactness: components quantize to fixed-point integers (floor of
+    value*1e4 — see _Q_SCALE for why floor, not round), so sums are
+    order-independent exact BIGINTs and the centroid is the
+    integer-decided signed 4-decimal ratio (in 1e-4 value units).
+
+    Shape: posexplode is in-row codegen; ONE hash-agg keyed by
+    (label, dim) with map-side partials — |labels| x dim output cells
+    regardless of corpus size.  At 100 TB this is the same one-shuffle
+    shape as q92's vocabulary table."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("v") * _Q_SCALE).alias("q"),
+    )
+    return (
+        x.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_q",
+            ratio_e4_signed("sum_q", "n").alias("centroid_e4"),
+        )
+    )
+
+
+@query(
+    "q100_dup_rate_by_source",
+    oracle="""
+    WITH h AS (SELECT source, md5(text) AS hx FROM documents),
+    g AS (SELECT hx, COUNT(*) AS cnt, COUNT(DISTINCT source) AS nsrc
+          FROM h GROUP BY hx)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_docs,
+           (SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+               // (2 * COUNT(*)) / 10000.0 AS dup_share
+    FROM h JOIN g USING (hx)
+    GROUP BY source
+    """,
+    category="llm-curation",
+)
+def q100_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how many of each source's
+    documents are exact duplicates of SOME corpus document (dup_share),
+    and how many duplicate across a source boundary — the
+    which-acquisition-is-redundant summary that q50 (global exact
+    dedup) and q91 (pairwise overlap matrix) bracket from either side.
+
+    Shape: documents reduce to (source, md5) immediately — text never
+    shuffles; one hash-keyed agg builds the per-text profile, one
+    hash-keyed shuffle join annotates each doc (both sides partition on
+    hx, so AQE plans a co-partitioned join), one source-keyed agg
+    produces |sources| rows.  At 100 TB all three exchanges move
+    32-byte hashes, not documents."""
+    d = table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("hx"))
+    g = h.groupBy("hx").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("source").alias("nsrc"),
+    )
+    return (
+        h.join(g, "hx")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("nsrc") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_cross_docs",
+            ratio_e4("n_dup_docs", "n_docs").alias("dup_share"),
+        )
+    )

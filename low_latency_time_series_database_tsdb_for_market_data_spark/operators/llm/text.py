@@ -91,9 +91,10 @@ def q53_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
-    """Generate the 16-bit simhash oracle SQL (DuckDB), mirroring
-    functions.texthash.simhash16 bit-for-bit."""
+def simhash_cte() -> str:
+    """DuckDB CTE chain ending in ``sim(doc_id, simhash)`` — the 16-bit
+    simhash per document, mirroring functions.texthash.simhash16
+    bit-for-bit.  Shared by q57's oracle and q95's pair oracle."""
     sums = []
     for b in range(SIMHASH_BITS):
         nib = f"('0x' || substr(hh, {b // 4 + 1}, 1))::INT"
@@ -103,12 +104,14 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s{b} > 0 THEN {2 ** (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
-    return f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    return f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     h AS (SELECT doc_id, md5(w) AS hh FROM tok),
-    bits AS (SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
-    """
+    bits AS (SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {simhash_cte()} SELECT doc_id, simhash FROM sim"
 
 
 @query("q57_simhash", oracle=_simhash_oracle(), category="llm-dedup")
@@ -116,7 +119,14 @@ def q57_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5(token) bit votes.  Docs whose
     simhashes are within a small Hamming distance are near-dup candidates;
     the signature groupBy is the only shuffle."""
-    d = table(spark, sf_dir, "documents")
+    return simhash_df(table(spark, sf_dir, "documents"))
+
+
+def simhash_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the q57 signature as a reusable transform —
+    one explode + one doc-keyed hash-agg (map-side partial votes), the
+    Spark twin of ``simhash_cte``.  q95 builds its banded pair search on
+    top of this."""
     tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
     h = tok.select("doc_id", F.md5("w").alias("hh"))
     bits = simhash16(F.col("hh"))

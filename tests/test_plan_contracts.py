@@ -261,3 +261,32 @@ def test_curation_ops_single_pass(reg, spark, sf_dir):
         # +1 allowance: the explode-spreading repartition of a single
         # local split (no-op-sized on a pre-split cluster input)
         assert exchanges(q(reg, spark, sf_dir, name)) <= budget + 1, name
+
+
+def test_events_depth_block_shuffle_budgets(reg, spark, sf_dir):
+    """q96 is narrow map + the standard two-phase distinct agg (partial
+    on (keys, user_id), final on keys — exactly 2 exchanges); q98's
+    three user-keyed window passes and both aggs chain on ONE user_id
+    exchange (plus the single-row global fold); q97 spends, per width
+    branch, one exchange on the (symbol, bucket) close pick — the
+    symbol-keyed lag and final agg must ride a subset of that
+    partitioning."""
+    assert exchanges(q(reg, spark, sf_dir, "q96_intraday_profile")) == 2
+    # q98: user_id exchange + the final single-partition fold
+    assert exchanges(q(reg, spark, sf_dir, "q98_user_funnel")) <= 2
+    # q97: one pick-exchange per width branch, plus per-branch lag repartition
+    assert exchanges(q(reg, spark, sf_dir, "q97_vol_signature")) <= 6
+
+
+def test_corpus_depth_block_shuffle_budgets(reg, spark, sf_dir):
+    """q95 mirrors q56/q91's in-set pair generation: signature agg,
+    band-bucket set agg, verified-pair distinct — three exchanges, no
+    join-back for signatures (they ride the bucket sets) and no
+    cartesian; q99 is posexplode + ONE (label, dim) hash-agg; q100's
+    three exchanges all move 32-byte hashes (per-text agg, annotate
+    join, source agg)."""
+    df95 = q(reg, spark, sf_dir, "q95_simhash_pairs")
+    assert exchanges(df95) <= 3
+    assert "CartesianProduct" not in physical_plan(df95)
+    assert exchanges(q(reg, spark, sf_dir, "q99_label_centroids")) == 1
+    assert exchanges(q(reg, spark, sf_dir, "q100_dup_rate_by_source")) <= 3
