@@ -202,7 +202,13 @@ def q98_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-user agg on the same key (no new shuffle) and a single-row
     global fold.  At 100 TB this is one user-keyed shuffle total, and
     user_id is the natural bucketing key for the events table."""
-    ev = table(spark, sf_dir, "events")
+    return funnel_counts(table(spark, sf_dir, "events"))
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """q98 as a reusable transform over any (user_id, event_type, ts)
+    frame — the library form the property tests drive with hand-built
+    journeys (a user who purchases before ever viewing must not convert)."""
     w = Window.partitionBy("user_id")
     us = F.unix_micros("ts")
     s = ev.select("user_id", "event_type", us.alias("us"))
