@@ -120,46 +120,60 @@ def q97_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: closes are integer cents picked by ROW_NUMBER over the
     (ts, event_id) total order (arg-max by timestamp would need a
     portable composite-key tie rule; row_number pins it identically in
-    both engines); rv stays in cents^2 integers, sqrt-free.
+    both engines); bucket ids are INTEGER division of epoch micros
+    (double division could misfloor an exact boundary); rv stays in
+    cents^2 integers, sqrt-free.
 
-    Shape per width: one shuffle to (symbol, bucket) for the close pick
-    (WindowGroupLimit prunes below the exchange: rn = 1 keeps one row
-    per bucket map-side), then the symbol-keyed lag and the final agg
-    reuse that partitioning without a new exchange.  The three widths
-    are independent branches over the same scan, unioned — at 100 TB
-    each branch's post-close data is |symbols| x buckets rows, and the
-    union is append-only (no extra shuffle)."""
+    Shape: ONE scan — the three widths fan out in-row (explode over a
+    3-element literal array, 3x row count before the first exchange),
+    then one shuffle to (symbol, width, bucket) for the close pick
+    (rn = 1 compiles to WindowGroupLimit — map-side heaps below the
+    exchange), one to (symbol, width) for the close-to-close lag, and
+    the final agg rides the lag partitioning.  Two exchanges total, and
+    everything past the pick is |symbols| x buckets rows — the
+    per-width-branch alternative scans the corpus three times."""
     ev = table(spark, sf_dir, "events")
-    out = None
-    for w in _SIG_WIDTHS:
-        us = F.unix_micros("ts")
-        base = ev.select(
-            "event_type",
-            "ts",
-            "event_id",
-            F.floor(us / (w * 1_000_000)).alias("b"),
-            cents("value").alias("c"),
-        )
-        pick = Window.partitionBy("event_type", "b").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        closes = (
-            base.withColumn("rn", F.row_number().over(pick))
-            .where(F.col("rn") == 1)
-            .select("event_type", "b", "c")
-        )
-        lagw = Window.partitionBy("event_type").orderBy("b")
-        r = closes.select(
-            "event_type", "c", F.lag("c").over(lagw).alias("pc")
-        ).where(F.col("pc").isNotNull())
-        dlt = F.col("c") - F.col("pc")
-        branch = r.groupBy("event_type").agg(
-            F.lit(w).cast("bigint").alias("width_s"),
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        us.alias("us"),
+        cents("value").alias("c"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(w).cast("bigint") for w in _SIG_WIDTHS])
+        ).alias("width_s"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "width_s",
+        F.expr("us div (width_s * 1000000)").alias("b"),
+        "c",
+    )
+    pick = Window.partitionBy("event_type", "width_s", "b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    closes = (
+        base.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("event_type", "width_s", "b", "c")
+    )
+    lagw = Window.partitionBy("event_type", "width_s").orderBy("b")
+    r = closes.select(
+        "event_type", "width_s", "c", F.lag("c").over(lagw).alias("pc")
+    ).where(F.col("pc").isNotNull())
+    dlt = F.col("c") - F.col("pc")
+    return (
+        r.groupBy("event_type", "width_s")
+        .agg(
             F.count(F.lit(1)).alias("n_returns"),
             F.sum(dlt * dlt).cast("bigint").alias("rv"),
-        ).select("event_type", "width_s", "n_returns", "rv")
-        out = branch if out is None else out.unionByName(branch)
-    return out
+        )
+        .select("event_type", "width_s", "n_returns", "rv")
+    )
 
 
 # Funnel stage definitions: strictly-later chaining over event micros.

@@ -29,6 +29,15 @@ from .text import simhash_cte, simhash_df
 # boundary).  Verification keeps pairs within _HAM_MAX bits.
 _HAM_MAX = 3
 
+# Per-(band, value) membership cap — dedup.py's strict-cap discipline
+# (`dedup.py:125-245`) applied to simhash buckets: a row_number over the
+# bucket window bounds the collect_set array BEFORE it is built, and the
+# query FAILS LOUDLY if any bucket reached the cap rather than silently
+# diverging from the uncapped oracle.  sf0.1's hottest bucket holds ~900
+# docs (templated synthetic text); 4096 gives headroom while pinning the
+# worst per-bucket array at ~64 KB and the pair fan-out at C(4096, 2).
+_MAX_BAND_DOCS = 4096
+
 
 @query(
     "q95_simhash_pairs",
@@ -61,12 +70,25 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that collapses pairs caught by both bands runs AFTER the <= 3
     filter, so it dedups only verified near-dups.
 
-    Scale: bucket occupancy is corpus/256 per band at 16 bits — fine at
-    report scale; the 100 TB path widens the signature (64-bit, four
-    16-bit bands -> 65,536 values/band) and applies dedup.py's exact-dup
-    pre-collapse + hot-bucket cap (`dedup.py:130`) so a bucket's pair
-    fan-out stays hard-bounded; the operator shape is unchanged."""
-    d = table(spark, sf_dir, "documents")
+    Scale: bucket membership is hard-bounded at _MAX_BAND_DOCS by a
+    row_number cap BELOW the set-building agg (same key, no extra
+    shuffle), and a capped bucket raises instead of silently dropping
+    oracle pairs — dedup.py's strict-cap rule.  Average occupancy is
+    corpus/256 per band at 16 bits; the 100 TB path widens the
+    signature (64-bit, four 16-bit bands -> 65,536 values/band) before
+    the cap ever binds, keeping the operator shape unchanged."""
+    return simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(
+    d: DataFrame,
+    max_band: int = _MAX_BAND_DOCS,
+    ham_max: int = _HAM_MAX,
+) -> DataFrame:
+    """q95 as a reusable transform — see the query docstring.  max_band
+    is the strict per-bucket cap (raises when a bucket reaches it)."""
+    from pyspark.sql import Window
+
     sim = simhash_df(d)
     banded = sim.select(
         "doc_id",
@@ -75,15 +97,30 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.expr("simhash div 256"), F.expr("simhash % 256"))
         ).alias("band", "bv"),
     )
+    bw = Window.partitionBy("band", "bv").orderBy("doc_id")
     groups = (
-        banded.groupBy("band", "bv")
+        banded.withColumn("rn", F.row_number().over(bw))
+        .where(F.col("rn") <= max_band)
+        .groupBy("band", "bv")
         .agg(
             F.sort_array(
                 F.collect_set(F.struct("doc_id", "simhash"))
-            ).alias("ds")
+            ).alias("ds"),
+            F.max("rn").alias("max_rn"),
         )
         .where(F.size("ds") > 1)
     )
+    # bucket-scale materialization (KB-MB): the cap probe and the pair
+    # generation share it instead of recomputing the signature pipeline
+    groups = groups.localCheckpoint()
+    if groups.where(F.col("max_rn") >= max_band).limit(1).count():
+        raise RuntimeError(
+            f"simhash_pairs: a simhash band bucket reached the "
+            f"per-bucket cap ({max_band}); results would silently "
+            "diverge from the uncapped oracle.  Widen the banding (64-bit "
+            "signature) or raise the cap."
+        )
+    groups = groups.drop("max_rn")
     pairs = groups.select(
         F.posexplode("ds").alias("i", "a"), "ds"
     ).select(
@@ -99,7 +136,7 @@ def q95_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .where(F.col("hamming") <= _HAM_MAX)
+        .where(F.col("hamming") <= ham_max)
         .distinct()
     )
 

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 from low_latency_time_series_database_tsdb_for_market_data_spark.operators.events_ext import (
     funnel_counts,
 )
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.corpus_ext import (
+    simhash_pairs,
+)
 from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
     load_all,
 )
@@ -62,6 +65,21 @@ def test_q95_banding_guarantees_hamming_le_1_recall(reg, spark):
             if bin(sa ^ sb).count("1") <= 1:
                 key = (a, b) if a < b else (b, a)
                 assert key in got, key
+
+
+def test_q95_strict_cap_raises_on_hot_bucket(spark, ddb):
+    """A bucket that reaches the cap must raise (the oracle is uncapped
+    — silent truncation would be quietly wrong), while the shipped cap
+    leaves the fixture corpus untouched."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # 6 identical texts share every band bucket: cap of 4 must trip
+    with pytest.raises(RuntimeError, match="per-bucket cap"):
+        simhash_pairs(docs, max_band=4).count()
+    # uncapped on the same corpus: all C(6,2) identical-signature pairs
+    assert simhash_pairs(docs).count() == 15
 
 
 def test_q96_profile_conservation_and_bounds(reg, spark, sf_dir, ddb):

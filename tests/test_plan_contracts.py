@@ -274,19 +274,20 @@ def test_events_depth_block_shuffle_budgets(reg, spark, sf_dir):
     assert exchanges(q(reg, spark, sf_dir, "q96_intraday_profile")) == 2
     # q98: user_id exchange + the final single-partition fold
     assert exchanges(q(reg, spark, sf_dir, "q98_user_funnel")) <= 2
-    # q97: one pick-exchange per width branch, plus per-branch lag repartition
-    assert exchanges(q(reg, spark, sf_dir, "q97_vol_signature")) <= 6
+    # q97: ONE scan, widths fan out in-row; one (symbol, width, bucket)
+    # pick exchange + one (symbol, width) lag exchange the agg rides
+    assert exchanges(q(reg, spark, sf_dir, "q97_vol_signature")) <= 2
 
 
 def test_corpus_depth_block_shuffle_budgets(reg, spark, sf_dir):
-    """q95 mirrors q56/q91's in-set pair generation: signature agg,
-    band-bucket set agg, verified-pair distinct — three exchanges, no
-    join-back for signatures (they ride the bucket sets) and no
-    cartesian; q99 is posexplode + ONE (label, dim) hash-agg; q100's
-    three exchanges all move 32-byte hashes (per-text agg, annotate
-    join, source agg)."""
+    """q95 mirrors q56/q91's in-set pair generation with dedup.py's
+    strict bucket cap: the visible plan starts at the bucket-scale
+    localCheckpoint, so only the pair-gen/distinct exchange remains —
+    and no cartesian; q99 is posexplode + ONE (label, dim) hash-agg;
+    q100's three exchanges all move 32-byte hashes (per-text agg,
+    annotate join, source agg)."""
     df95 = q(reg, spark, sf_dir, "q95_simhash_pairs")
-    assert exchanges(df95) <= 3
+    assert exchanges(df95) <= 1
     assert "CartesianProduct" not in physical_plan(df95)
     assert exchanges(q(reg, spark, sf_dir, "q99_label_centroids")) == 1
     assert exchanges(q(reg, spark, sf_dir, "q100_dup_rate_by_source")) <= 3
