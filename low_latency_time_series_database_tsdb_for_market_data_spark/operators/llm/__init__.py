@@ -3,6 +3,7 @@ dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine),
 similarity search, text analysis, multimodal column plumbing."""
 
 from . import corpus_ext  # noqa: F401
+from . import curate  # noqa: F401
 from . import curation_ext  # noqa: F401
 from . import dedup  # noqa: F401
 from . import multimodal  # noqa: F401
