@@ -6,6 +6,7 @@ from . import events_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm  # noqa: F401
+from . import quality_ext  # noqa: F401
 from . import reference_surface  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import sessions  # noqa: F401

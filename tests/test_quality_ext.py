@@ -1,0 +1,172 @@
+"""Semantic invariants + plan contracts for the q101-q108 quality block
+(the driver's oracle diff pins engine-vs-DuckDB equality; these pin the
+semantics on identities a single example can't, plus the plan shapes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+    exchanges,
+    physical_plan,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def _pdf(reg, spark, sf_dir, name):
+    return reg[name].fn(spark, sf_dir).toPandas()
+
+
+def test_q102_q105_tick_conservation(reg, spark, sf_dir, ddb):
+    """Per symbol: drawdown ticks + at-peak ticks == total ticks, and
+    price runs + stale ticks == total ticks (each tick either starts a
+    run or extends one)."""
+    totals = dict(
+        ddb.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    dd = _pdf(reg, spark, sf_dir, "q102_drawdown_spells")
+    for r in dd.itertuples():
+        assert 0 < r.n_spells <= r.dd_ticks
+        assert r.max_spell <= r.dd_ticks < totals[r.event_type]
+    st = _pdf(reg, spark, sf_dir, "q105_staleness_runs")
+    assert set(st.event_type) == set(totals)
+    for r in st.itertuples():
+        assert r.n_runs + r.stale_ticks == totals[r.event_type]
+        assert r.max_run >= 1
+
+
+def test_q103_roll_matches_numpy_per_symbol(reg, spark, sf_dir, ddb):
+    """ncov_scaled recomputed independently in exact int64 numpy from
+    the raw tape, per symbol; regime labels the sign."""
+    got = _pdf(reg, spark, sf_dir, "q103_roll_spread").set_index(
+        "event_type"
+    )
+    raw = ddb.execute(
+        "SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c "
+        "FROM events ORDER BY event_type, ts, event_id"
+    ).df()
+    for sym, grp in raw.groupby("event_type"):
+        d = np.diff(grp.c.to_numpy(dtype=np.int64))
+        a, b = d[1:].astype(object), d[:-1].astype(object)  # exact py ints
+        n = len(a)
+        ncov = n * int((a * b).sum()) - int(a.sum()) * int(b.sum())
+        row = got.loc[sym]
+        assert row.n_pairs == n
+        assert row.ncov_scaled == ncov
+        assert row.regime == ("bounce" if ncov < 0 else "trend")
+
+
+def test_q104_shares_partition_unity(reg, spark, sf_dir):
+    """Per symbol the digit shares are ratio_e4 values summing to 1
+    within 9 rounding half-ups, digits drawn from 1-9 (cents >= 1 means
+    no leading zero), and counts are positive."""
+    got = _pdf(reg, spark, sf_dir, "q104_benford_digits")
+    assert set(got.digit) <= set("123456789")
+    assert (got.n > 0).all()
+    for _, g in got.groupby("event_type"):
+        assert abs(g.share.sum() - 1.0) <= 9 * 1e-4 + 1e-9
+
+
+def test_q106_burst_counts_and_bounds(reg, spark, sf_dir, ddb):
+    """Burst minutes recomputed from the raw minute grid with the same
+    integer cross-multiplication; peak >= mean always."""
+    got = _pdf(reg, spark, sf_dir, "q106_minute_rate_anomaly").set_index(
+        "event_type"
+    )
+    m = ddb.execute(
+        "SELECT event_type, date_trunc('minute', ts) AS minute, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+    ).df()
+    for sym, g in m.groupby("event_type"):
+        nm, tot = len(g), int(g.cnt.sum())
+        bursts = int((g.cnt.to_numpy() * nm > 2 * tot).sum())
+        row = got.loc[sym]
+        assert row.n_minutes == nm and row.n_ticks == tot
+        assert row.n_burst_minutes == bursts
+        assert row.peak_rate >= row.mean_rate - 1e-9
+
+
+def test_q107_coverage_against_brute_force(reg, spark, sf_dir, ddb):
+    """Top-100 mass recomputed with pandas using the same (count desc,
+    token asc) tie order; coverage in (0, 1]."""
+    got = _pdf(reg, spark, sf_dir, "q107_zipf_coverage").set_index("lang")
+    t = ddb.execute(
+        "SELECT lang, unnest(string_split(text, ' ')) AS token "
+        "FROM documents"
+    ).df()
+    t = t[t.token != ""]
+    for lang, g in t.groupby("lang"):
+        cnt = (
+            g.groupby("token").size().reset_index(name="c")
+            .sort_values(["c", "token"], ascending=[False, True])
+        )
+        row = got.loc[lang]
+        assert row.total_tokens == int(cnt.c.sum())
+        assert row.distinct_tokens == len(cnt)
+        assert row.top100_tokens == int(cnt.c.head(100).sum())
+        assert 0 < row.coverage <= 1
+
+
+def test_q108_above_mean_matches_numpy(reg, spark, sf_dir, ddb):
+    """Scaled-norm banding recomputed in numpy: same float64 fold over
+    the embedding, same single ROUND to e6 ints, same integer
+    cross-multiplied above-mean test."""
+    got = _pdf(reg, spark, sf_dir, "q108_norm_band").set_index("label")
+    raw = ddb.execute(
+        "SELECT label, embedding FROM embeddings"
+    ).df()
+    for label, g in raw.groupby("label"):
+        r6 = np.array(
+            [
+                int(
+                    np.round(
+                        sum(
+                            float(np.float64(x) * np.float64(x))
+                            for x in map(np.float64, v)
+                        )
+                        * 1_000_000
+                    )
+                )
+                for v in g.embedding
+            ],
+            dtype=object,
+        )
+        n, sr = len(r6), int(sum(r6))
+        row = got.loc[label]
+        assert row.n_vecs == n
+        assert row.n_above_mean == int(sum(int(x) * n > sr for x in r6))
+        assert 0 <= row.n_above_mean <= n
+
+
+def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
+    """The islands/lag queries (q102/q103/q105/q108) chain every window
+    and agg on ONE partition-key exchange; the agg+window-over-aggregate
+    queries (q104/q106/q107) get two; q101's three all move bucket-scale
+    rows and the pair join must broadcast, never cartesian."""
+    for name, budget in (
+        ("q102_drawdown_spells", 1),
+        ("q103_roll_spread", 1),
+        ("q105_staleness_runs", 1),
+        ("q108_norm_band", 1),
+        ("q104_benford_digits", 2),
+        ("q106_minute_rate_anomaly", 2),
+        ("q107_zipf_coverage", 2),
+    ):
+        df = reg[name].fn(spark, sf_dir)
+        assert exchanges(df) <= budget, name
+    df = reg["q101_lead_lag"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert exchanges(df) <= 3
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
