@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import cents, ratio_e4, ratio_round
+from ..functions.deterministic import (
+    cents,
+    ratio_e4,
+    ratio_e4_signed,
+    ratio_round,
+)
 from ..registry import query
 from .llm.similarity import _dbl, _norm2
 
@@ -503,4 +508,206 @@ def q108_norm_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "n_above_mean",
         ratio_round("_sr", "_n * 1000000", 4).alias("mean_norm2"),
+    )
+
+
+@query(
+    "q109_overnight_gap",
+    oracle="""
+    WITH s AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                      ts, event_id,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, d, c,
+                 row_number() OVER (PARTITION BY event_type, d
+                                    ORDER BY ts, event_id) AS rn_o,
+                 row_number() OVER (PARTITION BY event_type, d
+                                    ORDER BY ts DESC, event_id DESC) AS rn_c
+          FROM s),
+    o AS (SELECT event_type, d,
+                 MAX(CASE WHEN rn_o = 1 THEN c END) AS open_c,
+                 MAX(CASE WHEN rn_c = 1 THEN c END) AS close_c
+          FROM r GROUP BY 1, 2),
+    g AS (SELECT event_type, d, open_c, close_c,
+                 lag(close_c) OVER (PARTITION BY event_type
+                                    ORDER BY d) AS pclose
+          FROM o)
+    SELECT event_type, d, open_c, close_c,
+           open_c - pclose AS gap_cents,
+           CASE WHEN open_c - pclose < 0
+                THEN -((-(open_c - pclose) * 20000 + pclose)
+                       // (2 * pclose))
+                ELSE ((open_c - pclose) * 20000 + pclose)
+                     // (2 * pclose)
+           END / 10000.0 AS gap_ret
+    FROM g WHERE pclose IS NOT NULL
+    """,
+    category="timeseries-microstructure",
+)
+def q109_overnight_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight gap report: each symbol-day's open vs the PREVIOUS
+    day's close (both picked by the (ts, event_id) total order — q22's
+    deterministic open/close rule), the gap in exact cents, and the gap
+    return rounded 4-decimal by the sign-splitting integer helper
+    (ratio_e4_signed — gaps go both ways).
+
+    Shape: one (symbol, day) exchange carries both row_number passes and
+    the open/close agg; the day-over-day lag then runs on the day grid
+    (orders of magnitude smaller than the tape) partitioned by symbol.
+    The ISO day STRING sorts identically to the date on both engines."""
+    w = Window.partitionBy("event_type", "d")
+    s = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("d"),
+            "ts",
+            "event_id",
+            cents("value").alias("c"),
+        )
+        .withColumn(
+            "rn_o",
+            F.row_number().over(w.orderBy(F.asc("ts"), F.asc("event_id"))),
+        )
+        .withColumn(
+            "rn_c",
+            F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id"))),
+        )
+    )
+    o = s.groupBy("event_type", "d").agg(
+        F.max(F.when(F.col("rn_o") == 1, F.col("c"))).alias("open_c"),
+        F.max(F.when(F.col("rn_c") == 1, F.col("c"))).alias("close_c"),
+    )
+    g = o.withColumn(
+        "pclose",
+        F.lag("close_c").over(
+            Window.partitionBy("event_type").orderBy("d")
+        ),
+    ).where(F.col("pclose").isNotNull())
+    return g.select(
+        "event_type",
+        "d",
+        "open_c",
+        "close_c",
+        (F.col("open_c") - F.col("pclose")).alias("gap_cents"),
+        ratio_e4_signed("open_c - pclose", "pclose").alias("gap_ret"),
+    )
+
+
+@query(
+    "q110_dispersion_screen",
+    oracle="""
+    WITH s AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    w AS (SELECT event_type, d, c,
+                 COUNT(*) OVER (PARTITION BY event_type, d) AS n,
+                 SUM(c) OVER (PARTITION BY event_type, d) AS sc
+          FROM s)
+    SELECT event_type, d, COUNT(*) AS n_ticks,
+           CAST(SUM(CASE WHEN 100 * abs(c * n - sc) > sc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_disperse,
+           (SUM(CASE WHEN 100 * abs(c * n - sc) > sc THEN 1 ELSE 0 END)
+            * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS disp_share
+    FROM w GROUP BY 1, 2
+    """,
+    category="data-quality",
+)
+def q110_dispersion_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday dispersion screen: per symbol-day, the count and share
+    of ticks printing more than 1% away from the day's mean price — the
+    execution-quality / crossed-print check a TCA desk runs.  The 1%
+    band test |c - mean| > mean/100 is cross-multiplied to
+    100*|c*n - sum| > sum, so the whole screen is exact BIGINT
+    arithmetic (c*n peaks ~1e10 at sf0.1 day sizes; DECIMAL headroom is
+    only needed beyond ~1e14 ticks/day).
+
+    Shape: one (symbol, day) exchange carries the count/sum window and
+    the final agg — the same single-shuffle islands shape as q102."""
+    ev = table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type", "d")
+    s = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("d"),
+        cents("value").alias("c"),
+    ).select(
+        "event_type",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(wd).alias("n"),
+        F.sum("c").over(wd).alias("sc"),
+    )
+    disperse = F.when(
+        100 * F.abs(F.col("c") * F.col("n") - F.col("sc")) > F.col("sc"), 1
+    ).otherwise(0)
+    agg = s.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(disperse).alias("n_disperse"),
+    )
+    return agg.select(
+        "event_type",
+        "d",
+        "n_ticks",
+        "n_disperse",
+        ratio_e4("n_disperse", "n_ticks").alias("disp_share"),
+    )
+
+
+@query(
+    "q111_causal_bursts",
+    oracle="""
+    WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+                      COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, minute, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY minute) - 1 AS nm,
+                 COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY minute
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS tot
+          FROM m)
+    SELECT event_type, minute, cnt AS n_ticks,
+           CAST(nm AS BIGINT) AS prior_minutes,
+           CAST(tot AS BIGINT) AS prior_ticks
+    FROM w WHERE nm >= 5 AND cnt * nm > 2 * tot
+    """,
+    category="data-quality",
+)
+def q111_causal_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAUSAL burst screen: minutes whose tick count exceeds 2x the
+    running mean of the minutes BEFORE them (warmup 5) — exactly the
+    decision rule the live monitor (`streaming/stateful.py::
+    burst_alert_stream`) applies as minutes close, so this batch query
+    is the stream's replayable oracle: a historical backtest produces
+    the alert stream production would have emitted (q106 is the
+    retrospective variant — its mean sees the whole day).
+
+    Same integer cross-multiplication (cnt·nm > 2·tot), with the prior
+    totals from a growing ROWS frame ending 1 PRECEDING.  Shape: one
+    (symbol, minute) hash agg, then one symbol-keyed window over the
+    minute grid."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("event_type").orderBy("minute")
+    w = m.select(
+        "event_type",
+        "minute",
+        "cnt",
+        (F.row_number().over(wo) - 1).alias("nm"),
+        F.coalesce(
+            F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("tot"),
+    )
+    return w.where(
+        (F.col("nm") >= 5) & (F.col("cnt") * F.col("nm") > 2 * F.col("tot"))
+    ).select(
+        "event_type",
+        "minute",
+        F.col("cnt").alias("n_ticks"),
+        F.col("nm").cast("bigint").alias("prior_minutes"),
+        F.col("tot").cast("bigint").alias("prior_ticks"),
     )

@@ -1,7 +1,11 @@
 from .ingest import ingest_available_now, windowed_counts_stream  # noqa: F401
 from .joins import interval_pair_stream  # noqa: F401
 from .rollup import compact_rollup, continuous_ohlc, read_bars  # noqa: F401
-from .stateful import gap_alert_stream, symbol_snapshot_stream  # noqa: F401
+from .stateful import (  # noqa: F401
+    burst_alert_stream,
+    gap_alert_stream,
+    symbol_snapshot_stream,
+)
 from .windows import (  # noqa: F401
     dedup_stream,
     session_window_stream,

@@ -207,6 +207,112 @@ def make_gap_monitor(gap_us: int, open_alerts: bool):
     return update
 
 
+# --- streaming tick-rate burst monitor (the real-time form of q106) -------
+
+BURST_ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("minute_us", T.LongType()),
+        T.StructField("n_ticks", T.LongType()),
+        T.StructField("prior_minutes", T.LongType()),
+        T.StructField("prior_ticks", T.LongType()),
+    ]
+)
+
+BURST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_minute_us", T.LongType()),
+        T.StructField("cur_count", T.LongType()),
+        T.StructField("closed_minutes", T.LongType()),
+        T.StructField("closed_ticks", T.LongType()),
+    ]
+)
+
+_MIN_US = 60_000_000
+
+
+def make_burst_monitor(factor: int, warmup: int):
+    """Build the applyInPandasWithState update function for
+    :func:`burst_alert_stream` (closure carries threshold + warmup).
+
+    A minute CLOSES when a later-minute tick arrives (arrival-driven,
+    like the gap monitor's closed-gap path); the closed minute alerts
+    when cnt * prior_minutes > factor * prior_ticks — the q106
+    comparison made CAUSAL: the mean is over minutes closed BEFORE this
+    one, because a live monitor cannot consult the future.  The whole
+    test is integer cross-multiplication, bit-identical to a batch
+    replay.  Late rows (minute older than the open one) fold into the
+    prior-ticks denominator but never re-open a minute or re-fire an
+    alert — an alert, once suppressed or raised, is immutable."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_list = [_ts_us(pdf) for pdf in pdfs if not pdf.empty]
+        if not ts_list:
+            return
+        minutes = (pd.concat(ts_list) // _MIN_US) * _MIN_US
+        counts = minutes.value_counts().sort_index()
+        cur_m, cur_c, nm, tot = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        alerts: list[dict] = []
+        for m, c in counts.items():
+            m, c = int(m), int(c)
+            if cur_m == -1:
+                cur_m, cur_c = m, c
+                continue
+            if m < cur_m:  # late arrival into already-closed history
+                tot += c
+                continue
+            if m == cur_m:
+                cur_c += c
+                continue
+            # m > cur_m: the open minute closes — judge it causally
+            if nm >= warmup and cur_c * nm > factor * tot:
+                alerts.append(
+                    {
+                        "symbol": key[0],
+                        "minute_us": cur_m,
+                        "n_ticks": cur_c,
+                        "prior_minutes": nm,
+                        "prior_ticks": tot,
+                    }
+                )
+            nm += 1
+            tot += cur_c
+            cur_m, cur_c = m, c
+        state.update((cur_m, cur_c, nm, tot))
+        if alerts:
+            yield pd.DataFrame(alerts)
+
+    return update
+
+
+def burst_alert_stream(
+    ticks: DataFrame, factor: int = 2, warmup: int = 5
+) -> DataFrame:
+    """Streaming tick-rate burst alerts — the real-time form of q106's
+    batch screen.  Emits one row per closed minute whose tick count
+    exceeds `factor`x the symbol's running mean minute-rate (integer
+    cross-multiplied), after `warmup` closed minutes of history.
+
+    `ticks` needs (symbol, ts) with ts int64 epoch nanos or timestamp.
+    State is four int64s per symbol (O(1) — a million symbols cost
+    megabytes); output is alert-sized, not tick-sized.  Partitioning is
+    by symbol, the same key as every batch microstructure operator, so
+    at 100 TB/day the stateful shuffle is the natural one."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        make_burst_monitor(factor, warmup),
+        outputStructType=BURST_ALERT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def gap_alert_stream(
     ticks: DataFrame, gap_s: int = 300, open_alerts: bool = False
 ) -> DataFrame:

@@ -149,6 +149,71 @@ def test_q108_above_mean_matches_numpy(reg, spark, sf_dir, ddb):
         assert 0 <= row.n_above_mean <= n
 
 
+def test_q109_gap_consistency(reg, spark, sf_dir, ddb):
+    """gap_cents == open - prev close re-derived from q22-style day
+    endpoints; gap_ret sign matches gap_cents; first day per symbol is
+    absent (no previous close)."""
+    got = _pdf(reg, spark, sf_dir, "q109_overnight_gap")
+    days = ddb.execute(
+        "SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) FROM events "
+        "GROUP BY 1"
+    ).fetchall()
+    expect_rows = sum(n - 1 for _, n in days)
+    assert len(got) == expect_rows
+    g = got.sort_values(["event_type", "d"]).reset_index(drop=True)
+    prev = g.close_c.shift()
+    same = g.event_type == g.event_type.shift()
+    assert (g.gap_cents[same] == (g.open_c - prev)[same]).all()
+    assert ((g.gap_ret >= 0) == (g.gap_cents >= 0)).all()
+
+
+def test_q110_band_matches_numpy(reg, spark, sf_dir, ddb):
+    """Dispersion flags recomputed with exact python ints on one
+    symbol-day; share is the integer-decided ratio."""
+    got = _pdf(reg, spark, sf_dir, "q110_dispersion_screen")
+    raw = ddb.execute(
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d, "
+        "CAST(ROUND(value*100) AS BIGINT) AS c FROM events"
+    ).df()
+    merged = 0
+    for (sym, d), g in raw.groupby(["event_type", "d"]):
+        cs = [int(x) for x in g.c]
+        n, sc = len(cs), sum(cs)
+        nd = sum(100 * abs(c * n - sc) > sc for c in cs)
+        row = got[(got.event_type == sym) & (got.d == d)]
+        assert len(row) == 1
+        assert int(row.n_ticks.iloc[0]) == n
+        assert int(row.n_disperse.iloc[0]) == nd
+        merged += 1
+        if merged >= 12:  # a dozen symbol-days is plenty for the identity
+            break
+    assert merged > 0
+
+
+def test_q111_equals_causal_replay(reg, spark, sf_dir, ddb):
+    """q111 recomputed by an explicit in-order pandas replay of the
+    integer rule (the same replay the streaming burst test uses) — the
+    batch query and the live monitor share one decision procedure."""
+    got = {
+        (r.event_type, r.minute, int(r.n_ticks), int(r.prior_minutes),
+         int(r.prior_ticks))
+        for r in _pdf(reg, spark, sf_dir, "q111_causal_bursts").itertuples()
+    }
+    m = ddb.execute(
+        "SELECT event_type, date_trunc('minute', ts) AS minute, "
+        "COUNT(*) AS cnt FROM events GROUP BY 1, 2"
+    ).df()
+    expect = set()
+    for sym, g in m.groupby("event_type"):
+        nm = tot = 0
+        for r in g.sort_values("minute").itertuples():
+            if nm >= 5 and int(r.cnt) * nm > 2 * tot:
+                expect.add((sym, r.minute, int(r.cnt), nm, tot))
+            nm += 1
+            tot += int(r.cnt)
+    assert got == expect
+
+
 def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
     """The islands/lag queries (q102/q103/q105/q108) chain every window
     and agg on ONE partition-key exchange; the agg+window-over-aggregate
@@ -159,9 +224,12 @@ def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
         ("q103_roll_spread", 1),
         ("q105_staleness_runs", 1),
         ("q108_norm_band", 1),
+        ("q110_dispersion_screen", 1),
         ("q104_benford_digits", 2),
         ("q106_minute_rate_anomaly", 2),
         ("q107_zipf_coverage", 2),
+        ("q109_overnight_gap", 2),
+        ("q111_causal_bursts", 2),
     ):
         df = reg[name].fn(spark, sf_dir)
         assert exchanges(df) <= budget, name

@@ -489,3 +489,127 @@ def test_gap_alert_stream_open_timeout(spark, tmp_path):
     closed = alerts[~alerts.open_gap]
     assert list(closed.symbol) == ["B", "B"]
     assert set(closed.gap_us) == {600 * 1_000_000}
+
+
+def test_burst_alert_stream_matches_causal_replay(spark, sf_dir, tmp_path):
+    """Streaming burst alerts across 3 micro-batches must equal a causal
+    pandas replay of the same integer rule (cnt*nm > 2*tot over minutes
+    closed so far, warmup 5) — state must carry (open minute, running
+    totals) ACROSS batch boundaries, and each symbol's final minute never
+    closes, so it must never alert."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        burst_alert_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p33, p66 = (
+        ev.selectExpr(
+            "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+        ).collect()[0][0]
+    )
+    us = F.unix_micros("ts")
+    splits = [
+        ev.where(us <= int(p33)),
+        ev.where((us > int(p33)) & (us <= int(p66))),
+        ev.where(us > int(p66)),
+    ]
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    stream = open_tick_stream(
+        spark, f"{sf}/events.parquet", max_files_per_trigger=1
+    )
+    ticks = stream.select(
+        F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+    )
+    _run_to_memory(
+        burst_alert_stream(ticks, factor=2, warmup=5),
+        "burst_out",
+        mode="append",
+    )
+    got = spark.sql("SELECT * FROM burst_out").toPandas()
+
+    # causal replay: identical integer rule over the full in-order tape
+    raw = (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            (F.floor(F.unix_micros("ts") / 60_000_000) * 60_000_000).alias(
+                "minute_us"
+            ),
+        )
+        .groupBy("symbol", "minute_us")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    expect = []
+    for sym, g in raw.groupby("symbol"):
+        g = g.sort_values("minute_us")
+        nm = tot = 0
+        rows = list(g.itertuples())
+        for r in rows[:-1]:  # final minute never closes in the stream
+            if nm >= 5 and r.cnt * nm > 2 * tot:
+                expect.append((sym, int(r.minute_us), int(r.cnt), nm, tot))
+            nm += 1
+            tot += int(r.cnt)
+    got_set = {
+        (r.symbol, int(r.minute_us), int(r.n_ticks), int(r.prior_minutes),
+         int(r.prior_ticks))
+        for r in got.itertuples()
+    }
+    assert got_set == set(expect)
+
+
+def test_burst_alert_planted_spike(spark, tmp_path):
+    """A planted 10x minute fires exactly one alert with the right prior
+    stats; steady minutes never alert; the spike minute still counts
+    toward later minutes' denominator."""
+    import datetime as dt
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        burst_alert_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows = []
+    eid = 0
+    for minute in range(10):
+        n = 20 if minute == 7 else 2  # 10x spike in minute 7
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(minutes=minute, seconds=k),
+                    1,
+                    "A",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, schema)
+    sf = _write_ordered_files(tmp_path, [df], spark)
+
+    stream = open_tick_stream(spark, f"{sf}/events.parquet")
+    ticks = stream.select(
+        F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+    )
+    _run_to_memory(
+        burst_alert_stream(ticks, factor=2, warmup=5),
+        "burst_plant_out",
+        mode="append",
+    )
+    got = spark.sql("SELECT * FROM burst_plant_out").toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.symbol == "A" and r.n_ticks == 20
+    assert r.prior_minutes == 7 and r.prior_ticks == 14
+    assert int(r.minute_us) == (int(t0.timestamp()) + 7 * 60) * 1_000_000
