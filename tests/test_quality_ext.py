@@ -214,6 +214,74 @@ def test_q111_equals_causal_replay(reg, spark, sf_dir, ddb):
     assert got == expect
 
 
+def _events_dir(spark, tmp_path, name, rows):
+    """Tiny events.parquet shaped like the testdata (the operators read
+    `{sf_dir}/events.parquet`)."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tmp_path / name
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_islands_edge_paths(reg, spark, tmp_path):
+    """Adversarial price paths the fixtures never produce: a monotone
+    rise (never in drawdown, every tick a fresh run), a constant tape
+    (one run, never dispersed, zero drawdown), and a monotone fall (one
+    spell spanning all but the first tick)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(10):
+        ts = t0 + dt.timedelta(seconds=i)
+        rows.append((eid, ts, 1, "UP", 100.0 + i, "{}")); eid += 1
+        rows.append((eid, ts, 1, "FLAT", 50.0, "{}")); eid += 1
+        rows.append((eid, ts, 1, "DOWN", 100.0 - i, "{}")); eid += 1
+    sf = _events_dir(spark, tmp_path, "edge", rows)
+
+    dd = _pdf(reg, spark, sf, "q102_drawdown_spells").set_index("event_type")
+    assert "UP" not in dd.index and "FLAT" not in dd.index
+    assert dd.loc["DOWN"].n_spells == 1
+    assert dd.loc["DOWN"].max_spell == 9 == dd.loc["DOWN"].dd_ticks
+
+    st = _pdf(reg, spark, sf, "q105_staleness_runs").set_index("event_type")
+    assert st.loc["UP"].n_runs == 10 and st.loc["UP"].stale_ticks == 0
+    assert st.loc["UP"].max_run == 1
+    assert st.loc["FLAT"].n_runs == 1 and st.loc["FLAT"].max_run == 10
+    assert st.loc["FLAT"].stale_ticks == 9
+
+    disp = _pdf(reg, spark, sf, "q110_dispersion_screen").set_index(
+        "event_type"
+    )
+    assert disp.loc["FLAT"].n_disperse == 0  # every tick IS the mean
+    # UP's 1%-of-mean band (~1.05 cents around 104.5) excludes the
+    # extremes: 100.00 and 109.00 are >1% away
+    assert disp.loc["UP"].n_disperse >= 2
+
+
+def test_q109_single_tick_days(reg, spark, tmp_path):
+    """One tick per day: open == close each day, so the gap is exactly
+    the day-over-day price change and gap_ret its signed 4-decimal
+    ratio."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    prices = [100.0, 110.0, 99.0]
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "A", p, "{}")
+        for i, p in enumerate(prices)
+    ]
+    sf = _events_dir(spark, tmp_path, "days", rows)
+    got = _pdf(reg, spark, sf, "q109_overnight_gap").sort_values("d")
+    assert list(got.gap_cents) == [1000, -1100]
+    assert list(got.gap_ret) == [0.1, -0.1]
+
+
 def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
     """The islands/lag queries (q102/q103/q105/q108) chain every window
     and agg on ONE partition-key exchange; the agg+window-over-aggregate
