@@ -36,11 +36,16 @@ def q77_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-movement screen behind pairs trading / similarity search.  The
     hourly pre-aggregation shrinks the self-join to symbols x buckets
     rows (tiny), so the pair generation is broadcast-able; the corr agg
-    is single-pass mergeable moments."""
+    is single-pass mergeable moments.  The bucket table feeds BOTH join
+    branches and broadcast builds run as separate jobs (exchange reuse
+    does not apply), so it is localCheckpoint-materialized once — ONE
+    scan of the tape instead of two, KB-scale checkpoint."""
     ev = table(spark, sf_dir, "events")
-    b = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
+    b = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
+        .localCheckpoint()
+    )
     a = b.select(
         F.col("event_type").alias("sym_a"), "h", F.col("v").alias("va")
     )

@@ -237,9 +237,14 @@ def q100_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-keyed shuffle join annotates each doc (both sides partition on
     hx, so AQE plans a co-partitioned join), one source-keyed agg
     produces |sources| rows.  At 100 TB all three exchanges move
-    32-byte hashes, not documents."""
+    32-byte hashes, not documents.  The digest projection feeds BOTH
+    the profile agg and the annotate probe, so it is checkpoint-
+    materialized once: text is scanned and md5'd a single time, and the
+    checkpoint holds 32-byte digests, not documents (a collect_list
+    single-pass alternative would instead buffer one unbounded array
+    per mega-duplicated text — a hot-key hazard this shape avoids)."""
     d = table(spark, sf_dir, "documents")
-    h = d.select("source", F.md5("text").alias("hx"))
+    h = d.select("source", F.md5("text").alias("hx")).localCheckpoint()
     g = h.groupBy("hx").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("source").alias("nsrc"),

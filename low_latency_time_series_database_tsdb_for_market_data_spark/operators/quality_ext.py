@@ -78,11 +78,15 @@ def q101_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols x buckets rows, so the shifted self-join is broadcast-able
     at any tick volume; corr is single-pass mergeable moments.  The
     bucket means are exact integer-cents sums divided once, so both
-    engines correlate identical doubles."""
+    engines correlate identical doubles.  The bucket table feeds both
+    branches, so it is localCheckpoint-materialized once (q77's
+    single-scan rule): ONE pass over the tape, KB-scale checkpoint."""
     ev = table(spark, sf_dir, "events")
-    b = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
+    b = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
+        .localCheckpoint()
+    )
     lead = b.select(
         F.col("event_type").alias("lead_sym"),
         (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h1"),

@@ -301,8 +301,10 @@ def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
     ):
         df = reg[name].fn(spark, sf_dir)
         assert exchanges(df) <= budget, name
+    # q101: the bucket table is checkpoint-materialized once (one tape
+    # scan); the visible plan is the broadcast pair join + final agg
     df = reg["q101_lead_lag"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert exchanges(df) <= 3
+    assert exchanges(df) <= 1
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
