@@ -291,3 +291,39 @@ def test_corpus_depth_block_shuffle_budgets(reg, spark, sf_dir):
     assert "CartesianProduct" not in physical_plan(df95)
     assert exchanges(q(reg, spark, sf_dir, "q99_label_centroids")) == 1
     assert exchanges(q(reg, spark, sf_dir, "q100_dup_rate_by_source")) <= 3
+
+
+def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
+    """Scan-count contract over the ENTIRE surface: a query may read a
+    table at most once unless it is on the explicit allowlist — every
+    entry there reads MULTIPLE tables (joins), probes a scalar bound /
+    single row alongside the data pass, or compares two declared slices
+    of one table.  A same-table double scan anywhere else is a 2x-the-
+    tape regression at 100 TB (the q77/q100/q101 class, fixed by
+    checkpoint-materializing the small shared intermediate once)."""
+    allow = {
+        # multi-table joins (each FileScan is a different table)
+        "q10_join_inner", "q11_join_broadcast", "q12_join_outer",
+        "q13_join_theta", "q14_semi", "q15_anti", "q16_asof",
+        "q17_interval_join", "q18_multiway_join", "q75_asof_forward",
+        # scalar-subquery decorrelation demo (broadcast group-avg side)
+        "q19_above_group_avg",
+        # dense-grid resamplers: bounds probe + symbol list + data pass
+        "q36_resample_locf", "q89_resample_linear",
+        # set algebra over two declared slices of one table
+        "q40_setops",
+        # single-row probe + candidate pass (probe scan is id-pruned)
+        "q51_similarity_topk",
+        # scalar threshold / corpus-total probe + data pass
+        "q53_doc_filter", "q92_token_df",
+        # train-vs-test slices of the documents table
+        "q83_contamination",
+    }
+    offenders = []
+    for name in reg:
+        if name in allow:
+            continue
+        fs = physical_plan(reg[name].fn(spark, sf_dir)).count("FileScan")
+        if fs > 1:
+            offenders.append((name, fs))
+    assert not offenders, offenders
