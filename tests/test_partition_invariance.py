@@ -1,0 +1,73 @@
+"""Partition-count invariance sweep for the round-5 depth blocks.
+
+The shipped fixtures are single parquet files; a 1000-executor table is
+thousands of splits in arbitrary order.  Every operator's result must be
+IDENTICAL when its inputs are re-materialized as multi-file directories
+with rows shuffled across splits — this is the local, testable form of
+the "would this survive the cluster" claim: any hidden dependence on
+input split order/count (a first/last without a total order, an
+order-sensitive float fold crossing rows, a per-partition id leaking
+out) fails here even though the single-file oracle diff stays green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+from tests.oracle_diff import assert_df_equal
+
+# every round-5 query over the re-splittable tables (events / documents /
+# embeddings); q39-style heavy recursions and join-block queries over the
+# TPC-H dims are covered by the long-standing property tests instead
+SWEEP = [
+    "q86_realized_variance",
+    "q87_gap_report",
+    "q88_tick_direction",
+    "q89_resample_linear",
+    "q90_hash_split",
+    "q91_source_overlap",
+    "q92_token_df",
+    "q93_spike_mad",
+    "q94_stratified_sample",
+    "q95_simhash_pairs",
+    "q96_intraday_profile",
+    "q97_vol_signature",
+    "q98_user_funnel",
+    "q99_label_centroids",
+    "q100_dup_rate_by_source",
+    "q101_lead_lag",
+    "q102_drawdown_spells",
+    "q103_roll_spread",
+    "q104_benford_digits",
+    "q105_staleness_runs",
+    "q106_minute_rate_anomaly",
+    "q107_zipf_coverage",
+    "q108_norm_band",
+    "q109_overnight_gap",
+    "q110_dispersion_screen",
+    "q111_causal_bursts",
+]
+
+
+@pytest.fixture(scope="module")
+def split_dir(spark, sf_dir, tmp_path_factory):
+    """sf_dir re-materialized with every table an 8-split directory,
+    rows hash-scattered across splits (repartition, not coalesce — the
+    order within and across files must actually change)."""
+    d = tmp_path_factory.mktemp("splits")
+    for name in ("events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+            8
+        ).write.parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_invariant_under_resplit(spark, sf_dir, split_dir, name):
+    reg = load_all()
+    single = reg[name].fn(spark, sf_dir).toPandas()
+    multi = reg[name].fn(spark, split_dir).toPandas()
+    assert_df_equal(multi, single, name=name)
