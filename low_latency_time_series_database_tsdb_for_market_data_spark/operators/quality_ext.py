@@ -715,3 +715,110 @@ def q111_causal_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nm").cast("bigint").alias("prior_minutes"),
         F.col("tot").cast("bigint").alias("prior_ticks"),
     )
+
+
+@query(
+    "q112_market_beta",
+    oracle="""
+    WITH r AS (SELECT event_type, date_trunc('hour', ts) AS h, value,
+                      row_number() OVER (
+                          PARTITION BY event_type, date_trunc('hour', ts)
+                          ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events),
+    c AS (SELECT event_type, h, CAST(ROUND(value*100) AS BIGINT) AS c
+          FROM r WHERE rn = 1),
+    d AS (SELECT event_type, h,
+                 c - lag(c) OVER (PARTITION BY event_type ORDER BY h) AS dx
+          FROM c),
+    dx AS (SELECT event_type, h, dx FROM d WHERE dx IS NOT NULL),
+    m AS (SELECT h, SUM(dx) AS dm FROM dx GROUP BY h),
+    j AS (SELECT dx.event_type, dx.dx, m.dm FROM dx JOIN m USING (h)),
+    a AS (SELECT event_type, COUNT(*) AS n, SUM(dx) AS sx, SUM(dm) AS sm,
+                 SUM(dx * dm) AS sxm, SUM(dm * dm) AS smm
+          FROM j GROUP BY 1),
+    nb AS (SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                  CAST(n * sxm - sx * sm AS BIGINT) AS ncov_scaled,
+                  CAST(n * smm - sm * sm AS BIGINT) AS nvar_scaled
+           FROM a)
+    SELECT event_type, n_hours, ncov_scaled, nvar_scaled,
+           CASE WHEN ncov_scaled < 0
+                THEN -((-ncov_scaled * 20000 + nvar_scaled)
+                       // (2 * nvar_scaled))
+                ELSE (ncov_scaled * 20000 + nvar_scaled)
+                     // (2 * nvar_scaled)
+           END / 10000.0 AS beta
+    FROM nb WHERE nvar_scaled > 0
+    """,
+    category="timeseries-microstructure",
+)
+def q112_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol market beta over hourly close-to-close changes: the
+    OLS slope of the symbol's hourly price change against the aggregate
+    market flow (the SUM of every symbol's change that hour — an
+    integer, unlike a mean, so the whole regression stays in exact
+    BIGINT).  beta = (nΣxy − ΣxΣy) / (nΣy² − (Σy)²) with the 4-decimal
+    round sign-split integer-decided; the scaled numerator/denominator
+    are emitted too, so a portfolio layer can re-aggregate without
+    precision loss.
+
+    Shape: (symbol, hour) close picks ride one exchange (row_number
+    desc, q22's endpoint rule); everything after runs on the hour grid —
+    symbol-keyed lag, one hour-keyed agg for the market flow, a
+    broadcast-able grid join, one final symbol agg.  The corpus-scale
+    work is the close pick; the regression is grid-scale.  The dx grid
+    feeds BOTH the market agg and the probe side, so it is checkpoint-
+    materialized once (q77's single-scan rule): one pass over the
+    tape, KB-scale checkpoint."""
+    ev = table(spark, sf_dir, "events")
+    wb = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    c = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "event_id",
+            cents("value").alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+    )
+    d = (
+        c.withColumn(
+            "dx",
+            F.col("c")
+            - F.lag("c").over(Window.partitionBy("event_type").orderBy("h")),
+        )
+        .where(F.col("dx").isNotNull())
+        .select("event_type", "h", "dx")
+        .localCheckpoint()
+    )
+    m = d.groupBy("h").agg(F.sum("dx").alias("dm"))
+    j = d.select("event_type", "h", "dx").join(F.broadcast(m), "h")
+    a = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dm").alias("sm"),
+        F.sum(F.col("dx") * F.col("dm")).alias("sxm"),
+        F.sum(F.col("dm") * F.col("dm")).alias("smm"),
+    )
+    nb = a.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxm"
+            " - CAST(sx AS DECIMAL(38,0)) * sm AS BIGINT)"
+        ).alias("ncov_scaled"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * smm"
+            " - CAST(sm AS DECIMAL(38,0)) * sm AS BIGINT)"
+        ).alias("nvar_scaled"),
+    ).where(F.col("nvar_scaled") > 0)
+    return nb.select(
+        "event_type",
+        "n_hours",
+        "ncov_scaled",
+        "nvar_scaled",
+        ratio_e4_signed("ncov_scaled", "nvar_scaled").alias("beta"),
+    )

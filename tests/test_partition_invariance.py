@@ -49,6 +49,7 @@ SWEEP = [
     "q109_overnight_gap",
     "q110_dispersion_screen",
     "q111_causal_bursts",
+    "q112_market_beta",
 ]
 
 

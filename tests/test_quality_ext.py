@@ -214,6 +214,56 @@ def test_q111_equals_causal_replay(reg, spark, sf_dir, ddb):
     assert got == expect
 
 
+def test_q112_beta_numpy_mirror_and_market_identity(reg, spark, sf_dir, ddb):
+    """Beta pieces recomputed with exact python ints from independently
+    re-derived hourly closes; and when every symbol covers every hour,
+    the betas' numerators must sum to the shared denominator (regressing
+    the sum of parts on itself: sum_s cov(dx_s, dm) == var(dm))."""
+    got = _pdf(reg, spark, sf_dir, "q112_market_beta").set_index("event_type")
+    closes = ddb.execute(
+        """
+        WITH r AS (SELECT event_type, date_trunc('hour', ts) AS h, value,
+                          row_number() OVER (
+                              PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                   FROM events)
+        SELECT event_type, h, CAST(ROUND(value*100) AS BIGINT) AS c
+        FROM r WHERE rn = 1 ORDER BY event_type, h
+        """
+    ).df()
+    dm: dict = {}
+    dxs: dict = {}
+    for sym, g in closes.groupby("event_type"):
+        cs = [int(x) for x in g.c]
+        hs = list(g.h)
+        for h, prev, cur in zip(hs[1:], cs[:-1], cs[1:]):
+            d = cur - prev
+            dxs.setdefault(sym, []).append((h, d))
+            dm[h] = dm.get(h, 0) + d
+    same_hours = len({len(v) for v in dxs.values()}) == 1 and all(
+        len(v) == len(dm) for v in dxs.values()
+    )
+    ncovs = {}
+    for sym, pairs in dxs.items():
+        xs = [d for _, d in pairs]
+        ys = [dm[h] for h, _ in pairs]
+        n = len(xs)
+        ncov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        nvar = n * sum(y * y for y in ys) - sum(ys) ** 2
+        ncovs[sym] = (ncov, nvar)
+        if nvar <= 0:
+            assert sym not in got.index
+            continue
+        row = got.loc[sym]
+        assert row.n_hours == n
+        assert row.ncov_scaled == ncov and row.nvar_scaled == nvar
+        assert (row.beta >= 0) == (ncov >= 0)
+    if same_hours:
+        nvars = {v[1] for v in ncovs.values()}
+        assert len(nvars) == 1  # shared hour set -> shared denominator
+        assert sum(v[0] for v in ncovs.values()) == nvars.pop()
+
+
 def _events_dir(spark, tmp_path, name, rows):
     """Tiny events.parquet shaped like the testdata (the operators read
     `{sf_dir}/events.parquet`)."""
@@ -301,6 +351,11 @@ def test_quality_block_shuffle_budgets(reg, spark, sf_dir):
     ):
         df = reg[name].fn(spark, sf_dir)
         assert exchanges(df) <= budget, name
+    # q112: the dx grid is checkpoint-materialized once; the visible
+    # plan is the hour agg + broadcast grid join + final symbol agg
+    df = reg["q112_market_beta"].fn(spark, sf_dir)
+    assert exchanges(df) <= 2
+    assert "BroadcastExchange" in physical_plan(df)
     # q101: the bucket table is checkpoint-materialized once (one tape
     # scan); the visible plan is the broadcast pair join + final agg
     df = reg["q101_lead_lag"].fn(spark, sf_dir)
