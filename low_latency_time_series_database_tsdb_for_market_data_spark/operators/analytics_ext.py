@@ -44,7 +44,7 @@ def q77_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = b.select(
         F.col("event_type").alias("sym_a"), "h", F.col("v").alias("va")

@@ -281,7 +281,8 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
         .select(
             "doc_id", F.least(F.col("doc_id"), F.col("nb")).alias("cluster_id")
         )
-        .localCheckpoint()
+        # lazy: the prev_sum agg just below materializes it in its own job
+        .localCheckpoint(eager=False)
     )
     # labels only ever decrease (min-propagation), so the label SUM is
     # strictly monotone: an unchanged sum == fixpoint.  One tiny agg job
@@ -297,7 +298,8 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            # lazy: the cur_sum agg below materializes it
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -473,7 +475,8 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .crossJoin(F.broadcast(cap_row))
         .where(F.size("ds") < F.col("cap"))
-        .localCheckpoint()
+        # lazy: the first sizes broadcast build materializes it
+        .localCheckpoint(eager=False)
     )
     # per-doc retained-shingle counts from the SAME aggregation: explode
     # the kept doc sets (O(vocabulary x cap) rows, tiny vs the corpus)

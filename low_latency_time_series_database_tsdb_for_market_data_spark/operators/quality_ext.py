@@ -85,7 +85,7 @@ def q101_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg((F.sum(cents("value")) / 100.0 / F.count(F.lit(1))).alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lead = b.select(
         F.col("event_type").alias("lead_sym"),
@@ -792,7 +792,7 @@ def q112_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dx").isNotNull())
         .select("event_type", "h", "dx")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     m = d.groupBy("h").agg(F.sum("dx").alias("dm"))
     j = d.select("event_type", "h", "dx").join(F.broadcast(m), "h")
