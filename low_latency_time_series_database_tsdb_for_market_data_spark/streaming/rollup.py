@@ -77,10 +77,11 @@ def continuous_ohlc(
     q.awaitTermination()
 
 
-def read_bars(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    """Merge-on-read: fold partial bars into final OHLC bars."""
-    p = spark.read.parquet(rollup_dir)
-    merged = p.groupBy("symbol", "bucket").agg(
+def fold_bars(partials: DataFrame) -> DataFrame:
+    """Fold partial bars (any number per (symbol, bucket), from any mix
+    of micro-batches, compactions, or retention passes) into final OHLC
+    bars — the monoid merge every reader of the rollup algebra shares."""
+    merged = partials.groupBy("symbol", "bucket").agg(
         F.sum("n").alias("n"),
         F.sum("sum_p").alias("sum_p"),
         F.min("low").alias("low"),
@@ -98,6 +99,11 @@ def read_bars(spark: SparkSession, rollup_dir: str) -> DataFrame:
         F.col("close_t")["price"].alias("close"),
         F.round(F.col("sum_p") / F.col("n"), 4).alias("avg_price"),
     )
+
+
+def read_bars(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Merge-on-read: fold partial bars into final OHLC bars."""
+    return fold_bars(spark.read.parquet(rollup_dir))
 
 
 def compact_rollup(spark: SparkSession, rollup_dir: str, out_dir: str) -> None:

@@ -1,0 +1,90 @@
+"""Retention / downsampling lifecycle: expiring raw ticks into bars must
+be invisible to readers — unified_bars equals the never-retained bars
+through mid-bucket cutoffs, repeated passes, and idempotent re-runs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (
+    apply_retention,
+    unified_bars,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+    read_ticks,
+    write_ticks,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.ticks import (
+    tick_view,
+)
+from tests.oracle_diff import assert_df_equal
+
+
+def _bars_pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+def test_retention_conserves_bars_and_is_idempotent(spark, sf_dir, tmp_path):
+    raw_dir = str(tmp_path / "raw")
+    bars_dir = str(tmp_path / "bars")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    n_total = ticks.count()
+
+    # ground truth: bars over the never-retained table
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert len(expected) > 0
+
+    # cutoff at the median tick — deliberately mid-bucket (not aligned
+    # to a minute boundary), so at least one bar straddles the archive
+    (p50,) = ticks.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    import datetime as dt
+
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+    assert cutoff.second or cutoff.microsecond or cutoff.minute  # unaligned
+
+    audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
+    assert audit["expired_rows"] > 0 and audit["retained_rows"] > 0
+    assert audit["expired_rows"] + audit["retained_rows"] == n_total
+    # raw table holds ONLY the surviving slice
+    kept = read_ticks(spark, raw_dir)
+    assert kept.count() == audit["retained_rows"]
+    assert kept.agg(F.min("ts")).collect()[0][0] >= cutoff
+
+    # the retention boundary is invisible to readers
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after retention")
+
+    # idempotent: same cutoff again changes nothing
+    audit2 = apply_retention(spark, raw_dir, bars_dir, cutoff)
+    assert audit2["expired_rows"] == 0
+    again = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(again, expected, name="bars after no-op retention")
+
+
+def test_second_retention_pass_still_folds_exactly(spark, sf_dir, tmp_path):
+    """Two successive cutoffs split some buckets across separate archive
+    appends — the monoid fold must still reproduce the one-shot bars."""
+    raw_dir = str(tmp_path / "raw2")
+    bars_dir = str(tmp_path / "bars2")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+
+    p33, p66 = ticks.selectExpr(
+        "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+    ).collect()[0][0]
+    import datetime as dt
+
+    base = dt.datetime(1970, 1, 1)
+    c1 = base + dt.timedelta(microseconds=int(p33))
+    c2 = base + dt.timedelta(microseconds=int(p66))
+    a1 = apply_retention(spark, raw_dir, bars_dir, c1)
+    a2 = apply_retention(spark, raw_dir, bars_dir, c2)
+    assert a1["expired_rows"] > 0 and a2["expired_rows"] > 0
+
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after two retention passes")
