@@ -54,11 +54,15 @@ def apply_retention(
     """Expire raw ticks with ts < cutoff into partial bars.
 
     Idempotent: a re-run with the same (or an earlier) cutoff finds no
-    expiring rows and changes nothing.  The surviving raw slice is fully
+    expiring rows and changes nothing — including on a raw table already
+    expired down to nothing (a fully-archived table stays queryable
+    through unified_bars).  The surviving raw slice is fully
     materialized into a staging directory BEFORE the old table is
     replaced, so a crash at any point leaves either the old table or the
     complete new one.  Returns an audit dict
     {expired_rows, retained_rows, bars_appended}."""
+    if not _has_parquet(raw_dir):  # everything already archived
+        return {"expired_rows": 0, "retained_rows": 0, "bars_appended": 0}
     raw = read_ticks(spark, raw_dir)
     lit = F.lit(cutoff)
     old = raw.where(F.col("ts") < lit)
@@ -74,10 +78,17 @@ def apply_retention(
     n_bars = spark.read.parquet(bars_dir).count()
 
     # stage -> swap: materialize survivors fully, then replace the dir
+    # (an empty survivor set swaps in an empty directory — Spark writes
+    # no part files for an empty partitioned frame, and every reader
+    # here goes through the _has_parquet guard)
     stage = f"{raw_dir.rstrip('/')}__retain_stage"
     recent = raw.where(F.col("ts") >= lit)
-    write_ticks(recent, stage, mode="overwrite")
-    retained = read_ticks(spark, stage).count()
+    retained = recent.count()
+    if retained:
+        write_ticks(recent, stage, mode="overwrite")
+        assert read_ticks(spark, stage).count() == retained  # barrier
+    else:
+        Path(stage).mkdir(parents=True, exist_ok=True)
     _shutil.rmtree(raw_dir)
     _shutil.move(stage, raw_dir)
     return {
@@ -98,8 +109,21 @@ def unified_bars(
     Both sides reduce to the same partial-bar shape and fold in ONE
     monoid merge, so a bucket straddling a retention cutoff (part
     archived, part raw) — or split across several retention passes —
-    still yields exactly the bar a never-retained table would."""
-    parts = _tick_partials(read_ticks(spark, raw_dir), bucket)
-    if _has_parquet(bars_dir):
-        parts = parts.unionByName(spark.read.parquet(bars_dir))
+    still yields exactly the bar a never-retained table would.  Either
+    side may be empty (brand-new table: no archive; fully-retained
+    table: no raw files)."""
+    have_raw = _has_parquet(raw_dir)
+    have_bars = _has_parquet(bars_dir)
+    if not have_raw and not have_bars:
+        raise ValueError(
+            f"unified_bars: neither {raw_dir} nor {bars_dir} holds data"
+        )
+    parts = (
+        _tick_partials(read_ticks(spark, raw_dir), bucket)
+        if have_raw
+        else None
+    )
+    if have_bars:
+        archived = spark.read.parquet(bars_dir)
+        parts = archived if parts is None else parts.unionByName(archived)
     return fold_bars(parts)

@@ -65,6 +65,34 @@ def test_retention_conserves_bars_and_is_idempotent(spark, sf_dir, tmp_path):
     assert_df_equal(again, expected, name="bars after no-op retention")
 
 
+def test_full_expiry_keeps_table_queryable(spark, sf_dir, tmp_path):
+    """A cutoff past the last tick archives EVERYTHING: the raw dir ends
+    up empty but unified_bars still serves the full history, and further
+    retention runs are no-ops on the empty table."""
+    import datetime as dt
+
+    raw_dir = str(tmp_path / "raw3")
+    bars_dir = str(tmp_path / "bars3")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+
+    far_future = dt.datetime(2100, 1, 1)
+    audit = apply_retention(spark, raw_dir, bars_dir, far_future)
+    assert audit["retained_rows"] == 0
+    assert audit["expired_rows"] == ticks.count()
+
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after full expiry")
+
+    audit2 = apply_retention(spark, raw_dir, bars_dir, far_future)
+    assert audit2 == {
+        "expired_rows": 0,
+        "retained_rows": 0,
+        "bars_appended": 0,
+    }
+
+
 def test_second_retention_pass_still_folds_exactly(spark, sf_dir, tmp_path):
     """Two successive cutoffs split some buckets across separate archive
     appends — the monoid fold must still reproduce the one-shot bars."""
