@@ -1,4 +1,4 @@
-"""Market-quality and corpus-quality depth operators (q101-q108).
+"""Market-quality and corpus-quality depth operators (q101-q112).
 
 Extends the microstructure block (q86-q97) and the curation block
 (q50-q70, q81-q94) with the screens a market-data warehouse and a
@@ -12,6 +12,10 @@ training-corpus pipeline run side by side:
 * q106 minute-rate anomaly    — burst detection on tick arrival rates
 * q107 Zipf head coverage     — token-distribution health per language
 * q108 embedding norm banding — representation drift / outlier screen
+* q109 overnight gaps         — open-vs-prev-close report, signed e4
+* q110 dispersion screen      — TCA 1%-band outlier prints per day
+* q111 causal burst backtest  — burst_alert_stream's replayable oracle
+* q112 market beta            — exact-integer OLS vs aggregate flow
 
 The determinism discipline is the repo-wide one (functions.deterministic):
 prices are exact integer cents, every ratio leaves the engine through the
