@@ -58,8 +58,11 @@ def apply_retention(
     expired down to nothing (a fully-archived table stays queryable
     through unified_bars).  The surviving raw slice is fully
     materialized into a staging directory BEFORE the old table is
-    replaced, so a crash at any point leaves either the old table or the
-    complete new one.  Returns an audit dict
+    removed, so no crash point loses data: the survivors always exist
+    complete in the stage or the final directory (a crash between the
+    remove and the rename leaves them in the stage path, recoverable by
+    finishing the rename by hand; a table format with atomic REPLACE
+    commits closes even that window).  Returns an audit dict
     {expired_rows, retained_rows, bars_appended}."""
     if not _has_parquet(raw_dir):  # everything already archived
         return {"expired_rows": 0, "retained_rows": 0, "bars_appended": 0}

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import cents
 from .ingest import open_tick_stream
 
 
@@ -36,7 +37,12 @@ def _partial_bars(ticks: DataFrame, bucket: str) -> DataFrame:
         F.window("ts", bucket)["start"].alias("bucket"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("price").alias("sum_p"),
+        # exact integer cents: a DOUBLE sum is order-dependent in the
+        # last bits, so the same bucket split across different batch
+        # boundaries (or a retention pass) could round avg_price
+        # differently — the repo-wide cents discipline applies to
+        # partials exactly because they re-merge in arbitrary order
+        F.sum(cents("price")).alias("sum_pc"),
         F.min("price").alias("low"),
         F.max("price").alias("high"),
         F.min(F.struct("ts", "seq", "price")).alias("open_t"),
@@ -83,7 +89,7 @@ def fold_bars(partials: DataFrame) -> DataFrame:
     bars — the monoid merge every reader of the rollup algebra shares."""
     merged = partials.groupBy("symbol", "bucket").agg(
         F.sum("n").alias("n"),
-        F.sum("sum_p").alias("sum_p"),
+        F.sum("sum_pc").alias("sum_pc"),
         F.min("low").alias("low"),
         F.max("high").alias("high"),
         F.min("open_t").alias("open_t"),
@@ -97,7 +103,7 @@ def fold_bars(partials: DataFrame) -> DataFrame:
         "high",
         "low",
         F.col("close_t")["price"].alias("close"),
-        F.round(F.col("sum_p") / F.col("n"), 4).alias("avg_price"),
+        F.round(F.col("sum_pc") / 100.0 / F.col("n"), 4).alias("avg_price"),
     )
 
 
@@ -112,7 +118,7 @@ def compact_rollup(spark: SparkSession, rollup_dir: str, out_dir: str) -> None:
     p = spark.read.parquet(rollup_dir)
     p.groupBy("symbol", "bucket").agg(
         F.sum("n").alias("n"),
-        F.sum("sum_p").alias("sum_p"),
+        F.sum("sum_pc").alias("sum_pc"),
         F.min("low").alias("low"),
         F.max("high").alias("high"),
         F.min("open_t").alias("open_t"),

@@ -116,3 +116,38 @@ def test_second_retention_pass_still_folds_exactly(spark, sf_dir, tmp_path):
 
     after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
     assert_df_equal(after, expected, name="bars after two retention passes")
+
+
+def test_retention_property_ties_and_random_cutoffs(spark, tmp_path):
+    """Hypothesis-style adversarial corpus, deterministic seeds: ticks
+    with DUPLICATE timestamps (endpoint ties broken by seq via the
+    (ts, seq, price) struct order), random mid-bucket cutoffs, and a
+    cutoff landing exactly between two equal-ts ticks — the fold must
+    reproduce the one-shot bars every time."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    base_rows = []
+    seq = 0
+    for _ in range(120):
+        s = rng.randrange(0, 600)  # 10 minutes of seconds, many collisions
+        sym = rng.choice(["A", "B"])
+        base_rows.append(
+            (sym, t0 + dt.timedelta(seconds=s), round(rng.uniform(1, 9), 2),
+             rng.randrange(1, 100), seq)
+        )
+        seq += 1
+    schema = "symbol string, ts timestamp, price double, volume long, seq long"
+
+    for trial, cutoff_s in enumerate([37, 60, 299.5, 0, 600, 123]):
+        raw_dir = str(tmp_path / f"rawp{trial}")
+        bars_dir = str(tmp_path / f"barsp{trial}")
+        df = spark.createDataFrame(base_rows, schema)
+        write_ticks(df, raw_dir, mode="overwrite")
+        expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+        cutoff = t0 + dt.timedelta(seconds=cutoff_s)
+        apply_retention(spark, raw_dir, bars_dir, cutoff)
+        got = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+        assert_df_equal(got, expected, name=f"retention trial {trial}")

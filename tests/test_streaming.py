@@ -240,7 +240,11 @@ def test_continuous_rollup_equals_batch_ohlc(spark, sf_dir, tmp_path):
             F.max("price").alias("high"),
             F.min("price").alias("low"),
             F.max(F.struct("ts", "seq", "price"))["price"].alias("close"),
-            F.round(F.sum("price") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("price") * 100).cast("bigint")) / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
         )
         .select(
             "symbol", "bucket", "n", "open", "high", "low", "close", "avg_price"
