@@ -43,9 +43,19 @@ def sliding_vwap_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # exact integer cents in the numerator (value is 2-decimal,
+            # user_id integral, so value*user_id is cent-exact): partial
+            # aggregates merge in arrival order, which differs run to run
+            # — a raw double sum could round the 4th decimal differently
+            # across micro-batch splits (the rollup bug class)
             F.round(
                 F.try_divide(
-                    F.sum(F.col("value") * F.col("user_id")), F.sum(F.col("user_id"))
+                    F.sum(
+                        F.round(F.col("value") * F.col("user_id") * 100).cast(
+                            "bigint"
+                        )
+                    ),
+                    100 * F.sum(F.col("user_id")),
                 ),
                 4,
             ).alias("vwap"),
@@ -67,7 +77,11 @@ def session_window_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact cents sum, one divide — order-independent (see vwap)
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0,
+                4,
+            ).alias("sum_value"),
         )
     )
 

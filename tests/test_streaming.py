@@ -108,7 +108,12 @@ def test_sliding_vwap_stream_equals_batch(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(
                 F.try_divide(
-                    F.sum(F.col("value") * F.col("user_id")), F.sum(F.col("user_id"))
+                    F.sum(
+                        F.round(F.col("value") * F.col("user_id") * 100).cast(
+                            "bigint"
+                        )
+                    ),
+                    100 * F.sum(F.col("user_id")),
                 ),
                 4,
             ).alias("vwap"),
