@@ -19,54 +19,33 @@ from low_latency_time_series_database_tsdb_for_market_data_spark.registry import
 )
 from tests.oracle_diff import assert_df_equal
 
-# every round-5 query over the re-splittable tables (events / documents /
-# embeddings); q39-style heavy recursions and join-block queries over the
-# TPC-H dims are covered by the long-standing property tests instead
-SWEEP = [
-    "q86_realized_variance",
-    "q87_gap_report",
-    "q88_tick_direction",
-    "q89_resample_linear",
-    "q90_hash_split",
-    "q91_source_overlap",
-    "q92_token_df",
-    "q93_spike_mad",
-    "q94_stratified_sample",
-    "q95_simhash_pairs",
-    "q96_intraday_profile",
-    "q97_vol_signature",
-    "q98_user_funnel",
-    "q99_label_centroids",
-    "q100_dup_rate_by_source",
-    "q101_lead_lag",
-    "q102_drawdown_spells",
-    "q103_roll_spread",
-    "q104_benford_digits",
-    "q105_staleness_runs",
-    "q106_minute_rate_anomaly",
-    "q107_zipf_coverage",
-    "q108_norm_band",
-    "q109_overnight_gap",
-    "q110_dispersion_screen",
-    "q111_causal_bursts",
-    "q112_market_beta",
-]
+# Queries whose inputs do not come from the sf_dir parquet tables (the
+# CSV-roundtrip fixture) — nothing to re-split.
+_NON_PARQUET = {"q02_csv_roundtrip"}
+
+
+def _sweep_names():
+    return [n for n in load_all() if n not in _NON_PARQUET]
 
 
 @pytest.fixture(scope="module")
 def split_dir(spark, sf_dir, tmp_path_factory):
-    """sf_dir re-materialized with every table an 8-split directory,
+    """sf_dir re-materialized with EVERY table an 8-split directory,
     rows hash-scattered across splits (repartition, not coalesce — the
     order within and across files must actually change)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        TABLES,
+    )
+
     d = tmp_path_factory.mktemp("splits")
-    for name in ("events", "documents", "embeddings"):
+    for name in TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
             8
         ).write.parquet(str(d / f"{name}.parquet"))
     return str(d)
 
 
-@pytest.mark.parametrize("name", SWEEP)
+@pytest.mark.parametrize("name", _sweep_names())
 def test_result_invariant_under_resplit(spark, sf_dir, split_dir, name):
     reg = load_all()
     single = reg[name].fn(spark, sf_dir).toPandas()
