@@ -242,8 +242,9 @@ def make_burst_monitor(factor: int, warmup: int):
     one, because a live monitor cannot consult the future.  The whole
     test is integer cross-multiplication, bit-identical to a batch
     replay.  Late rows (minute older than the open one) fold into the
-    prior-ticks denominator but never re-open a minute or re-fire an
-    alert — an alert, once suppressed or raised, is immutable."""
+    prior-ticks total (raising the running mean — conservative: fewer
+    alerts, never spurious ones) but never re-open a minute or re-fire
+    an alert — an alert, once suppressed or raised, is immutable."""
 
     def update(
         key: tuple[Any, ...],
