@@ -73,3 +73,47 @@ def write_ticks(
 
 def read_ticks(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_ticks(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+) -> dict:
+    """Rewrite a tick table to bound its file count — the maintenance
+    pass that undoes small-file accumulation from incremental appends
+    (every backfill/stream batch commits its own files; a thousand
+    appends = a thousand tiny files, and at 100 TB the NameNode/scan
+    planning cost of that dwarfs the data).  The rewrite goes through
+    `colocate=True`, so compaction also RESTORES the time-clustered
+    layout (one contiguous (symbol, ts) run per output file) that makes
+    row-group min/max stats a selective index — appends interleave time
+    ranges across files; compaction re-sorts them.
+
+    Same stage-then-swap discipline as retention: the compacted table is
+    fully materialized next to the original before the swap, so a crash
+    leaves a complete table at one of the two paths.  Returns
+    {rows, files_before, files_after}."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    files_before = len(list(_Path(path).glob("**/*.parquet")))
+    ticks = spark.read.parquet(path)
+    rows = ticks.count()
+    stage = f"{path.rstrip('/')}__compact_stage"
+    write_ticks(
+        ticks,
+        stage,
+        mode="overwrite",
+        colocate=True,
+        target_files=target_files,
+    )
+    assert spark.read.parquet(stage).count() == rows  # barrier
+    _shutil.rmtree(path)
+    _shutil.move(stage, path)
+    files_after = len(list(_Path(path).glob("**/*.parquet")))
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

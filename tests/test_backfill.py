@@ -63,3 +63,35 @@ def test_backfill_idempotent_and_incremental(spark, sf_dir, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def test_compact_after_many_appends(spark, sf_dir, tmp_path):
+    """Ten small appends -> one compaction: same rows, fewer files, and
+    the rewritten layout keeps ts filters pushed to the parquet scan."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+        pushed_filters,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        compact_ticks,
+        write_ticks,
+    )
+
+    table = str(tmp_path / "ctable")
+    ticks = tick_view(spark, sf_dir)
+    n = ticks.count()
+    step = max(1, n // 10)
+    for i in range(10):
+        write_ticks(
+            ticks.where(f"seq >= {i * step} AND seq < {(i + 1) * step}"),
+            table,
+            mode="append",
+        )
+    written = read_ticks(spark, table).count()
+    before = compact_ticks(spark, table, target_files=2)
+    assert before["rows"] == written
+    assert before["files_after"] < before["files_before"]
+    assert read_ticks(spark, table).count() == written
+    # pushdown survives the rewrite
+    t = read_ticks(spark, table)
+    probe = t.where(t["ts"] >= t.agg({"ts": "max"}).collect()[0][0])
+    assert any("ts" in f for f in pushed_filters(probe))
