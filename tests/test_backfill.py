@@ -95,3 +95,55 @@ def test_compact_after_many_appends(spark, sf_dir, tmp_path):
     t = read_ticks(spark, table)
     probe = t.where(t["ts"] >= t.agg({"ts": "max"}).collect()[0][0])
     assert any("ts" in f for f in pushed_filters(probe))
+
+
+def test_lifecycle_backfill_compact_retain_query(spark, sf_dir, tmp_path):
+    """The full table lifecycle composes: idempotent backfill of split
+    deliveries -> small-file compaction -> retention into bars, with the
+    unified reader equal to direct bars over the original ticks at every
+    step."""
+    import datetime as dt
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (
+        apply_retention,
+        unified_bars,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        compact_ticks,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.rollup import (
+        _partial_bars,
+        fold_bars,
+    )
+    from tests.oracle_diff import assert_df_equal
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    for i in range(4):
+        f = _tick_file(spark, sf_dir, tmp_path / f"lp{i}", i * 250, (i + 1) * 250)
+        shutil.copy(f, src / f"chunk{i}.parquet")
+    table = str(tmp_path / "ltable")
+    manifest = str(tmp_path / "lmanifest.txt")
+    bars = str(tmp_path / "lbars")
+
+    ingest_files_idempotent(spark, f"{src}/*.parquet", table, manifest)
+    ingest_files_idempotent(spark, f"{src}/*.parquet", table, manifest)  # no-op
+    ticks = read_ticks(spark, table)
+    expected = fold_bars(
+        _partial_bars(
+            ticks.select("symbol", "ts", "price", "seq"), "1 minute"
+        )
+    ).toPandas()
+
+    audit = compact_ticks(spark, table, target_files=2)
+    assert audit["files_after"] < audit["files_before"]
+
+    (p50,) = read_ticks(spark, table).selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+    ra = apply_retention(spark, table, bars, cutoff)
+    assert ra["expired_rows"] > 0
+
+    got = unified_bars(spark, table, bars).toPandas()
+    assert_df_equal(got, expected, name="lifecycle bars")
