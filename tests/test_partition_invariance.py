@@ -51,3 +51,32 @@ def test_result_invariant_under_resplit(spark, sf_dir, split_dir, name):
     single = reg[name].fn(spark, sf_dir).toPandas()
     multi = reg[name].fn(spark, split_dir).toPandas()
     assert_df_equal(multi, single, name=name)
+
+
+def test_result_invariant_under_shuffle_partition_count(spark, sf_dir):
+    """The other parallelism axis: changing spark.sql.shuffle.partitions
+    changes how partial aggregates merge.  The queries whose outputs
+    pass through float arithmetic (corr, cosine, centroid means, EWMA,
+    VWAP) must still hash identically — the integer-cents / single-
+    divide discipline is what guarantees it."""
+    reg = load_all()
+    sensitive = [
+        "q20_agg_basic",
+        "q23_vwap",
+        "q39_ewma",
+        "q51_similarity_topk",
+        "q77_symbol_correlation",
+        "q99_label_centroids",
+        "q101_lead_lag",
+        "q108_norm_band",
+        "q112_market_beta",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in sensitive:
+        base = reg[name].fn(spark, sf_dir).toPandas()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            alt = reg[name].fn(spark, sf_dir).toPandas()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        assert_df_equal(alt, base, name=f"{name}@3-shuffle-partitions")
