@@ -327,25 +327,31 @@ def main() -> None:
     # q01..q81, compact separators, integer rates) AND be the very last
     # thing printed.  Full-name 4-decimal detail lives in
     # bench_detail.json. ---
-    out = {
-        "metric": "declared_query_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": {name.split("_")[0]: round(sec, 3)
-                    for name, sec in queries.items()},
-        "sf": sf,
-        "ingest_rows_per_sec": int(n_events / ingest_sec),
-        "scan_rows_per_sec": int(n_events / scan_sec),
-        "cold_point_sec": round(cold_point_sec, 3),
-        "warm_point_sec": round(warm_point_sec, 3),
-        "open_sec": round(session_open_sec + warm_start_sec, 2),
-        "dedup_docs_per_sec": int(n_docs / dedup_sec),
-        **{
-            k: {m: int(v) for m, v in r.items()}
-            for k, r in gen_results.items()
-        },
-    }
-    line = json.dumps(out, separators=(",", ":"))
+    # per-query precision adapts to the suite size: 3 decimals while the
+    # line fits, else 2, else 1 — the full 4-decimal detail is always in
+    # bench_detail.json, the driver line only needs relative magnitudes
+    for q_decimals in (3, 2, 1):
+        out = {
+            "metric": "declared_query_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {name.split("_")[0]: round(sec, q_decimals)
+                        for name, sec in queries.items()},
+            "sf": sf,
+            "ingest_rows_per_sec": int(n_events / ingest_sec),
+            "scan_rows_per_sec": int(n_events / scan_sec),
+            "cold_point_sec": round(cold_point_sec, 3),
+            "warm_point_sec": round(warm_point_sec, 3),
+            "open_sec": round(session_open_sec + warm_start_sec, 2),
+            "dedup_docs_per_sec": int(n_docs / dedup_sec),
+            **{
+                k: {m: int(v) for m, v in r.items()}
+                for k, r in gen_results.items()
+            },
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) < 1900:
+            break
     assert len(line) < 1900, f"bench line {len(line)} chars exceeds driver tail buffer"
     spark.stop()
     sys.stdout.flush()

@@ -6,10 +6,12 @@ from . import events_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm  # noqa: F401
+from . import portfolio_ext  # noqa: F401
 from . import quality_ext  # noqa: F401
 from . import reference_surface  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import sessions  # noqa: F401
 from . import setops  # noqa: F401
+from . import tpch_ext  # noqa: F401
 from . import tsdb_ext  # noqa: F401
 from . import windows  # noqa: F401

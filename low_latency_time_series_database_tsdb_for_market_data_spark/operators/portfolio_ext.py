@@ -1,0 +1,228 @@
+"""Portfolio/market-structure depth operators (q117-q120): serial
+dependence, venue concentration, price-level clustering, event-study
+alignment.
+
+Same determinism discipline as quality_ext: prices live as exact integer
+cents from the first map, every reported ratio is the integer-decided
+4-decimal helper, and the only doubles crossing an aggregation boundary
+are (a) corr's mergeable moments over exact-integer inputs rounded to 4
+decimals — the q77 precedent, re-checked by the shuffle-partition
+invariance sweep — and (b) one IEEE division both engines perform on the
+same exact integers.  Every shuffle keys on the natural 100 TB partition
+column (symbol / day / user), and every output is dimension-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents, ratio_e4
+from ..registry import query
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q117_flow_autocorr",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      SUM(CAST(ROUND(value*100) AS BIGINT)) AS s
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, s,
+                 lag(s) OVER (PARTITION BY event_type ORDER BY h) AS ps
+          FROM b)
+    SELECT event_type, CAST(COUNT(ps) AS BIGINT) AS n_pairs,
+           ROUND(corr(s, ps), 4) AS r
+    FROM p WHERE ps IS NOT NULL GROUP BY 1
+    """,
+    category="timeseries-similarity",
+)
+def q117_flow_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each symbol's hourly dollar flow — the
+    persistence screen (momentum vs mean-reversion at the 1-hour
+    horizon) that complements q77's CROSS-symbol correlation matrix and
+    q101's directed lead-lag with the symbol's own serial dependence.
+
+    Exactness: hourly flows are exact BIGINT cents sums; corr over those
+    integers is single-pass mergeable moments rounded to 4 decimals
+    (the q77 precedent — held under the partition-count invariance
+    sweep).  Shape: one hash-agg to symbol x hour (map-side partials),
+    one symbol-keyed window for the lag, one final agg to |symbols|
+    rows.  The window input is already bucket-sized, not tick-sized."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(cents("value")).alias("s"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    p = b.select("event_type", "s", F.lag("s").over(w).alias("ps")).where(
+        F.col("ps").isNotNull()
+    )
+    return p.groupBy("event_type").agg(
+        F.count("ps").alias("n_pairs"),
+        F.round(F.corr("s", "ps"), 4).alias("r"),
+    )
+
+
+@query(
+    "q118_turnover_hhi",
+    oracle="""
+    WITH s AS (SELECT date_trunc('day', ts) AS d, event_type,
+                      SUM(CAST(ROUND(value*100) AS BIGINT)) AS su
+               FROM events GROUP BY 1, 2),
+    sh AS (SELECT d, event_type, su,
+                  (su * 20000 + SUM(su) OVER (PARTITION BY d))
+                    // (2 * SUM(su) OVER (PARTITION BY d)) AS share_bp
+           FROM s)
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_e8,
+           CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+    FROM sh GROUP BY d
+    """,
+    category="timeseries-profile",
+)
+def q118_turnover_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily turnover concentration: the Herfindahl-Hirschman index of
+    dollar-volume share across symbols (1e8 = single-symbol monopoly),
+    plus the top symbol's share — the is-flow-concentrating screen used
+    for venue health and index-rebalance detection.
+
+    Exactness: shares are integer-decided basis-point-of-e4 units
+    (floor((su*2e4+tot)/(2*tot)) — the ratio_e4 integer BEFORE its final
+    division), so HHI = sum of integer squares is an exact BIGINT on
+    both engines.  Shape: one hash-agg to day x symbol, a day-keyed
+    window over that dimension-sized table for the total, one final agg
+    to |days| rows."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.sum(cents("value")).alias("su"))
+    wd = Window.partitionBy("d")
+    sh = s.select(
+        "d",
+        F.sum("su").over(wd).alias("tot"),
+        "su",
+    ).select(
+        "d",
+        F.expr(
+            "((CAST(su AS DECIMAL(38,0)) * 20000"
+            " + CAST(tot AS DECIMAL(38,0)))"
+            " div (2 * CAST(tot AS DECIMAL(38,0))))"
+        )
+        .cast("bigint")
+        .alias("share_bp"),
+    )
+    return sh.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        F.sum(F.col("share_bp") * F.col("share_bp"))
+        .cast("bigint")
+        .alias("hhi_e8"),
+        F.max("share_bp").cast("bigint").alias("top_share_bp"),
+    )
+
+
+@query(
+    "q119_price_ending_digits",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) % 10 AS digit
+               FROM events)
+    SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n,
+           (COUNT(*) * 20000 + SUM(COUNT(*)) OVER (PARTITION BY event_type))
+             // (2 * SUM(COUNT(*)) OVER (PARTITION BY event_type))
+             / 10000.0 AS share_e4
+    FROM c GROUP BY event_type, digit
+    """,
+    category="timeseries-quality",
+)
+def q119_price_ending_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending-digit clustering: the distribution of the final
+    cents digit per symbol.  Round-number clustering (excess mass on 0
+    and 5) is the classic microstructure fingerprint of human limit
+    orders and coarse tick grids; a uniform tail is what synthetic or
+    sub-penny flow looks like.  Complements q104's leading-digit
+    (Benford) screen at the other end of the number.
+
+    Exactness: digits are exact integer cents mod 10 (values are
+    nonnegative, so both engines' % agree); shares are integer-decided.
+    Shape: narrow map into one hash-agg keyed by (symbol, digit) — at
+    most 10 x |symbols| cells — then a symbol-keyed window over those
+    cells for the denominator."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type", (cents("value") % 10).alias("digit")
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "digit",
+        "n",
+        F.sum("n").over(wt).alias("tot"),
+    ).select(
+        "event_type", "digit", "n", ratio_e4("n", "tot").alias("share_e4")
+    )
+
+
+@query(
+    "q120_event_study",
+    oracle=f"""
+    WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    a AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+                      OVER (PARTITION BY user_id) AS t0
+          FROM t)
+    SELECT CAST(FLOOR((us - t0) / {_HOUR_US}.0) AS BIGINT) AS rel_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (SUM(c) * 20000 + 100 * COUNT(*)) // (2 * 100 * COUNT(*))
+             / 10000.0 AS avg_value
+    FROM a
+    WHERE t0 IS NOT NULL
+      AND FLOOR((us - t0) / {_HOUR_US}.0) BETWEEN -72 AND 72
+    GROUP BY 1
+    """,
+    category="timeseries-eventstudy",
+)
+def q120_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study alignment: every user's activity re-indexed to hours
+    relative to their FIRST 'signup' event, averaged across users — the
+    did-the-treatment-change-behavior curve (abnormal activity around
+    an anchor event) that every A/B and announcement study starts from.
+
+    The anchor is a conditional MIN window over the user partition — no
+    self-join, one window pass finds each user's t0 and aligns their
+    whole history in the same pass.  rel_hour = floor((us-t0)/3.6e9):
+    the quotient's granularity (1/3.6e9) exceeds half-ulp at |rel| <=
+    72 by four orders of magnitude, so the IEEE division can only land
+    on an integer when the quotient IS exact — floor is engine-identical
+    (both sides divide the same exact integers in the same double op).
+
+    Shape: one user-keyed window pass (the 100 TB partition key for
+    behavioral data) + one hash-agg to <= 145 output rows."""
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    a = ev.select(
+        "user_id",
+        us.alias("us"),
+        cents("value").alias("c"),
+        F.min(F.when(F.col("event_type") == "signup", us))
+        .over(wu)
+        .alias("t0"),
+    )
+    rel = F.floor((F.col("us") - F.col("t0")) / F.lit(float(_HOUR_US)))
+    return (
+        a.where(F.col("t0").isNotNull() & rel.between(-72, 72))
+        .groupBy(rel.cast("bigint").alias("rel_hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"))
+        .select(
+            "rel_hour",
+            "n",
+            ratio_e4("sum_c", "100 * n").alias("avg_value"),
+        )
+    )

@@ -1,0 +1,270 @@
+"""Warehouse-shaped multiway analytics (q113-q116): the TPC-H-style
+reports an analytics engine sitting next to the tick store must run over
+the same catalog — shipping priority, regional market share, customer
+order distribution, returned-item revenue.
+
+These exercise the join planner end to end: selective dim filters that
+must prune BEFORE the fact join, broadcast for region/nation-sized dims,
+shuffle hash joins on the orderkey/custkey spine for fact-to-fact, and
+top-k that compiles to TakeOrderedAndProject (per-partition heaps) rather
+than a global sort.  Money math is the repo-wide exact-integer discipline
+(functions.deterministic): extendedprice*(1-discount) is computed as
+ext_cents * (100 - disc_cents) — an exact BIGINT in 1e-4 dollar units —
+so revenue sums are order-independent and both engines emit the same
+rounded number.
+
+Scale notes (100 TB): customer/supplier are NOT broadcast — they scale
+with the fact tables, so those joins shuffle on their natural keys and
+co-partition with the orders/lineitem spine; only nation/region (fixed
+25/5 rows) ride F.broadcast.  Each query's output is dim-bounded (top-k
+or |nations| rows), never fact-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import ratio_e4, ratio_round
+from ..registry import query
+
+# Exact BIGINT revenue in 1e-4 dollar units: both factors are 2-decimal
+# doubles, so round(x*100) is the one IEEE op both engines agree on.
+# (A function, not a module-level Column: Column construction needs an
+# active SparkContext, and the registry imports before Spark starts.)
+def _rev_u():
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+_REV_U_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
+@query(
+    "q113_ship_priority",
+    oracle=f"""
+    WITH r AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             SUM({_REV_U_SQL}) AS rev_u,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < DATE '1998-01-01'
+        AND l.l_shipdate  > DATE '1998-01-01'
+      GROUP BY 1, 2, 3)
+    SELECT o_orderkey, o_orderdate, o_orderpriority, n_items,
+           (rev_u * 200 + 10000) // 20000 / 100.0 AS revenue
+    FROM r ORDER BY rev_u DESC, o_orderkey LIMIT 10
+    """,
+    category="warehouse-join",
+)
+def q113_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority report (TPC-H Q3 shape): the 10 highest-revenue
+    unshipped BUILDING-segment orders booked before the cutoff.
+
+    Shape: the mktsegment filter prunes customer map-side BEFORE its
+    join (Catalyst pushes it into the scan), orders⋈customer and
+    lineitem⋈orders shuffle on their natural spine keys (co-partitioned
+    at scale; AQE picks broadcast at bench SF), one hash-agg per
+    orderkey, then the top-10 compiles to TakeOrderedAndProject on the
+    exact BIGINT revenue with orderkey tie-break — per-partition heaps,
+    10 rows to the driver at any scale, no global sort."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_rev_u()).alias("rev_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("rev_u").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "n_items",
+            ratio_round("rev_u", "10000", 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q114_region_revenue_share",
+    oracle=f"""
+    WITH r AS (
+      SELECT n.n_name, SUM({_REV_U_SQL}) AS rev_u,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region rg  ON n.n_regionkey = rg.r_regionkey
+      WHERE rg.r_name = 'ASIA'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate <  DATE '1998-01-01'
+      GROUP BY 1)
+    SELECT n_name, n_items,
+           (rev_u * 200 + 10000) // 20000 / 100.0 AS revenue,
+           (rev_u * 20000 + SUM(rev_u) OVER ())
+             // (2 * SUM(rev_u) OVER ()) / 10000.0 AS share_e4
+    FROM r
+    """,
+    category="warehouse-join",
+)
+def q114_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation within one region (TPC-H Q5
+    shape), plus each nation's share of the region total.
+
+    Shape: region filters first and broadcasts through nation (25 rows)
+    into customer — the restricted-customer set is computed without
+    touching a fact table.  The supplier join carries the Q5 twist
+    (s_nationkey = c_nationkey: revenue counts only when the supplier is
+    local), expressed as a compound equi-join — no theta join.  The
+    share divides inside the |nations|-row aggregate via a window SUM
+    over that tiny result, not a second pass over the facts.  supplier
+    is joined WITHOUT broadcast: it scales with SF, so at 100 TB it
+    shuffles on s_suppkey like any fact-side dim."""
+    rg = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev_u()).alias("rev_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "n_name",
+        "n_items",
+        ratio_round("rev_u", "10000", 2).alias("revenue"),
+        F.sum("rev_u").over(total).alias("tot_u"),
+        "rev_u",
+    ).select(
+        "n_name",
+        "n_items",
+        "revenue",
+        ratio_e4("rev_u", "tot_u").alias("share_e4"),
+    )
+
+
+@query(
+    "q115_cust_order_distribution",
+    oracle="""
+    WITH pc AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM pc GROUP BY c_count
+    """,
+    category="warehouse-join",
+)
+def q115_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly k orders — including k = 0, which only a
+    LEFT join can see (the inner-join version silently drops idle
+    customers; keeping them is the point of the query).
+
+    Shape: one shuffle join on custkey, one custkey agg (count of
+    non-null orderkeys), then a second agg whose input is |customers|
+    rows of two BIGINTs and whose output is the handful of distinct
+    order counts.  All counts exact integers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q116_returned_items",
+    oracle=f"""
+    WITH r AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             SUM({_REV_U_SQL}) AS rev_u,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3)
+    SELECT c_custkey, c_name, n_name, n_items,
+           (rev_u * 200 + 10000) // 20000 / 100.0 AS revenue
+    FROM r ORDER BY rev_u DESC, c_custkey LIMIT 20
+    """,
+    category="warehouse-join",
+)
+def q116_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): the 20 customers
+    who returned the most revenue — the who-is-sending-it-back screen.
+
+    Shape: the returnflag filter is pushed into the lineitem scan
+    (selective: ~1/3 of rows), fact joins shuffle on the spine,
+    nation broadcasts, and the top-20 is TakeOrderedAndProject on the
+    exact BIGINT revenue with custkey tie-break."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_rev_u()).alias("rev_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("rev_u").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "n_items",
+            ratio_round("rev_u", "10000", 2).alias("revenue"),
+        )
+    )

@@ -70,6 +70,7 @@ def test_result_invariant_under_shuffle_partition_count(spark, sf_dir):
         "q101_lead_lag",
         "q108_norm_band",
         "q112_market_beta",
+        "q117_flow_autocorr",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     for name in sensitive:

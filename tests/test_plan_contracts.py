@@ -306,6 +306,8 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q10_join_inner", "q11_join_broadcast", "q12_join_outer",
         "q13_join_theta", "q14_semi", "q15_anti", "q16_asof",
         "q17_interval_join", "q18_multiway_join", "q75_asof_forward",
+        "q113_ship_priority", "q114_region_revenue_share",
+        "q115_cust_order_distribution", "q116_returned_items",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass
@@ -327,3 +329,30 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         if fs > 1:
             offenders.append((name, fs))
     assert not offenders, offenders
+
+
+def test_warehouse_topk_compiles_to_take_ordered(reg, spark, sf_dir):
+    # q113/q116: the top-k over exact integer revenue must be
+    # per-partition heaps + driver merge, never Exchange+global Sort
+    for name in ("q113_ship_priority", "q116_returned_items"):
+        plan = physical_plan(q(reg, spark, sf_dir, name))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q114_fixed_dims_broadcast(reg, spark, sf_dir):
+    # region+nation are fixed-cardinality: both must ride broadcast;
+    # customer/supplier may not be broadcast-planned statically (they
+    # scale with SF), but AQE is free to convert at bench scale
+    df = q(reg, spark, sf_dir, "q114_region_revenue_share")
+    assert broadcast_hash_joins(df) >= 2
+
+
+def test_q121_chunking_is_pure_narrow_map(reg, spark, sf_dir):
+    # sequence+explode+substring+md5 is all in-row: ZERO exchanges at
+    # any corpus size — the ideal 100 TB operator shape
+    assert exchanges(q(reg, spark, sf_dir, "q121_chunk_overlap")) == 0
+
+
+def test_q122_packing_single_source_shuffle(reg, spark, sf_dir):
+    # one window pass partitioned by source: exactly one exchange
+    assert exchanges(q(reg, spark, sf_dir, "q122_pack_contexts")) <= 1
