@@ -2,6 +2,7 @@
 
 from . import aggregates  # noqa: F401
 from . import analytics_ext  # noqa: F401
+from . import engagement_ext  # noqa: F401
 from . import events_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401

@@ -1,0 +1,161 @@
+"""User-engagement analytics (q125-q126): cohort retention and rolling
+active-user counts — the product-analytics pair every event warehouse
+serves next to the market-data screens (same events tape, user axis
+instead of symbol axis).
+
+Exactness: everything is integer counts of distinct users plus the
+integer-decided ratio_e4; week truncation is Monday-anchored on both
+engines (checked) and offsets divide exact day counts.  Shapes: both
+queries pre-collapse the tape to DISTINCT (period, user) — the only
+corpus-scale shuffle, keyed by the user axis — and every later step runs
+on period x user cells (bounded by active users, not events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import ratio_e4
+from ..registry import query
+
+
+@query(
+    "q125_retention_cohorts",
+    oracle="""
+    WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w,
+                       user_id
+                FROM events),
+    c AS (SELECT user_id, MIN(w) AS cohort_week FROM wu GROUP BY 1),
+    m AS (SELECT wu.w, c.cohort_week,
+                 date_diff('day', c.cohort_week, wu.w) // 7 AS week_offset,
+                 wu.user_id
+          FROM wu JOIN c USING (user_id)),
+    a AS (SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM m GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_users,
+           (n_users * 20000 + MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                                OVER (PARTITION BY cohort_week))
+             // (2 * MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                   OVER (PARTITION BY cohort_week)) / 10000.0
+             AS retention_e4
+    FROM a
+    """,
+    category="engagement",
+)
+def q125_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first active
+    week, and each (cohort, week-offset) cell reports how many came back
+    — the triangular retention matrix behind every growth dashboard.
+
+    Shape: the tape collapses to DISTINCT (week, user) in ONE user-axis
+    shuffle; the cohort anchor is a per-user MIN over those cells (same
+    key — no extra exchange under the same hash); the matrix aggregation
+    and the offset-0 denominator window both run on |cohorts| x
+    |offsets| cells.  At 100 TB the only corpus-scale pass is the first
+    distinct; everything after is user-cardinality-bounded."""
+    ev = table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "user_id"
+    ).distinct()
+    wc = Window.partitionBy("user_id")
+    m = wu.select(
+        "w",
+        "user_id",
+        F.min("w").over(wc).alias("cohort_week"),
+    ).select(
+        "cohort_week",
+        (F.datediff("w", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    a = m.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    wz = Window.partitionBy("cohort_week")
+    return a.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_users")))
+        .over(wz)
+        .alias("cohort_size"),
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        ratio_e4("n_users", "cohort_size").alias("retention_e4"),
+    )
+
+
+@query(
+    "q126_rolling_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       user_id
+                FROM events),
+    mx AS (SELECT MAX(d) AS max_d FROM du),
+    x AS (SELECT du.d + off * INTERVAL 1 DAY AS day, off, du.user_id
+          FROM du, unnest(generate_series(0, 6)) AS t(off)),
+    f AS (SELECT CAST(day AS DATE) AS day, off, user_id
+          FROM x, mx WHERE day <= mx.max_d)
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                AS BIGINT) AS dau,
+           (COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) * 20000
+              + COUNT(DISTINCT user_id))
+             // (2 * COUNT(DISTINCT user_id)) / 10000.0 AS stickiness_e4
+    FROM f GROUP BY day
+    """,
+    category="engagement",
+)
+def q126_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: for every day, the distinct users active in
+    the trailing 7 days (WAU), that day alone (DAU), and the DAU/WAU
+    stickiness ratio — the standard engagement triple.
+
+    A windowed COUNT DISTINCT has no mergeable partial form, so the
+    trailing window is rewritten as a scatter: each DISTINCT (day, user)
+    cell contributes itself to the 7 target days it is visible from
+    (explode of a 7-element sequence — in-row codegen), and one hash-agg
+    per target day counts distinct users.  Cost: 7x the DISTINCT cell
+    table — bounded by 7 x |users| x |days|, independent of event count;
+    the corpus-scale pass is only the initial distinct.  Target days
+    past the tape's end are clipped against a broadcast single-row MAX
+    probe (no second data pass)."""
+    ev = table(spark, sf_dir, "events")
+    # The distinct cell table feeds BOTH the max-day probe and the
+    # scatter; localCheckpoint materializes it once so the probe does
+    # not re-scan the tape (lazy: the probe's broadcast build is itself
+    # a full-materialization job — the q77 reuse discipline)
+    du = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mx = du.agg(F.max("d").alias("max_d"))
+    x = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select(
+        F.date_add("d", F.col("off")).alias("day"), "off", "user_id"
+    )
+    f = x.crossJoin(F.broadcast(mx)).where(F.col("day") <= F.col("max_d"))
+    return f.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).alias(
+            "dau"
+        ),
+    ).select(
+        "day",
+        "wau",
+        "dau",
+        ratio_e4("dau", "wau").alias("stickiness_e4"),
+    )

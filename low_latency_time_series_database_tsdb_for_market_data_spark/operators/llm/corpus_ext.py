@@ -269,3 +269,88 @@ def q100_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("n_dup_docs", "n_docs").alias("dup_share"),
         )
     )
+
+
+# Integer e4-scale centroid component (the ratio_e4_signed integer BEFORE
+# its final /10000.0) — shared by the Spark side and the oracle of q128.
+_CENT_INT_SQL = (
+    "CASE WHEN sum_q < 0"
+    " THEN -(((-sum_q) * 20000 + n) div (2 * n))"
+    " ELSE ((sum_q * 20000 + n) div (2 * n)) END"
+)
+
+
+@query(
+    "q128_centroid_separation",
+    oracle=f"""
+    WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                      unnest(range(1, len(embedding) + 1)) AS dim,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                 * {_Q_SCALE}) AS BIGINT) AS q
+               FROM embeddings),
+    g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sum_q
+          FROM x GROUP BY 1, 2),
+    c AS (SELECT label, dim,
+                 CASE WHEN sum_q < 0
+                      THEN -(((-sum_q) * 20000 + n) // (2 * n))
+                      ELSE ((sum_q * 20000 + n) // (2 * n)) END AS ci
+          FROM g)
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM((a.ci - b.ci) * (a.ci - b.ci)) AS BIGINT) AS l2sq_e8
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+    category="llm-embedding",
+)
+def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared L2 distance between the per-label centroids of
+    q99 — the cluster-separation matrix behind classifier sanity checks
+    ("are these classes even separable?") and IVF seeding diagnostics
+    (centroids too close = wasted coarse cells).
+
+    Exactness: centroids are the same integer-decided e4 components as
+    q99 (kept as INTEGERS — no final division), so the distance is an
+    exact BIGINT sum of integer squares on both engines.
+
+    Shape: ONE corpus pass reduces to |labels| x dims cells (the q99
+    aggregation), which localCheckpoint materializes so the pair join
+    reads the KB-scale cell table twice WITHOUT re-scanning embeddings;
+    the self-join broadcasts one side and outputs C(|labels|, 2) rows.
+    At 100 TB only the first aggregation touches the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    g = (
+        e.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("v") * _Q_SCALE).alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))
+    )
+    c = g.select(
+        "label", "dim", F.expr(_CENT_INT_SQL).alias("ci")
+    ).localCheckpoint(eager=False)
+    a = c.select(
+        F.col("label").alias("label_a"), "dim", F.col("ci").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "dim", F.col("ci").alias("cb")
+    )
+    d = F.col("ca") - F.col("cb")
+    return (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(d * d).cast("bigint").alias("l2sq_e8"),
+        )
+    )

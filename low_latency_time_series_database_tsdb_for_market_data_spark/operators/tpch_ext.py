@@ -268,3 +268,53 @@ def q116_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round("rev_u", "10000", 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q127_brand_revenue_share",
+    oracle=f"""
+    WITH r AS (
+      SELECT p.p_brand, SUM({_REV_U_SQL}) AS rev_u,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1)
+    SELECT p_brand, n_items,
+           (rev_u * 200 + 10000) // 20000 / 100.0 AS revenue,
+           (rev_u * 20000 + SUM(rev_u) OVER ())
+             // (2 * SUM(rev_u) OVER ()) / 10000.0 AS share_e4
+    FROM r
+    """,
+    category="warehouse-join",
+)
+def q127_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue league table: lifetime discounted revenue and share
+    of total per part brand — the product-mix report over the one dim
+    table (part) the join block barely exercises.
+
+    Shape: lineitem⋈part shuffles on partkey (part scales with SF, so no
+    static broadcast — AQE may convert at bench scale), one hash-agg to
+    |brands| rows, and the share window runs over those ~25 rows.  The
+    exact-integer revenue discipline matches q113/q116."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_rev_u()).alias("rev_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "p_brand",
+        "n_items",
+        ratio_round("rev_u", "10000", 2).alias("revenue"),
+        F.sum("rev_u").over(total).alias("tot_u"),
+        "rev_u",
+    ).select(
+        "p_brand",
+        "n_items",
+        "revenue",
+        ratio_e4("rev_u", "tot_u").alias("share_e4"),
+    )

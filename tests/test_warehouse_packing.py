@@ -229,3 +229,90 @@ def test_q124_matches_python_recomputation(reg, spark, docs):
         assert (
             r.mean_df == ((s * 20000 + len(toks)) // (2 * len(toks))) / 10000.0
         )
+
+
+# --------------------------------------------------------------- engagement
+
+
+def test_q125_crafted_cohorts(reg, spark, tmp_path):
+    """Three users across two cohorts: A (week 1; back in week 3),
+    B (week 2 only), C (week 1; back in weeks 2 and 3)."""
+    w1 = dt.datetime(2024, 1, 1, 9)   # Mondays: Jan 1, 8, 15
+    w2 = dt.datetime(2024, 1, 8, 9)
+    w3 = dt.datetime(2024, 1, 15, 9)
+    rows = [
+        (1, w1, 10, "click", 1.0, "{}"),
+        (2, w3, 10, "click", 1.0, "{}"),
+        (3, w2, 20, "view", 1.0, "{}"),
+        (4, w1, 30, "click", 1.0, "{}"),
+        (5, w2 + dt.timedelta(days=2), 30, "view", 1.0, "{}"),
+        (6, w3, 30, "purchase", 1.0, "{}"),
+    ]
+    sf = _events_dir(spark, tmp_path, "cohorts", rows)
+    got = (
+        reg["q125_retention_cohorts"]
+        .fn(spark, sf)
+        .toPandas()
+        .set_index(["cohort_week", "week_offset"])
+    )
+    c1, c2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert got.loc[(c1, 0)].n_users == 2  # A and C
+    assert got.loc[(c1, 1)].n_users == 1  # C only
+    assert got.loc[(c1, 2)].n_users == 2  # A and C return
+    assert got.loc[(c2, 0)].n_users == 1  # B's own cohort
+    assert (c2, 1) not in got.index  # B never returns
+    assert got.loc[(c1, 1)].retention_e4 == 0.5
+    # offset 0 is the cohort itself: retention exactly 1 everywhere
+    zero = got.reset_index().query("week_offset == 0")
+    assert (zero.retention_e4 == 1.0).all()
+
+
+def test_q126_window_membership_and_bounds(reg, spark, tmp_path):
+    """User 1 active on day 1 only: it must appear in the WAU of days
+    1-7 and vanish on day 8; DAU tracks exact-day activity."""
+    d0 = dt.datetime(2024, 3, 1, 12)
+    rows = [(1, d0, 1, "click", 1.0, "{}")] + [
+        (10 + i, d0 + dt.timedelta(days=i), 2, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    sf = _events_dir(spark, tmp_path, "rolling", rows)
+    got = (
+        reg["q126_rolling_active_users"]
+        .fn(spark, sf)
+        .toPandas()
+        .set_index("day")
+    )
+    base = d0.date()
+    for i in range(10):
+        day = base + dt.timedelta(days=i)
+        expect_wau = 2 if i < 7 else 1  # user 1 falls out after 7 days
+        assert got.loc[day].wau == expect_wau, day
+        assert got.loc[day].dau == (2 if i == 0 else 1)
+    assert (got.dau <= got.wau).all()
+    assert (got.stickiness_e4 <= 1.0).all()
+
+
+def test_q127_shares_and_conservation(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q127_brand_revenue_share")
+    n_li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    assert got.n_items.sum() == n_li  # every lineitem has its part
+    assert abs(got.share_e4.sum() - 1.0) <= len(got) * 5e-5 + 1e-12
+
+
+def test_q128_matches_q99_centroids(reg, spark):
+    """The distance matrix must be exactly the pairwise sums of squared
+    differences of q99's (rescaled) centroid components, with all
+    C(labels, 2) ordered pairs present."""
+    cent = _pdf(reg, spark, SF_SMALL, "q99_label_centroids")
+    cent["ci"] = (cent.centroid_e4 * 10000).round().astype("int64")
+    by_label = {
+        lbl: g.set_index("dim").ci for lbl, g in cent.groupby("label")
+    }
+    got = _pdf(reg, spark, SF_SMALL, "q128_centroid_separation")
+    labels = sorted(by_label)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    g = got.set_index(["label_a", "label_b"])
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            d = by_label[a] - by_label[b]
+            assert g.loc[(a, b)].l2sq_e8 == int((d * d).sum()), (a, b)
