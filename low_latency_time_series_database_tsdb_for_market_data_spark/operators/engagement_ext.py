@@ -24,7 +24,8 @@ from ..registry import query
 @query(
     "q125_retention_cohorts",
     oracle="""
-    WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w,
+    WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP)
+                         AS w,
                        user_id
                 FROM events),
     c AS (SELECT user_id, MIN(w) AS cohort_week FROM wu GROUP BY 1),
@@ -57,8 +58,11 @@ def q125_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |offsets| cells.  At 100 TB the only corpus-scale pass is the first
     distinct; everything after is user-cardinality-bounded."""
     ev = table(spark, sf_dir, "events")
+    # weeks stay TIMESTAMP end to end (a DATE column surfaces as python
+    # objects in Arrow/pandas while the DuckDB side is datetime64 — a
+    # driver-hash dtype hazard the oracle-diff test flags)
     wu = ev.select(
-        F.date_trunc("week", "ts").cast("date").alias("w"), "user_id"
+        F.date_trunc("week", "ts").alias("w"), "user_id"
     ).distinct()
     wc = Window.partitionBy("user_id")
     m = wu.select(
@@ -100,7 +104,7 @@ def q125_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx AS (SELECT MAX(d) AS max_d FROM du),
     x AS (SELECT du.d + off * INTERVAL 1 DAY AS day, off, du.user_id
           FROM du, unnest(generate_series(0, 6)) AS t(off)),
-    f AS (SELECT CAST(day AS DATE) AS day, off, user_id
+    f AS (SELECT CAST(day AS TIMESTAMP) AS day, off, user_id
           FROM x, mx WHERE day <= mx.max_d)
     SELECT day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
@@ -148,6 +152,8 @@ def q126_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("d", F.col("off")).alias("day"), "off", "user_id"
     )
     f = x.crossJoin(F.broadcast(mx)).where(F.col("day") <= F.col("max_d"))
+    # days report as TIMESTAMP (see q125's dtype note)
+    f = f.withColumn("day", F.col("day").cast("timestamp"))
     return f.groupBy("day").agg(
         F.countDistinct("user_id").alias("wau"),
         F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).alias(

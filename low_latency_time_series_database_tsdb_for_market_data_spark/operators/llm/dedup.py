@@ -203,6 +203,21 @@ def candidate_edges(docs: DataFrame, par: int,
     size(ds) == max_rn >= 2), so strict mode requires max_bucket >= 2 —
     max_bucket=1 keeps one doc per bucket, which disables LSH pair
     generation altogether and is only meaningful with strict_cap=False."""
+    reps, dup_edges = _exact_collapse(docs)
+    lsh_pairs = lsh_candidate_pairs(
+        reps, par, max_bucket=max_bucket, strict_cap=strict_cap
+    )
+    return lsh_pairs.unionByName(dup_edges).distinct()
+
+
+def lsh_candidate_pairs(reps: DataFrame, par: int,
+                        max_bucket: int = _MAX_BUCKET_DOCS,
+                        strict_cap: bool = True) -> DataFrame:
+    """(a, b) LSH candidate pairs over an ALREADY-COLLAPSED corpus of
+    distinct-text representatives — the shared pair-generation stage of
+    `candidate_edges` (which unions the exact-dup edges back in) and the
+    q129 edit-distance verify (which wants rep-rep pairs only).  Same cap
+    and strict-cap semantics as documented on `candidate_edges`."""
     from pyspark.sql import Window
 
     if strict_cap and max_bucket < 2:
@@ -212,7 +227,6 @@ def candidate_edges(docs: DataFrame, par: int,
             "degenerate mode is intended)"
         )
 
-    reps, dup_edges = _exact_collapse(docs)
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     groups = (
         band_rows(reps, par)
@@ -240,14 +254,14 @@ def candidate_edges(docs: DataFrame, par: int,
                 "to accept deterministic truncation."
             )
     groups = groups.drop("max_rn")
-    lsh_pairs = (
+    return (
         groups.select(F.posexplode("ds").alias("i", "a"), "ds")
         .select(
             "a",
             F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
         )
+        .distinct()
     )
-    return lsh_pairs.unionByName(dup_edges).distinct()
 
 
 def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
@@ -849,3 +863,111 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return blocked.groupBy("cell", "blk").applyInPandas(block_pairs, out_schema)
+
+
+# Oracle fragment: the shingle CTE over exact-dup representatives
+# instead of raw documents (q129 verifies rep-rep pairs only).
+_REPS_SHINGLES_SQL = (
+    "reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents"
+    " GROUP BY text),\n" + _SHINGLES_SQL.replace("FROM documents", "FROM reps")
+)
+
+# q129 keeps pairs whose edit distance is at most 1/5 of the longer text
+# (>= 80% character-level similarity), decided by integer
+# cross-multiplication.
+_EDIT_MAX_FRAC_DEN = 5
+
+
+@query(
+    "q129_edit_distance_pairs",
+    oracle=f"""
+    WITH {_REPS_SHINGLES_SQL},
+    hs AS (SELECT doc_id, md5(s) AS h FROM sh),
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    v AS (SELECT doc_a, doc_b,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                 CAST(greatest(len(da.text), len(db.text)) AS BIGINT)
+                   AS max_len
+          FROM cand
+          JOIN reps da ON da.doc_id = doc_a
+          JOIN reps db ON db.doc_id = doc_b)
+    SELECT doc_a, doc_b, dist, max_len,
+           ((max_len - dist) * 20000 + max_len) // (2 * max_len) / 10000.0
+             AS sim_e4
+    FROM v WHERE {_EDIT_MAX_FRAC_DEN} * dist <= max_len
+    """,
+    category="llm-dedup",
+)
+def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: LSH candidates among the
+    exact-dup representatives, kept when Levenshtein distance is at most
+    1/5 of the longer text — the character-level verify that catches
+    what token-level Jaccard (q56) blurs (transpositions, in-word edits)
+    and complements the bit-level SimHash verify (q95).
+
+    Exactness: Levenshtein is the standard unit-cost edit distance on
+    both engines (exact integer); the similarity leaves through the
+    integer-decided ratio.  The Spark side computes the distance BANDED
+    (threshold = global_max_len/5, probed from one scalar agg over the
+    checkpointed reps): any pair that could pass the per-pair filter has
+    dist <= max_len/5 <= threshold, so the banded value equals the full
+    distance wherever it is kept; beyond the band Spark returns -1 and
+    the pair is dropped without finishing the O(n*m) table — the
+    standard bounded-verify trick, ~5x cheaper per pair.
+
+    Shape: reps localCheckpoint-materialize ONCE (one corpus scan) and
+    feed the LSH candidate stage AND both text join-backs; candidate
+    count is linear in corpus size under the strict per-bucket cap
+    (inherited from `lsh_candidate_pairs` — a hot bucket raises rather
+    than silently diverging from the uncapped oracle); the verify joins
+    shuffle 32-byte ids + text payloads for candidate pairs only, never
+    all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    reps, _ = _exact_collapse(d)
+    reps = reps.localCheckpoint(eager=False)
+    max_len = reps.agg(F.max(F.length("text"))).collect()[0][0] or 1
+    threshold = max(1, max_len // _EDIT_MAX_FRAC_DEN)
+    cand = lsh_candidate_pairs(reps, par).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    da = reps.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    db = reps.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    v = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb", threshold).cast("bigint").alias(
+                "dist"
+            ),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return v.where(
+        (F.col("dist") >= 0)
+        & (_EDIT_MAX_FRAC_DEN * F.col("dist") <= F.col("max_len"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "dist",
+        "max_len",
+        ratio_e4("max_len - dist", "max_len").alias("sim_e4"),
+    )

@@ -255,7 +255,7 @@ def test_q125_crafted_cohorts(reg, spark, tmp_path):
         .toPandas()
         .set_index(["cohort_week", "week_offset"])
     )
-    c1, c2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    c1, c2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
     assert got.loc[(c1, 0)].n_users == 2  # A and C
     assert got.loc[(c1, 1)].n_users == 1  # C only
     assert got.loc[(c1, 2)].n_users == 2  # A and C return
@@ -282,7 +282,7 @@ def test_q126_window_membership_and_bounds(reg, spark, tmp_path):
         .toPandas()
         .set_index("day")
     )
-    base = d0.date()
+    base = dt.datetime(2024, 3, 1)  # days report as midnight timestamps
     for i in range(10):
         day = base + dt.timedelta(days=i)
         expect_wau = 2 if i < 7 else 1  # user 1 falls out after 7 days
@@ -316,3 +316,42 @@ def test_q128_matches_q99_centroids(reg, spark):
         for b in labels[i + 1 :]:
             d = by_label[a] - by_label[b]
             assert g.loc[(a, b)].l2sq_e8 == int((d * d).sum()), (a, b)
+
+
+# ------------------------------------------------------------- edit distance
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_q129_distances_match_pure_python(reg, spark, docs):
+    """Every emitted pair: recompute Levenshtein in pure Python, check
+    the distance, the integer-decided similarity, the <=20% filter, the
+    pair ordering, and that both ends are exact-dup representatives."""
+    got = _pdf(reg, spark, SF_SMALL, "q129_edit_distance_pairs")
+    assert len(got) > 0
+    rep_ids = set(
+        docs.reset_index().groupby("text").doc_id.min()
+    )
+    for r in got.itertuples():
+        assert r.doc_a < r.doc_b
+        assert r.doc_a in rep_ids and r.doc_b in rep_ids
+        ta, tb = docs.loc[r.doc_a].text, docs.loc[r.doc_b].text
+        d = _lev(ta, tb)
+        ml = max(len(ta), len(tb))
+        assert (r.dist, r.max_len) == (d, ml)
+        assert 5 * d <= ml
+        assert r.sim_e4 == ((ml - d) * 20000 + ml) // (2 * ml) / 10000.0
+    # near-dup (not exact-dup) pairs exist in the fixture: some dist > 0
+    assert (got.dist > 0).any()
