@@ -354,3 +354,94 @@ def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d * d).cast("bigint").alias("l2sq_e8"),
         )
     )
+
+
+@query(
+    "q130_nearest_centroid_eval",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      unnest(range(1, len(embedding) + 1)) AS dim,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                 * {_Q_SCALE}) AS BIGINT) AS q
+               FROM embeddings),
+    g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sum_q
+          FROM x GROUP BY 1, 2),
+    c AS (SELECT label AS label_c, dim,
+                 CASE WHEN sum_q < 0
+                      THEN -(((-sum_q) * 20000 + n) // (2 * n))
+                      ELSE ((sum_q * 20000 + n) // (2 * n)) END AS ci
+          FROM g),
+    d AS (SELECT x.vec_id, x.label AS label_true, c.label_c,
+                 SUM((x.q - c.ci) * (x.q - c.ci)) AS dist
+          FROM x JOIN c USING (dim) GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label_true, label_c AS label_pred,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, label_c) AS rn
+          FROM d)
+    SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE rn = 1 GROUP BY 1, 2
+    """,
+    category="llm-embedding",
+)
+def q130_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: every vector is assigned
+    to its closest per-label centroid (q99's integer components) and the
+    confusion matrix label_true x label_pred comes back — the standard
+    are-the-classes-separable / is-the-quantizer-sane evaluation, run
+    entirely inside the engine.
+
+    Exactness: distances are exact BIGINT sums of integer squares
+    (quantized components vs integer-decided centroids); the argmin is a
+    row_number over the explicit (dist, label) total order — no engine
+    tie-break ambiguity.
+
+    Shape: the centroid table (|labels| x dims cells, KB) broadcasts
+    into the dim-exploded vectors; the distance agg keys on
+    (vec_id, label) with map-side partials, so the only corpus-scale
+    shuffle carries |vecs| x |labels| skinny rows, then a vec-keyed
+    window picks the winner and the confusion agg reduces to
+    |labels|^2 cells.  The same recipe at 100 TB is IVF coarse
+    assignment with k centroids (q65's narrow-map variant trades the
+    joined agg for driver-literal centroids when k is small)."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    ).select(
+        "vec_id",
+        F.col("label").alias("label_true"),
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("v") * _Q_SCALE).alias("q"),
+    ).localCheckpoint(eager=False)
+    c = (
+        x.groupBy(F.col("label_true").alias("label_c"), "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))
+        .select(
+            "label_c",
+            "dim",
+            F.expr(
+                "CASE WHEN sum_q < 0"
+                " THEN -(((-sum_q) * 20000 + n) div (2 * n))"
+                " ELSE ((sum_q * 20000 + n) div (2 * n)) END"
+            ).alias("ci"),
+        )
+    )
+    dd = F.col("q") - F.col("ci")
+    d = (
+        x.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label_true", "label_c")
+        .agg(F.sum(dd * dd).alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "label_c")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label_true", F.col("label_c").alias("label_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -318,3 +318,39 @@ def q127_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         ratio_e4("rev_u", "tot_u").alias("share_e4"),
     )
+
+
+@query(
+    "q131_late_ship_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+    category="warehouse-join",
+)
+def q131_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment report (TPC-H Q4 shape): orders with at least one
+    lineitem shipped more than 90 days after booking, counted by order
+    priority — the is-priority-honored operations screen.
+
+    The EXISTS is a LEFT SEMI join on orderkey whose inequality rides
+    the equi-join as a post-join predicate (never a theta/nested-loop
+    plan — the q13 discipline): each order is emitted at most once no
+    matter how many lineitems are late, then one hash-agg to the five
+    priority rows.  At scale the semi join co-partitions with the
+    orderkey spine and short-circuits per key."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 90).cast("timestamp")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -308,7 +308,7 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q17_interval_join", "q18_multiway_join", "q75_asof_forward",
         "q113_ship_priority", "q114_region_revenue_share",
         "q115_cust_order_distribution", "q116_returned_items",
-        "q127_brand_revenue_share",
+        "q127_brand_revenue_share", "q131_late_ship_priority",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass

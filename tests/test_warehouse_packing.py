@@ -355,3 +355,55 @@ def test_q129_distances_match_pure_python(reg, spark, docs):
         assert r.sim_e4 == ((ml - d) * 20000 + ml) // (2 * ml) / 10000.0
     # near-dup (not exact-dup) pairs exist in the fixture: some dist > 0
     assert (got.dist > 0).any()
+
+
+# ------------------------------------------------------- classification eval
+
+
+def test_q130_matches_python_argmin(reg, spark):
+    """Recompute the full nearest-centroid assignment in numpy over the
+    quantized fixture vectors and compare the confusion matrix cell by
+    cell (including the (dist, label) tie order)."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype("float64") * 10_000
+    ).astype("int64")
+    labels = emb.label.astype("int64").to_numpy()
+    uniq = np.unique(labels)
+    cents = {}
+    for lbl in uniq:
+        s = q[labels == lbl].sum(axis=0)
+        n = int((labels == lbl).sum())
+        cents[lbl] = np.where(
+            s < 0, -((-s * 20000 + n) // (2 * n)), (s * 20000 + n) // (2 * n)
+        )
+    expect: dict = {}
+    for i in range(len(emb)):
+        best = min(
+            ((int(((q[i] - cents[lbl]) ** 2).sum()), int(lbl)) for lbl in uniq)
+        )
+        key = (int(labels[i]), best[1])
+        expect[key] = expect.get(key, 0) + 1
+    got = _pdf(reg, spark, SF_SMALL, "q130_nearest_centroid_eval")
+    assert {
+        (r.label_true, r.label_pred): r.n for r in got.itertuples()
+    } == expect
+    assert got.n.sum() == len(emb)  # every vector assigned exactly once
+
+
+def test_q131_semi_join_counts(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q131_late_ship_priority").set_index(
+        "o_orderpriority"
+    )
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late = m[m.l_shipdate > m.o_orderdate + dt.timedelta(days=90)]
+    expect = late.groupby("o_orderpriority").o_orderkey.nunique()
+    assert got.n_orders.to_dict() == expect.to_dict()
