@@ -44,10 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # path changed in round 5 (q02 distributed CSV import, q04/q05
 # footer-stats probes — both r4-green and locally re-verified), then the
 # queries verified green in round 4 plus the round-5 additions
-# q101-q128 (quality depth, warehouse joins, portfolio screens,
-# packing, engagement — no driver row yet; exact-audited at sf0.001,
-# sf0.01 AND sf0.1 — rotate them into the window in round 6).  The 4
-# rows-only queries
+# q101-q131 (quality depth, warehouse joins, portfolio screens,
+# packing, engagement, classification eval — no driver row yet;
+# exact-audited at sf0.001, sf0.01 AND sf0.1 — rotate them into the
+# window in round 6).  The 4 rows-only queries
 # (q25/q64/q65/q73, oracle omitted by declared design) close the stale
 # block so they get fresh rows-only records too.  A driver that sorts
 # keys or checks all 100 is unaffected — the key set is identical.
