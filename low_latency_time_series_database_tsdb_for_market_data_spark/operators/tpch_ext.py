@@ -354,3 +354,70 @@ def q131_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "q132_spend_gini",
+    oracle="""
+    WITH spend AS (SELECT o_custkey,
+                          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+                   FROM orders GROUP BY 1),
+    byn AS (SELECT n.n_name, s.x,
+                   ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                      ORDER BY s.x, c.c_custkey) AS i
+            FROM spend s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    a AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(i * x) AS BIGINT) AS six
+          FROM byn GROUP BY 1)
+    SELECT n_name, n AS n_customers,
+           ((2*six - (n+1)*sx) * 20000 + (n*sx)) // (2 * (n*sx)) / 10000.0
+             AS gini_e4
+    FROM a
+    """,
+    category="warehouse-join",
+)
+def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime spend — the
+    inequality / concentration screen (complement to q118's HHI: HHI
+    asks "is flow concentrated in few symbols", Gini asks "how unequal
+    is the whole distribution").
+
+    Exactness: the rank formulation G = (2·Σi·x(i) − (n+1)·Σx)/(n·Σx)
+    over ascending ranks is pure BIGINT until the one integer-decided
+    division (numerator provably >= 0 for ascending ranks, so the
+    unsigned ratio helper domain holds); rank ties break on custkey.
+
+    Shape: custkey spend agg, customer join, nation broadcast, ONE
+    per-nation window rank + one agg to 25 rows.  The rank needs a
+    per-nation total order — fine while group cardinality bounds the
+    sort (nations here); an unbounded-group Gini at 100 TB switches to
+    the binned/histogram estimator instead (q49's bins feed it)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "c_custkey")
+    byn = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+        .select("n_name", "x", "c_custkey")
+        .withColumn("i", F.row_number().over(w))
+    )
+    return (
+        byn.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        )
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            ratio_e4("2*six - (n+1)*sx", "n*sx").alias("gini_e4"),
+        )
+    )

@@ -1,6 +1,7 @@
 from .ingest import ingest_available_now, windowed_counts_stream  # noqa: F401
 from .joins import interval_pair_stream  # noqa: F401
 from .rollup import compact_rollup, continuous_ohlc, read_bars  # noqa: F401
+from .score import score_vector_stream, train_centroid_model  # noqa: F401
 from .stateful import (  # noqa: F401
     burst_alert_stream,
     gap_alert_stream,

@@ -309,6 +309,7 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q113_ship_priority", "q114_region_revenue_share",
         "q115_cust_order_distribution", "q116_returned_items",
         "q127_brand_revenue_share", "q131_late_ship_priority",
+        "q132_spend_gini",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass

@@ -622,3 +622,51 @@ def test_burst_alert_planted_spike(spark, tmp_path):
     assert r.symbol == "A" and r.n_ticks == 20
     assert r.prior_minutes == 7 and r.prior_ticks == 14
     assert int(r.minute_us) == (int(t0.timestamp()) + 7 * 60) * 1_000_000
+
+
+def test_streaming_centroid_scores_match_numpy(spark, sf_dir, tmp_path):
+    """Train the integer centroid model in batch, score the embeddings
+    as a FILE STREAM (AvailableNow), and compare every assignment to an
+    independent numpy recompute of the same integer arithmetic — the
+    train-offline/score-online loop with zero skew."""
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        score_vector_stream,
+        train_centroid_model,
+    )
+
+    model = train_centroid_model(spark, sf_dir)
+    assert model and all(len(v) == 64 for v in model.values())
+
+    src = tmp_path / "vecstream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tmp_path / "scored"
+    q = (
+        score_vector_stream(stream, model)
+        .select("vec_id", "label", "label_pred", "dist")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).toPandas().set_index("vec_id")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    qm = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype("float64") * 10_000
+    ).astype("int64")
+    assert len(got) == len(emb)
+    cents = {lbl: np.array(v, dtype="int64") for lbl, v in model.items()}
+    for i, vid in enumerate(emb.vec_id):
+        dists = sorted(
+            (int(((qm[i] - c) ** 2).sum()), lbl) for lbl, c in cents.items()
+        )
+        assert (got.loc[vid].dist, got.loc[vid].label_pred) == dists[0], vid
+    # the plan is a stateless narrow map: no state store directories
+    assert not (tmp_path / "ckpt" / "state").exists()

@@ -407,3 +407,29 @@ def test_q131_semi_join_counts(reg, spark):
     late = m[m.l_shipdate > m.o_orderdate + dt.timedelta(days=90)]
     expect = late.groupby("o_orderpriority").o_orderkey.nunique()
     assert got.n_orders.to_dict() == expect.to_dict()
+
+
+def test_q132_gini_matches_python(reg, spark):
+    """Recompute every nation's Gini from raw orders/customer tables
+    with the classic mean-absolute-difference formula (O(n^2), fine at
+    sf0.001) — a DIFFERENT formulation than the engine's rank formula,
+    so agreement pins the math, not the plumbing."""
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").toPandas()
+    n = spark.read.parquet(f"{SF_SMALL}/nation.parquet").toPandas()
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    spend = o.groupby("o_custkey").cents.sum().reset_index()
+    m = spend.merge(
+        c, left_on="o_custkey", right_on="c_custkey"
+    ).merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    got = _pdf(reg, spark, SF_SMALL, "q132_spend_gini").set_index("n_name")
+    for name, g in m.groupby("n_name"):
+        xs = sorted(g.cents)
+        nn = len(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)  # n^2 |xi - xj|
+        num, den = mad, 2 * nn * sum(xs)
+        e4 = (num * 20000 + den) // (2 * den) / 10000.0
+        r = got.loc[name]
+        assert r.n_customers == nn
+        assert r.gini_e4 == e4, name
+        assert 0 <= r.gini_e4 < 1
