@@ -226,3 +226,128 @@ def q120_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("sum_c", "100 * n").alias("avg_value"),
         )
     )
+
+
+@query(
+    "q133_value_deciles",
+    oracle="""
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    t AS (SELECT event_type, c,
+                 NTILE(10) OVER (PARTITION BY event_type
+                                 ORDER BY c, event_id) AS decile
+          FROM c)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c) / 100.0 AS lo,
+           MAX(c) / 100.0 AS hi,
+           (SUM(c) * 20000 + 100 * COUNT(*)) // (2 * 100 * COUNT(*))
+             / 10000.0 AS avg_value
+    FROM t GROUP BY 1, 2
+    """,
+    category="timeseries-profile",
+)
+def q133_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol decile table of tick prices: bucket boundaries, counts
+    and integer-decided means — the distribution summary behind limit
+    placement and fee-tier analytics, finishing the rank-function family
+    (row_number q31, rank/dense q31, cume/range q33) with NTILE.
+
+    NTILE's remainder rule (earlier buckets one larger) is ANSI on both
+    engines, and the (cents, event_id) total order makes every bucket
+    assignment deterministic.  Shape: ONE symbol-keyed window sort + one
+    (symbol, decile) hash-agg under the same partitioning — a single
+    exchange, 10 x |symbols| output rows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    t = ev.select(
+        "event_type", "event_id", cents("value").alias("c")
+    ).withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    return (
+        t.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("c") / 100.0).alias("lo"),
+            (F.max("c") / 100.0).alias("hi"),
+            F.sum("c").alias("sum_c"),
+        )
+        .select(
+            "event_type",
+            "decile",
+            "n",
+            "lo",
+            "hi",
+            ratio_e4("sum_c", "100 * n").alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q134_trimmed_mean",
+    oracle="""
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY c, event_id) AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_ticks,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           (SUM(CASE WHEN 100*i > 5*n AND 100*i <= 95*n THEN c END)
+              * 20000
+              + 100 * SUM(CASE WHEN 100*i > 5*n AND 100*i <= 95*n
+                               THEN 1 ELSE 0 END))
+             // (2 * 100 * SUM(CASE WHEN 100*i > 5*n AND 100*i <= 95*n
+                                    THEN 1 ELSE 0 END)) / 10000.0
+             AS trimmed_avg
+    FROM r GROUP BY event_type
+    """,
+    category="timeseries-robust",
+)
+def q134_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-95% trimmed mean price per symbol — the robust location
+    estimate that ignores fat-finger tails without q93's MAD machinery;
+    the keep decision is the integer cross-multiplication
+    100·rank ∈ (5·n, 95·n], so no percentile doubles ever exist.
+
+    n_kept counts the trimmed interior; n_ticks the full tape.  Shape:
+    one symbol-keyed window pass (rank + count share the sort) and one
+    hash-agg under the same key — a single exchange.
+
+    Note the count quirk both engines share: n_kept is COUNT(*) of ALL
+    rows (the report keeps one row per symbol), while the average's
+    denominator counts only the kept interior — the CASE keeps the two
+    separable in one aggregation."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "event_id", cents("value").alias("c")
+    ).select(
+        "event_type",
+        "c",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = (100 * F.col("i") > 5 * F.col("n")) & (
+        100 * F.col("i") <= 95 * F.col("n")
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_ticks"),
+            F.count(F.lit(1)).alias("n_kept_all"),
+            F.sum(F.when(keep, F.col("c"))).alias("kept_c"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("kept_n"),
+        )
+        .select(
+            "event_type",
+            "n_ticks",
+            F.col("n_kept_all").alias("n_kept"),
+            ratio_e4("kept_c", "100 * kept_n").alias("trimmed_avg"),
+        )
+    )

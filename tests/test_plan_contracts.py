@@ -358,3 +358,9 @@ def test_q121_chunking_is_pure_narrow_map(reg, spark, sf_dir):
 def test_q122_packing_single_source_shuffle(reg, spark, sf_dir):
     # one window pass partitioned by source: exactly one exchange
     assert exchanges(q(reg, spark, sf_dir, "q122_pack_contexts")) <= 1
+
+
+def test_robust_stats_single_exchange(reg, spark, sf_dir):
+    # q133/q134: rank window + agg share the symbol key — one shuffle
+    assert exchanges(q(reg, spark, sf_dir, "q133_value_deciles")) == 1
+    assert exchanges(q(reg, spark, sf_dir, "q134_trimmed_mean")) == 1

@@ -433,3 +433,41 @@ def test_q132_gini_matches_python(reg, spark):
         assert r.n_customers == nn
         assert r.gini_e4 == e4, name
         assert 0 <= r.gini_e4 < 1
+
+
+# ------------------------------------------------------------- robust stats
+
+
+def test_q133_decile_invariants(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q133_value_deciles")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    for sym, g in got.groupby("event_type"):
+        g = g.sort_values("decile")
+        assert list(g.decile) == list(range(1, 11))
+        n_sym = (ev.event_type == sym).sum()
+        assert g.n.sum() == n_sym
+        # ANSI NTILE: sizes differ by at most 1, larger buckets first
+        assert g.n.max() - g.n.min() <= 1
+        assert list(g.n) == sorted(g.n, reverse=True)
+        # bucket ranges are ordered and non-overlapping (ties aside)
+        assert (g.lo.values <= g.hi.values).all()
+        assert (g.hi.values[:-1] <= g.lo.values[1:]).all()
+        assert (g.lo <= g.avg_value).all() and (g.avg_value <= g.hi).all()
+
+
+def test_q134_matches_python_trim(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q134_trimmed_mean").set_index(
+        "event_type"
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    for sym, g in ev.groupby("event_type"):
+        xs = [c for c, _ in sorted(zip(g.c, g.event_id))]
+        n = len(xs)
+        kept = [x for i, x in enumerate(xs, 1) if 5 * n < 100 * i <= 95 * n]
+        r = got.loc[sym]
+        assert r.n_ticks == n
+        s, k = sum(kept), len(kept)
+        assert r.trimmed_avg == ((s * 20000 + 100 * k) // (200 * k)) / 10000.0
+        # the trim really dropped both tails
+        assert min(kept) > min(xs) and max(kept) < max(xs)
