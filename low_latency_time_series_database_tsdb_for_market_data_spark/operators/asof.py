@@ -128,3 +128,91 @@ def asof_join_forward(
     )
     filled = [F.last(F.col(a), ignorenulls=True).over(w).alias(a) for a in aliases]
     return u.select(*lcols, "__side", *filled).where(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Nearest as-of join: attach the right row minimizing
+    ``|right.ts - left.ts|`` per key, ties resolved to the PAST side
+    (the backward row wins — never look-ahead on a coin flip).  This is
+    pandas' ``merge_asof(direction='nearest')`` for the cluster.
+
+    Requires a NUMERIC ts on both sides (epoch micros; timestamp
+    arithmetic differs across engines, integers do not).  Output: all
+    left columns + aliased payload from the chosen side + ``asof_side``
+    ('prev'/'next', NULL when the key has no right rows at all).
+
+    Cost: the same single shuffle as `asof_join`, then TWO linear window
+    passes over the union — one ascending fill (latest right at or
+    before) and one descending fill (earliest right at or after).  The
+    second pass re-sorts within the SAME partitioning, so no extra
+    exchange appears (contract-tested)."""
+    lcols = left.columns
+    # the right ts rides along under its own internal alias (it may ALSO
+    # appear in payload — a dict merge would silently drop one of the two)
+    aliases = ["__rts", *payload.values()]
+
+    l_u = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("long").alias("__seq"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[
+            F.lit(None).cast(right.schema[rc].dataType).alias(a)
+            for rc, a in payload.items()
+        ],
+    )
+    r_u = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.col(right_seq).cast("long").alias("__seq"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(rc).alias(a) for rc, a in payload.items()],
+    )
+    u = l_u.unionByName(r_u)
+
+    w_b = (
+        W.partitionBy(*on)
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc_nulls_first("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy(*on)
+        .orderBy(F.desc("__ts"), F.asc("__side"), F.desc_nulls_first("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    both = u.select(
+        *lcols,
+        "__side",
+        "__ts",
+        *[F.last(F.col(a), ignorenulls=True).over(w_b).alias(f"__p_{a}") for a in aliases],
+        *[F.last(F.col(a), ignorenulls=True).over(w_f).alias(f"__n_{a}") for a in aliases],
+    ).where(F.col("__side") == 1)
+
+    prev_ts, next_ts = F.col("__p___rts"), F.col("__n___rts")
+    use_prev = prev_ts.isNotNull() & (
+        next_ts.isNull()
+        | ((F.col("__ts") - prev_ts) <= (next_ts - F.col("__ts")))
+    )
+    side = (
+        F.when(prev_ts.isNull() & next_ts.isNull(), F.lit(None).cast("string"))
+        .when(use_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+    )
+    chosen = [
+        F.when(use_prev, F.col(f"__p_{a}")).otherwise(F.col(f"__n_{a}")).alias(a)
+        for a in payload.values()
+    ]
+    return both.select(*lcols, *chosen, side.alias("asof_side"))

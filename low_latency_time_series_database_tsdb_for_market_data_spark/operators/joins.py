@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .asof import asof_join, asof_join_forward
+from .asof import asof_join, asof_join_forward, asof_join_nearest
 
 
 @query(
@@ -293,4 +293,64 @@ def q18_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
+    )
+
+
+@query(
+    "q135_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'),
+    x AS (SELECT c.event_id, c.user_id, c.us,
+                 (SELECT max(pus) FROM p
+                   WHERE p.user_id = c.user_id AND pus <= c.us) AS prev_us,
+                 (SELECT min(pus) FROM p
+                   WHERE p.user_id = c.user_id AND pus >= c.us) AS next_us
+          FROM c)
+    SELECT event_id, user_id, us,
+           CASE WHEN prev_us IS NOT NULL
+                     AND (next_us IS NULL
+                          OR us - prev_us <= next_us - us)
+                THEN prev_us ELSE next_us END AS near_us,
+           CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+                WHEN prev_us IS NOT NULL
+                     AND (next_us IS NULL
+                          OR us - prev_us <= next_us - us)
+                THEN 'prev' ELSE 'next' END AS asof_side
+    FROM x
+    """,
+    category="join-asof",
+)
+def q135_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click matched to the user's CLOSEST
+    purchase in either direction, ties to the past — completing the
+    as-of family (backward q16, forward q75, nearest here).
+
+    Timestamps compare as exact epoch-micros integers (timestamp
+    arithmetic differs across engines; integers do not).  The engine is
+    `asof.asof_join_nearest`: one union, one user-keyed shuffle, two
+    linear window fills (ascending + descending over the SAME
+    partitioning — a re-sort, not a second exchange); the oracle is the
+    independent correlated max/min formulation."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("pus"),
+        F.col("event_id").alias("p_seq"),
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="us",
+        right_ts="pus",
+        right_seq="p_seq",
+        payload={"pus": "near_us"},
     )

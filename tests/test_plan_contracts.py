@@ -306,6 +306,10 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q10_join_inner", "q11_join_broadcast", "q12_join_outer",
         "q13_join_theta", "q14_semi", "q15_anti", "q16_asof",
         "q17_interval_join", "q18_multiway_join", "q75_asof_forward",
+        # nearest as-of: two DECLARED slices (clicks/purchases) of one
+        # table union into the fill — each scan keeps its own pushed
+        # event_type filter (the q16/q75/q40 class)
+        "q135_asof_nearest",
         "q113_ship_priority", "q114_region_revenue_share",
         "q115_cust_order_distribution", "q116_returned_items",
         "q127_brand_revenue_share", "q131_late_ship_priority",
@@ -364,3 +368,9 @@ def test_robust_stats_single_exchange(reg, spark, sf_dir):
     # q133/q134: rank window + agg share the symbol key — one shuffle
     assert exchanges(q(reg, spark, sf_dir, "q133_value_deciles")) == 1
     assert exchanges(q(reg, spark, sf_dir, "q134_trimmed_mean")) == 1
+
+
+def test_nearest_asof_single_exchange(reg, spark, sf_dir):
+    # both direction fills share the user_id partitioning: the second
+    # window re-sorts but must NOT add an exchange
+    assert exchanges(q(reg, spark, sf_dir, "q135_asof_nearest")) == 1

@@ -471,3 +471,48 @@ def test_q134_matches_python_trim(reg, spark):
         assert r.trimmed_avg == ((s * 20000 + 100 * k) // (200 * k)) / 10000.0
         # the trim really dropped both tails
         assert min(kept) > min(xs) and max(kept) < max(xs)
+
+
+# ------------------------------------------------------------- nearest as-of
+
+
+def test_q135_nearest_direction_and_ties(reg, spark, tmp_path):
+    """Crafted tape: closer-next wins, exact tie goes to the past,
+    one-sided users pick their only side, purchase-free users stay
+    NULL."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: purchase 10s before and 3s after the click -> next
+        (1, t0 - 10 * s, 1, "purchase", 1.0, "{}"),
+        (2, t0, 1, "click", 1.0, "{}"),
+        (3, t0 + 3 * s, 1, "purchase", 1.0, "{}"),
+        # user 2: equidistant (5s both sides) -> tie to prev
+        (4, t0 - 5 * s, 2, "purchase", 1.0, "{}"),
+        (5, t0, 2, "click", 1.0, "{}"),
+        (6, t0 + 5 * s, 2, "purchase", 1.0, "{}"),
+        # user 3: only an earlier purchase -> prev
+        (7, t0 - 60 * s, 3, "purchase", 1.0, "{}"),
+        (8, t0, 3, "click", 1.0, "{}"),
+        # user 4: only a later purchase -> next
+        (9, t0, 4, "click", 1.0, "{}"),
+        (10, t0 + 60 * s, 4, "purchase", 1.0, "{}"),
+        # user 5: no purchases -> NULLs
+        (11, t0, 5, "click", 1.0, "{}"),
+        # user 6: purchase exactly AT the click -> prev at distance 0
+        (12, t0, 6, "purchase", 1.0, "{}"),
+        (13, t0, 6, "click", 1.0, "{}"),
+    ]
+    sf = _events_dir(spark, tmp_path, "nearest", rows)
+    got = (
+        reg["q135_asof_nearest"].fn(spark, sf).toPandas().set_index("user_id")
+    )
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got.loc[1].asof_side == "next" and got.loc[1].near_us == us0 + 3e6
+    assert got.loc[2].asof_side == "prev" and got.loc[2].near_us == us0 - 5e6
+    assert got.loc[3].asof_side == "prev" and got.loc[3].near_us == us0 - 60e6
+    assert got.loc[4].asof_side == "next" and got.loc[4].near_us == us0 + 60e6
+    import pandas as pd
+
+    assert pd.isna(got.loc[5].asof_side) and pd.isna(got.loc[5].near_us)
+    assert got.loc[6].asof_side == "prev" and got.loc[6].near_us == us0
