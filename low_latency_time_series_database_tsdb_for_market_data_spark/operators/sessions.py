@@ -161,3 +161,96 @@ def q39_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ewma, schema)
         .withColumn("ewma", F.round("ewma", 4))
     )
+
+
+@query(
+    "q136_holt_trend",
+    # Like q39, the coupled recurrence is SQL-expressible sequentially:
+    # the recursive CTE steps hour i -> i+1 per symbol running the
+    # IDENTICAL double expressions (alpha=0.5, beta=0.25 — binary-exact
+    # constants), so the pandas loop and the CTE produce bit-identical
+    # levels/trends and the query is hash-checkable instead of
+    # rows-only.  Recursion depth = hours per symbol (~720 at sf0.1) —
+    # feasible at every shipped SF, unlike q39's per-tick recursion.
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT event_type, h, cs / (100.0 * n) AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        FROM (SELECT event_type, date_trunc('hour', ts) AS h,
+                     SUM(CAST(ROUND(value*100) AS BIGINT)) AS cs,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)),
+    rec(event_type, i, l, t) AS (
+        SELECT event_type, i, x, CAST(0.0 AS DOUBLE) FROM ordered WHERE i = 1
+        UNION ALL
+        SELECT o.event_type, o.i,
+               0.5 * o.x + 0.5 * (r.l + r.t),
+               0.25 * ((0.5 * o.x + 0.5 * (r.l + r.t)) - r.l) + 0.75 * r.t
+        FROM rec r JOIN ordered o
+          ON o.event_type = r.event_type AND o.i = r.i + 1)
+    SELECT o.event_type, o.h, o.x,
+           ROUND(r.l, 4) AS level,
+           ROUND(r.t, 4) AS trend,
+           ROUND(r.l + r.t, 4) AS forecast
+    FROM rec r JOIN ordered o USING (event_type, i)
+    """,
+    category="timeseries",
+)
+def q136_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of each
+    symbol's hourly mean price, with the one-step-ahead forecast — the
+    second classic recurrence (after q39's EWMA) that no fixed window
+    frame expresses; the trend term is what EWMA structurally misses on
+    drifting series.
+
+    level_t = a*x_t + (1-a)*(level+trend);  trend_t = b*Δlevel + (1-b)*trend
+    with a=0.5, b=0.25 (binary-exact, so every product is one rounding).
+
+    Shape: the tape pre-aggregates to symbol x hour (exact cents, one
+    hash-agg) BEFORE the recurrence — the pandas state pass runs over
+    bucket-scale groups, not ticks, which is also what keeps the
+    recursive oracle feasible.  One exchange; per-group state is two
+    scalars."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(cents("value")).alias("cs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "h",
+            (F.col("cs") / (100.0 * F.col("n"))).alias("x"),
+        )
+    )
+    schema = (
+        "event_type string, h timestamp, x double,"
+        " level double, trend double, forecast double"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        ls, ts_ = [], []
+        l, t = 0.0, 0.0
+        for i, x in enumerate(pdf["x"]):
+            if i == 0:
+                l, t = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + t)
+                t = 0.25 * (l_new - l) + 0.75 * t
+                l = l_new
+            ls.append(l)
+            ts_.append(t)
+        out = pdf[["event_type", "h", "x"]].copy()
+        out["level"] = ls
+        out["trend"] = ts_
+        out["forecast"] = [a + b for a, b in zip(ls, ts_)]
+        return out
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(holt, schema)
+        .withColumn("level", F.round("level", 4))
+        .withColumn("trend", F.round("trend", 4))
+        .withColumn("forecast", F.round("forecast", 4))
+    )

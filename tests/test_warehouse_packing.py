@@ -516,3 +516,39 @@ def test_q135_nearest_direction_and_ties(reg, spark, tmp_path):
 
     assert pd.isna(got.loc[5].asof_side) and pd.isna(got.loc[5].near_us)
     assert got.loc[6].asof_side == "prev" and got.loc[6].near_us == us0
+
+
+# ----------------------------------------------------------------- Holt trend
+
+
+def test_q136_holt_semantics_on_crafted_series(reg, spark, tmp_path):
+    """Constant tape -> trend exactly 0 and level = the constant; a
+    linear ramp -> the forecast converges toward the true next value
+    and the trend toward the true slope."""
+    t0 = dt.datetime(2024, 5, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+    for i in range(48):
+        rows.append((eid, t0 + i * h, 1, "FLAT", 50.0, "{}")); eid += 1
+        rows.append((eid, t0 + i * h, 1, "RAMP", 100.0 + 2 * i, "{}")); eid += 1
+    sf = _events_dir(spark, tmp_path, "holt", rows)
+    got = reg["q136_holt_trend"].fn(spark, sf).toPandas()
+    flat = got[got.event_type == "FLAT"].sort_values("h")
+    assert (flat.level == 50.0).all()
+    assert (flat.trend == 0.0).all()
+    assert (flat.forecast == 50.0).all()
+    ramp = got[got.event_type == "RAMP"].sort_values("h")
+    last = ramp.iloc[-1]
+    assert abs(last.trend - 2.0) < 0.05       # converged to the slope
+    assert abs(last.forecast - (100.0 + 2 * 48)) < 0.2  # next true value
+    # exact recurrence replay in pure python
+    l = t = None
+    for i, x in enumerate(ramp.x):
+        if i == 0:
+            l, t = x, 0.0
+        else:
+            ln = 0.5 * x + 0.5 * (l + t)
+            t = 0.25 * (ln - l) + 0.75 * t
+            l = ln
+    assert last.level == round(l, 4) and last.trend == round(t, 4)
