@@ -421,3 +421,49 @@ def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("2*six - (n+1)*sx", "n*sx").alias("gini_e4"),
         )
     )
+
+
+# q137's three disjunctive shipping profiles (TPC-H Q19 shape): brand
+# class x size band x quantity band.
+_Q19_PRED_SQL = """
+      (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+                             AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                             AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50
+                             AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query(
+    "q137_disjunctive_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (SUM({_REV_U_SQL}) * 200 + 10000) // 20000 / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q19_PRED_SQL}
+    GROUP BY 1
+    """,
+    category="warehouse-join",
+)
+def q137_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-profile revenue (TPC-H Q19 shape): three OR-ed
+    brand/size/quantity shipping profiles, summed per brand — the query
+    class that punishes engines that can't push disjunctions.
+
+    Catalyst extracts the common sub-predicates of the OR into
+    scan-level filters on BOTH sides (p_brand IN (...) AND p_size
+    range on part; l_quantity range on lineitem) before the join, so
+    each scan prunes even though the full predicate spans the join —
+    contract-tested below.  Revenue is the exact integer discipline of
+    q113."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey).where(
+        F.expr(_Q19_PRED_SQL)
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        ratio_round("SUM(" + _REV_U_SQL + ")", "10000", 2).alias("revenue"),
+    )

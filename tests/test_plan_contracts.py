@@ -313,6 +313,7 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q113_ship_priority", "q114_region_revenue_share",
         "q115_cust_order_distribution", "q116_returned_items",
         "q127_brand_revenue_share", "q131_late_ship_priority",
+        "q137_disjunctive_revenue",
         "q132_spend_gini",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
@@ -374,3 +375,12 @@ def test_nearest_asof_single_exchange(reg, spark, sf_dir):
     # both direction fills share the user_id partitioning: the second
     # window re-sorts but must NOT add an exchange
     assert exchanges(q(reg, spark, sf_dir, "q135_asof_nearest")) == 1
+
+
+def test_q137_disjunction_pushes_common_predicates(reg, spark, sf_dir):
+    # Catalyst must extract the OR's common conjuncts into BOTH scans:
+    # brand/size reach the part scan, quantity reaches lineitem —
+    # without this the join processes the full tables
+    pf = " ".join(pushed_filters(q(reg, spark, sf_dir, "q137_disjunctive_revenue")))
+    assert "p_brand" in pf or "p_size" in pf
+    assert "l_quantity" in pf
