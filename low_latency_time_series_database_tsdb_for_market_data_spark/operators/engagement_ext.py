@@ -165,3 +165,63 @@ def q126_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         ratio_e4("dau", "wau").alias("stickiness_e4"),
     )
+
+
+@query(
+    "q138_segment_activity",
+    oracle="""
+    WITH u AS (SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(ROUND(value*100) AS BIGINT)) AS sc
+               FROM events GROUP BY 1, 2)
+    SELECT c.c_mktsegment, u.event_type,
+           CAST(SUM(u.n) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users,
+           SUM(u.sc) / 100.0 AS total_value,
+           (SUM(u.sc) * 20000 + 100 * SUM(u.n)) // (2 * 100 * SUM(u.n))
+             / 10000.0 AS avg_value
+    FROM u JOIN customer c ON u.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    category="engagement",
+)
+def q138_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral activity by CRM segment: the events tape joined to the
+    customer dimension (user_id = custkey), reporting volume, reach, and
+    spend per market segment x event type — the first query to BRIDGE
+    the two halves of the catalog (clickstream x warehouse), i.e. the
+    'which segment clicks but does not buy' report.
+
+    Shape: events pre-aggregate to (user, event_type) BEFORE the join —
+    the join input shrinks from event-cardinality to user-cardinality,
+    so the dim join moves |users| x |types| skinny rows, then one
+    segment-level agg.  At 100 TB both sides hash on the user/custkey
+    spine; the pre-agg is what keeps the join payload user-bounded.
+    Money is exact cents; the average is integer-decided."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc"),
+    )
+    return (
+        u.join(c, u.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum("sc") / 100.0).alias("total_value"),
+            F.sum("sc").alias("sum_sc"),
+            F.sum("n").alias("sum_n"),
+        )
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+            ratio_e4("sum_sc", "100 * sum_n").alias("avg_value"),
+        )
+    )

@@ -552,3 +552,17 @@ def test_q136_holt_semantics_on_crafted_series(reg, spark, tmp_path):
             t = 0.25 * (ln - l) + 0.75 * t
             l = ln
     assert last.level == round(l, 4) and last.trend == round(t, 4)
+
+
+def test_q138_bridges_events_to_customer_segments(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q138_segment_activity")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").toPandas()
+    # conservation: every event lands in exactly one (segment, type) cell
+    assert got.n_events.sum() == len(ev)
+    seg = c.set_index("c_custkey").c_mktsegment
+    m = ev.assign(seg=ev.user_id.map(seg))
+    expect = m.groupby(["seg", "event_type"]).size()
+    for r in got.itertuples():
+        assert r.n_events == expect[(r.c_mktsegment, r.event_type)]
+        assert r.n_users <= r.n_events
