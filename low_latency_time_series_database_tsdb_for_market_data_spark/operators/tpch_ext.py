@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import ratio_e4, ratio_round
+from ..functions.deterministic import ratio_e4, ratio_e4_signed, ratio_round
 from ..registry import query
 
 # Exact BIGINT revenue in 1e-4 dollar units: both factors are 2-decimal
@@ -466,4 +466,106 @@ def q137_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         ratio_round("SUM(" + _REV_U_SQL + ")", "10000", 2).alias("revenue"),
+    )
+
+
+@query(
+    "q139_promo_share_monthly",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS ship_month,
+             SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_U_SQL} ELSE 0 END)
+               AS promo_u,
+             SUM({_REV_U_SQL}) AS total_u,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1)
+    SELECT ship_month, n_items,
+           (total_u * 200 + 10000) // 20000 / 100.0 AS revenue,
+           (promo_u * 20000 + total_u) // (2 * total_u) / 10000.0
+             AS promo_share_e4
+    FROM m
+    """,
+    category="warehouse-join",
+)
+def q139_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect over time (TPC-H Q14 shape, extended to the full
+    monthly series): the share of each ship-month's discounted revenue
+    that came from PROMO-type parts — the marketing-mix trend line.
+
+    Shape: one partkey join (conditional aggregation needs only p_type,
+    so the part side projects two columns), one hash-agg to the month
+    grid; both the share and the revenue are integer-decided."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("ship_month")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_u()).otherwise(0)
+            ).alias("promo_u"),
+            F.sum(_rev_u()).alias("total_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            "n_items",
+            ratio_round("total_u", "10000", 2).alias("revenue"),
+            ratio_e4("promo_u", "total_u").alias("promo_share_e4"),
+        )
+    )
+
+
+@query(
+    "q140_monthly_growth",
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                      SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS su,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    g AS (SELECT month, n_orders, su,
+                 lag(su) OVER (ORDER BY month) AS pu
+          FROM m)
+    SELECT month, n_orders, su / 100.0 AS revenue,
+           CASE WHEN pu IS NULL THEN NULL
+                WHEN su - pu < 0
+                THEN -(((pu - su) * 20000 + pu) // (2 * pu)) / 10000.0
+                ELSE (((su - pu) * 20000 + pu) // (2 * pu)) / 10000.0
+           END AS growth_e4
+    FROM g
+    """,
+    category="warehouse-trend",
+)
+def q140_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly booked revenue with month-over-month growth — the
+    business trend line every warehouse serves first.  Growth is the
+    signed integer-decided 4-decimal ratio (half away from zero, the
+    ratio_e4_signed convention); the first month reports NULL.
+
+    Shape: one hash-agg to the ~80-month grid, then a lag window over
+    that grid (the global window runs on agg output, never the fact
+    table).  All money exact cents."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "su"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    g = m.select(
+        "month", "n_orders", "su", F.lag("su").over(w).alias("pu")
+    )
+    return g.select(
+        "month",
+        "n_orders",
+        (F.col("su") / 100.0).alias("revenue"),
+        F.when(F.col("pu").isNull(), F.lit(None).cast("double"))
+        .otherwise(ratio_e4_signed("su - pu", "pu"))
+        .alias("growth_e4"),
     )

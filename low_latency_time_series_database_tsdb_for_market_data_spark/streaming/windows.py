@@ -94,3 +94,21 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts_event", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: join a live tick/event stream to a
+    batch dimension (CRM, instrument master) — Spark runs the static
+    side as a broadcast rebuilt per micro-batch, so the streaming plan
+    stays stateless (no watermark, no state store) and dimension
+    updates between batches are picked up automatically.  LEFT join:
+    events with no dimension row flow through with NULL attributes
+    rather than silently dropping."""
+    return stream.join(
+        F.broadcast(dim), stream[left_key] == dim[right_key], "left"
+    )

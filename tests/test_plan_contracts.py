@@ -315,6 +315,7 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q127_brand_revenue_share", "q131_late_ship_priority",
         "q137_disjunctive_revenue",
         "q132_spend_gini", "q138_segment_activity",
+        "q139_promo_share_monthly",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass

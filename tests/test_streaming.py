@@ -670,3 +670,48 @@ def test_streaming_centroid_scores_match_numpy(spark, sf_dir, tmp_path):
         assert (got.loc[vid].dist, got.loc[vid].label_pred) == dists[0], vid
     # the plan is a stateless narrow map: no state store directories
     assert not (tmp_path / "ckpt" / "state").exists()
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir, tmp_path):
+    """Streaming events enriched with the customer dim must equal the
+    batch join cell-for-cell (segment x event_type counts)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.windows import (
+        enrich_stream,
+        tick_stream,
+    )
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = tmp_path / "evstream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    stream = tick_stream(spark, str(src))
+    out = tmp_path / "enriched"
+    q = (
+        enrich_stream(stream, dim)
+        .select("event_id", "event_type", "c_mktsegment")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(str(out))
+        .groupBy("c_mktsegment", "event_type")
+        .count()
+        .toPandas()
+        .set_index(["c_mktsegment", "event_type"])["count"]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expect = (
+        ev.join(dim, ev.user_id == dim.c_custkey, "left")
+        .groupBy("c_mktsegment", "event_type")
+        .count()
+        .toPandas()
+        .set_index(["c_mktsegment", "event_type"])["count"]
+    )
+    assert got.sort_index().equals(expect.sort_index())
+    assert not (tmp_path / "ckpt" / "state").exists()  # stateless plan

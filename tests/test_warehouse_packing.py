@@ -566,3 +566,33 @@ def test_q138_bridges_events_to_customer_segments(reg, spark):
     for r in got.itertuples():
         assert r.n_events == expect[(r.c_mktsegment, r.event_type)]
         assert r.n_users <= r.n_events
+
+
+def test_q139_promo_share_bounds_and_conservation(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q139_promo_share_monthly")
+    n_li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    assert got.n_items.sum() == n_li
+    assert ((got.promo_share_e4 >= 0) & (got.promo_share_e4 <= 1)).all()
+    assert got.promo_share_e4.nunique() > 1  # a real trend, not constant
+
+
+def test_q140_growth_matches_pandas(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q140_monthly_growth").sort_values(
+        "month"
+    )
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    o["month"] = o.o_orderdate.dt.to_period("M").dt.to_timestamp()
+    m = o.groupby("month").cents.sum().sort_index()
+    assert list(got.revenue) == [c / 100.0 for c in m]
+    import pandas as pd
+
+    assert pd.isna(got.growth_e4.iloc[0])
+    for i in range(1, len(m)):
+        su, pu = int(m.iloc[i]), int(m.iloc[i - 1])
+        d = su - pu
+        e4 = (
+            -(((-d) * 20000 + pu) // (2 * pu)) if d < 0
+            else ((d * 20000 + pu) // (2 * pu))
+        ) / 10000.0
+        assert got.growth_e4.iloc[i] == e4
