@@ -271,3 +271,106 @@ def q124_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("sum_df", "n_distinct").alias("mean_df"),
         )
     )
+
+
+@query(
+    "q142_tokenizer_fertility",
+    oracle="""
+    WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           (SUM(nc) * 20000 + SUM(nt)) // (2 * SUM(nt)) / 10000.0
+             AS chars_per_token,
+           (SUM(nt) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0
+             AS tokens_per_doc
+    FROM d GROUP BY 1
+    """,
+    category="llm-quality",
+)
+def q142_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: characters per token and
+    tokens per document — the compression-rate table that decides
+    whether a tokenizer (here the whitespace baseline) treats every
+    language fairly; high chars/token languages pay more compute per
+    byte of text.
+
+    Shape: the token count is in-row array length (no explode — the
+    cheapest of the token family), one hash-agg to |langs| rows,
+    integer-decided ratios."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.col("n_chars").alias("nc"),
+            F.size(tokens("text")).cast("bigint").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            ratio_e4("total_chars", "total_tokens").alias(
+                "chars_per_token"
+            ),
+            ratio_e4("total_tokens", "n_docs").alias("tokens_per_doc"),
+        )
+    )
+
+
+@query(
+    "q143_length_percentiles",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q143_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source: exact interpolated
+    quartiles plus the extremes — the first chart every corpus audit
+    draws (truncated scrapes show as collapsed p75/max, boilerplate
+    floods as a spiked p25).  Spark `percentile` and DuckDB
+    `quantile_cont` share linear-interpolation semantics (the q27
+    precedent), so the quartiles match exactly on integer inputs.
+
+    Shape: one source-keyed percentile agg (exact form — the
+    oracle-checkable twin of the mergeable approx_percentile q73
+    surfaces for 100 TB)."""
+    d = table(spark, sf_dir, "documents")
+    ps = F.percentile(
+        "n_chars", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            ps.alias("ps"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            *[
+                F.round(F.col("ps")[i], 4).alias(name)
+                for i, name in enumerate(("p25", "p50", "p75"))
+            ],
+            "min_chars",
+            "max_chars",
+        )
+    )

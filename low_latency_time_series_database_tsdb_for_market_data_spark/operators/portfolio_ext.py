@@ -351,3 +351,63 @@ def q134_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("kept_c", "100 * kept_n").alias("trimmed_avg"),
         )
     )
+
+
+@query(
+    "q141_market_profile",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) // 1000 AS bin
+               FROM events),
+    g AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM c GROUP BY 1, 2),
+    r AS (SELECT event_type, bin, n,
+                 SUM(n) OVER (PARTITION BY event_type) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, bin) AS rk
+          FROM g)
+    SELECT event_type, bin, n,
+           (n * 20000 + tot) // (2 * tot) / 10000.0 AS share_e4,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_poc
+    FROM r
+    """,
+    category="timeseries-profile",
+)
+def q141_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market profile: per symbol, the tick-count distribution across
+    $10 price bins with the point of control flagged (the modal bin —
+    ties to the LOWER bin via the (n DESC, bin) total order) — the
+    where-does-this-symbol-trade histogram behind value-area analytics.
+
+    Exactness: bins are integer cents floor-division (values
+    nonnegative), shares integer-decided, the POC a deterministic
+    row_number.  Shape: narrow bin map, one (symbol, bin) hash-agg,
+    then symbol-keyed windows over the bin-bounded cells."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(ROUND(value*100) AS BIGINT) div 1000"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "bin")
+    return g.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(ws).alias("tot"),
+        F.row_number().over(wr).alias("rk"),
+    ).select(
+        "event_type",
+        "bin",
+        "n",
+        ratio_e4("n", "tot").alias("share_e4"),
+        F.when(F.col("rk") == 1, 1).otherwise(0).cast("bigint").alias(
+            "is_poc"
+        ),
+    )

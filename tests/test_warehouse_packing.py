@@ -596,3 +596,61 @@ def test_q140_growth_matches_pandas(reg, spark):
             else ((d * 20000 + pu) // (2 * pu))
         ) / 10000.0
         assert got.growth_e4.iloc[i] == e4
+
+
+def test_q141_poc_is_modal_bin_and_shares_conserve(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q141_market_profile")
+    for sym, g in got.groupby("event_type"):
+        poc = g[g.is_poc == 1]
+        assert len(poc) == 1  # exactly one point of control
+        top_n = g.n.max()
+        # the POC is a modal bin, and the LOWEST such bin on ties
+        assert poc.n.iloc[0] == top_n
+        assert poc.bin.iloc[0] == g[g.n == top_n].bin.min()
+        assert abs(g.share_e4.sum() - 1.0) <= len(g) * 5e-5 + 1e-12
+
+
+def test_q142_fertility_matches_python(reg, spark, docs):
+    got = _pdf(reg, spark, SF_SMALL, "q142_tokenizer_fertility")
+    langs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    agg: dict = {}
+    for doc_id, row in docs.iterrows():
+        lang = langs.loc[doc_id].lang
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(row.n_chars)
+        a[2] += len(row.text.split(" "))
+    for r in got.itertuples():
+        nd, nc, nt = agg[r.lang]
+        assert (r.n_docs, r.total_chars, r.total_tokens) == (nd, nc, nt)
+        assert r.chars_per_token == ((nc * 20000 + nt) // (2 * nt)) / 10000.0
+
+
+def test_q143_quartiles_match_numpy(reg, spark, docs):
+    import numpy as np
+
+    got = _pdf(reg, spark, SF_SMALL, "q143_length_percentiles").set_index(
+        "source"
+    )
+    src = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    joined = docs.join(src, rsuffix="_s")
+    for source, g in joined.groupby("source"):
+        xs = np.sort(g.n_chars.to_numpy())
+        r = got.loc[source]
+        assert r.n_docs == len(xs)
+        assert r.min_chars == xs[0] and r.max_chars == xs[-1]
+        # numpy 'linear' is the same interpolation rule both engines use
+        for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            assert getattr(r, col) == round(
+                float(np.percentile(xs, p, method="linear")), 4
+            )
