@@ -411,3 +411,139 @@ def q141_market_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_poc"
         ),
     )
+
+
+@query(
+    "q144_flow_concentration",
+    oracle="""
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY c DESC, event_id) AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n,
+                 SUM(c) OVER (PARTITION BY event_type) AS tot
+          FROM c),
+    p AS (SELECT event_type, pct, n, tot,
+                 SUM(CASE WHEN 100 * i <= pct * n THEN c ELSE 0 END) AS topc,
+                 CAST(SUM(CASE WHEN 100 * i <= pct * n THEN 1 ELSE 0 END)
+                      AS BIGINT) AS top_n
+          FROM r CROSS JOIN (SELECT unnest([1, 5, 10, 25]) AS pct)
+          GROUP BY event_type, pct, n, tot)
+    SELECT event_type, CAST(pct AS BIGINT) AS pct, top_n,
+           (topc * 20000 + tot) // (2 * tot) / 10000.0 AS share_e4
+    FROM p
+    """,
+    category="timeseries-profile",
+)
+def q144_flow_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow concentration (Lorenz points): the share of each symbol's
+    dollar volume carried by its top 1/5/10/25% largest ticks — the
+    does-a-few-big-prints-dominate screen behind block-trade detection
+    and q132's Gini, read at fixed quantile ranks.
+
+    Exactness: membership in the top-p% is the integer
+    cross-multiplication 100·rank <= p·n over the (value DESC,
+    event_id) total order; shares integer-decided.  Shape: ONE
+    symbol-keyed window sort (rank + count + total share the
+    partitioning), a 4-way in-row threshold explode, one hash-agg to
+    4 x |symbols| rows."""
+    ev = table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), "event_id"
+    )
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "event_id", cents("value").alias("c")
+    ).select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("c").over(wn).alias("tot"),
+    )
+    x = r.select(
+        "event_type",
+        "c",
+        "i",
+        "n",
+        "tot",
+        F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 25)])).alias(
+            "pct"
+        ),
+    )
+    keep = 100 * F.col("i") <= F.col("pct") * F.col("n")
+    return (
+        x.groupBy("event_type", F.col("pct").cast("bigint").alias("pct"),
+                  "n", "tot")
+        .agg(
+            F.sum(F.when(keep, F.col("c")).otherwise(0)).alias("topc"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+                "top_n"
+            ),
+        )
+        .select(
+            "event_type",
+            "pct",
+            "top_n",
+            ratio_e4("topc", "tot").alias("share_e4"),
+        )
+    )
+
+
+@query(
+    "q145_interarrival_quartiles",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY event_type
+                          ORDER BY ts, event_id) AS gap
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap, 0.25), 4) AS p25_us,
+           ROUND(quantile_cont(gap, 0.50), 4) AS p50_us,
+           ROUND(quantile_cont(gap, 0.75), 4) AS p75_us,
+           CAST(MAX(gap) AS BIGINT) AS max_us
+    FROM s WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    category="timeseries-quality",
+)
+def q145_interarrival_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-tick arrival-time distribution per symbol: exact
+    interpolated quartiles and the worst gap in microseconds — the
+    feed-cadence profile that complements q87's threshold counts (how
+    MANY gaps breached) with the shape of the whole distribution (what
+    NORMAL spacing looks like).
+
+    Exactness: gaps are exact epoch-micros integer differences over the
+    (ts, event_id) total order; quartiles interpolate identically on
+    both engines (q27/q143 precedent).  Shape: one symbol-keyed lag
+    window + one percentile agg under the same key — single exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    s = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    ps = F.percentile(
+        "gap", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            ps.alias("ps"),
+            F.max("gap").cast("bigint").alias("max_us"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            *[
+                F.round(F.col("ps")[i], 4).alias(f"p{p}_us")
+                for i, p in enumerate((25, 50, 75))
+            ],
+            "max_us",
+        )
+    )

@@ -654,3 +654,42 @@ def test_q143_quartiles_match_numpy(reg, spark, docs):
             assert getattr(r, col) == round(
                 float(np.percentile(xs, p, method="linear")), 4
             )
+
+
+def test_q144_concentration_monotone_and_exact(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q144_flow_concentration")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    for sym, g in got.groupby("event_type"):
+        g = g.sort_values("pct")
+        # shares grow with the percentile and always exceed uniform share
+        assert list(g.share_e4) == sorted(g.share_e4)
+        xs = [c for c, _ in sorted(
+            zip(ev[ev.event_type == sym].c, ev[ev.event_type == sym].event_id),
+            key=lambda t: (-t[0], t[1]))]
+        n, tot = len(xs), sum(xs)
+        for r in g.itertuples():
+            k = sum(1 for i in range(1, n + 1) if 100 * i <= r.pct * n)
+            topc = sum(xs[:k])
+            assert r.top_n == k
+            assert r.share_e4 == ((topc * 20000 + tot) // (2 * tot)) / 10000.0
+            assert r.share_e4 * 10000 >= r.pct * 100 - 1  # top-p% >= p%
+
+
+def test_q145_quartiles_match_numpy(reg, spark):
+    import numpy as np
+
+    got = _pdf(reg, spark, SF_SMALL, "q145_interarrival_quartiles").set_index(
+        "event_type"
+    )
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    ev["us"] = ev.ts.astype("int64") // 1000  # ns -> us
+    for sym, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        gaps = np.diff(g.us.to_numpy())
+        r = got.loc[sym]
+        assert r.n_gaps == len(gaps) and r.max_us == gaps.max()
+        for p, col in ((25, "p25_us"), (50, "p50_us"), (75, "p75_us")):
+            assert getattr(r, col) == round(
+                float(np.percentile(gaps, p, method="linear")), 4
+            )
