@@ -547,3 +547,59 @@ def q145_interarrival_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_us",
         )
     )
+
+
+@query(
+    "q146_weekday_seasonality",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+                      CAST(ROUND(value*100) AS BIGINT) AS c
+               FROM events)
+    SELECT event_type, weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           (SUM(c) * 20000 + 100 * COUNT(*)) // (2 * 100 * COUNT(*))
+             / 10000.0 AS avg_value,
+           (COUNT(*) * 20000 + SUM(COUNT(*)) OVER (PARTITION BY event_type))
+             // (2 * SUM(COUNT(*)) OVER (PARTITION BY event_type))
+             / 10000.0 AS share_e4
+    FROM c GROUP BY 1, 2
+    """,
+    category="timeseries-profile",
+)
+def q146_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per symbol: tick count, share of the
+    week, and average price by weekday (0 = Monday on both engines:
+    Spark `weekday` vs DuckDB `isodow - 1` — the one calendar function
+    pair whose conventions differ and must be explicitly aligned) —
+    the weekly complement to q96's hour-of-day profile.
+
+    Shape: narrow weekday map, one (symbol, weekday) hash-agg, symbol
+    window over <= 7 cells; all integer-decided."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.weekday("ts").cast("bigint").alias("weekday"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("c").alias("sum_c"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "weekday",
+        "n_ticks",
+        F.sum("n_ticks").over(wt).alias("tot"),
+        "sum_c",
+    ).select(
+        "event_type",
+        "weekday",
+        "n_ticks",
+        ratio_e4("sum_c", "100 * n_ticks").alias("avg_value"),
+        ratio_e4("n_ticks", "tot").alias("share_e4"),
+    )

@@ -569,3 +569,82 @@ def q140_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(ratio_e4_signed("su - pu", "pu"))
         .alias("growth_e4"),
     )
+
+
+@query(
+    "q147_customer_value_bands",
+    oracle="""
+    WITH spend AS (SELECT o_custkey,
+                          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1),
+    t AS (SELECT x, n_orders,
+                 NTILE(5) OVER (ORDER BY x, o_custkey) AS band
+          FROM spend)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           MIN(x) / 100.0 AS min_spend,
+           MAX(x) / 100.0 AS max_spend,
+           (SUM(x) * 20000 + 100 * COUNT(*)) // (2 * 100 * COUNT(*))
+             / 10000.0 AS avg_spend,
+           (SUM(x) * 20000 + SUM(SUM(x)) OVER ())
+             // (2 * SUM(SUM(x)) OVER ()) / 10000.0 AS revenue_share_e4
+    FROM t GROUP BY band
+    """,
+    category="warehouse-trend",
+)
+def q147_customer_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value segmentation (RFM's monetary axis): active
+    customers quintiled by lifetime spend, each band reporting size,
+    spend range, and its share of total revenue — the
+    top-20%-drives-what-share table behind every account-tiering
+    decision (q132's Gini read as five business-ready buckets).
+
+    Exactness: NTILE over the (spend, custkey) total order (ANSI
+    remainder rule both engines — the q133 precedent), shares and
+    means integer-decided.  Shape: custkey spend agg, ONE global
+    quintile window over |customers| rows (a bounded dimension, not
+    the fact table — at 100 TB the same recipe keys the window by
+    region/nation to keep each sort group bounded), 5-row output."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "x"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("x", "o_custkey")
+    t = spend.select(
+        "x", "n_orders", F.ntile(5).over(w).cast("bigint").alias("band")
+    )
+    wt = Window.partitionBy()
+    return (
+        t.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            (F.min("x") / 100.0).alias("min_spend"),
+            (F.max("x") / 100.0).alias("max_spend"),
+            F.sum("x").alias("sum_x"),
+        )
+        .select(
+            "band",
+            "n_customers",
+            "n_orders",
+            "min_spend",
+            "max_spend",
+            ratio_e4("sum_x", "100 * n_customers").alias("avg_spend"),
+            F.sum("sum_x").over(wt).alias("tot_x"),
+            "sum_x",
+        )
+        .select(
+            "band",
+            "n_customers",
+            "n_orders",
+            "min_spend",
+            "max_spend",
+            "avg_spend",
+            ratio_e4("sum_x", "tot_x").alias("revenue_share_e4"),
+        )
+    )

@@ -693,3 +693,35 @@ def test_q145_quartiles_match_numpy(reg, spark):
             assert getattr(r, col) == round(
                 float(np.percentile(gaps, p, method="linear")), 4
             )
+
+
+def test_q146_weekday_alignment_and_conservation(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q146_weekday_seasonality")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    assert got.n_ticks.sum() == len(ev)
+    assert set(got.weekday) <= set(range(7))
+    # cross-check the Monday=0 convention against pandas (also Monday=0)
+    expect = ev.groupby(
+        [ev.event_type, ev.ts.dt.weekday]
+    ).size()
+    for r in got.itertuples():
+        assert r.n_ticks == expect[(r.event_type, r.weekday)]
+
+
+def test_q147_bands_partition_and_monotone(reg, spark):
+    got = _pdf(reg, spark, SF_SMALL, "q147_customer_value_bands").sort_values(
+        "band"
+    )
+    active = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert list(got.band) == [1, 2, 3, 4, 5]
+    assert got.n_customers.sum() == active
+    assert got.n_customers.max() - got.n_customers.min() <= 1
+    # spend ranges ordered and non-overlapping; top band dominates revenue
+    assert (got.max_spend.values[:-1] <= got.min_spend.values[1:]).all()
+    assert list(got.revenue_share_e4) == sorted(got.revenue_share_e4)
+    assert abs(got.revenue_share_e4.sum() - 1.0) <= 5e-4
