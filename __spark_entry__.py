@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path changed in round 5 (q02 distributed CSV import, q04/q05
 # footer-stats probes — both r4-green and locally re-verified), then the
 # queries verified green in round 4 plus the round-5 additions
-# q101-q145 (quality depth, warehouse joins, portfolio screens,
+# q101-q147 (quality depth, warehouse joins, portfolio screens,
 # packing, engagement, classification eval — no driver row yet;
 # exact-audited at sf0.001, sf0.01 AND sf0.1 — rotate them into the
 # window in round 6).  The 4 rows-only queries
