@@ -35,50 +35,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file caps at the first 50 dict entries, so
-# order the dict by verification PRIORITY: first the 35 queries whose
-# newest driver row is round 3 (pre-round-4 code — the round-4 rotation
-# pushed them past the cap; the round-4 integer-rounding sweep touched
-# their modules, so the official trail should be refreshed on current
-# code), then the round-5 additions q86-q100 (no driver row yet) —
-# exactly 50.  Immediately after the cap: the three queries whose read
-# path changed in round 5 (q02 distributed CSV import, q04/q05
-# footer-stats probes — both r4-green and locally re-verified), then the
-# queries verified green in round 4 plus the round-5 additions
-# q101-q147 (quality depth, warehouse joins, portfolio screens,
-# packing, engagement, classification eval — no driver row yet;
-# exact-audited at sf0.001, sf0.01 AND sf0.1 — rotate them into the
-# window in round 6).  The 4 rows-only queries
-# (q25/q64/q65/q73, oracle omitted by declared design) close the stale
-# block so they get fresh rows-only records too.  A driver that sorts
-# keys or checks all 100 is unaffected — the key set is identical.
-_STALE_R3 = [
-    "q20_agg_basic", "q23_vwap", "q27_percentiles",
-    "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
-    "q54_minhash_signature", "q55_lsh_buckets", "q56_ngram_jaccard_pairs",
-    "q57_simhash", "q58_lang_id", "q59_quality_score", "q60_token_count",
-    "q61_fingerprint", "q62_embedding_neardup", "q63_multimodal_meta",
-    "q66_dedup_clusters", "q67_embed_quantize", "q68_topn_per_group",
-    "q69_bigram_topk", "q70_dedup_survivors", "q71_cube",
-    "q72_grouping_sets", "q78_string_agg", "q79_regex_groups",
-    "q80_date_arithmetic", "q81_stop_shingles", "q82_repetition_filter",
-    "q83_contamination", "q84_pii_scan", "q85_corpus_mix",
-    "q25_approx_distinct", "q64_ann_lsh_bucketed", "q65_ann_ivf",
-    "q73_approx_percentile",
-]
-
-_NEW_R5 = [
-    "q86_realized_variance", "q87_gap_report", "q88_tick_direction",
-    "q89_resample_linear", "q90_hash_split", "q91_source_overlap",
-    "q92_token_df", "q93_spike_mad", "q94_stratified_sample",
-    "q95_simhash_pairs", "q96_intraday_profile", "q97_vol_signature",
-    "q98_user_funnel", "q99_label_centroids", "q100_dup_rate_by_source",
+# order the dict by verification PRIORITY.  Round-6 window (the
+# round-5 judge's item #1, VERDICT.md "Next round" list): the 47
+# round-5 additions q101-q147 — never inside a driver window, but
+# exact-audited (zero float tolerance) at sf0.001/0.01/0.1 and
+# judge-audited EXACT at sf0.01 — followed by the three queries whose
+# read path changed in round 5 AFTER their last driver row (q02
+# distributed CSV import; q04/q05 footer-stats probes), = exactly 50.
+# This completes the official correctness record for the whole
+# registry: every one of the 147 queries then has a driver row on
+# code no older than the row.  Queries q101-q147 are all
+# oracle-backed (none of the rows-only sketches are in this window).
+# Any round-6 additions are appended AFTER the head-50 (registry
+# iteration order) and rotate into the round-7 window — per the
+# judge's item #2 (freeze the window until the rotation lands).
+# A driver that sorts keys or checks all 147 is unaffected — the key
+# set is identical.
+_HEAD_R6 = [
+    "q101_lead_lag", "q102_drawdown_spells", "q103_roll_spread",
+    "q104_benford_digits", "q105_staleness_runs",
+    "q106_minute_rate_anomaly", "q107_zipf_coverage", "q108_norm_band",
+    "q109_overnight_gap", "q110_dispersion_screen", "q111_causal_bursts",
+    "q112_market_beta", "q113_ship_priority", "q114_region_revenue_share",
+    "q115_cust_order_distribution", "q116_returned_items",
+    "q117_flow_autocorr", "q118_turnover_hhi", "q119_price_ending_digits",
+    "q120_event_study", "q121_chunk_overlap", "q122_pack_contexts",
+    "q123_lexical_diversity", "q124_df_score", "q125_retention_cohorts",
+    "q126_rolling_active_users", "q127_brand_revenue_share",
+    "q128_centroid_separation", "q129_edit_distance_pairs",
+    "q130_nearest_centroid_eval", "q131_late_ship_priority",
+    "q132_spend_gini", "q133_value_deciles", "q134_trimmed_mean",
+    "q135_asof_nearest", "q136_holt_trend", "q137_disjunctive_revenue",
+    "q138_segment_activity", "q139_promo_share_monthly",
+    "q140_monthly_growth", "q141_market_profile",
+    "q142_tokenizer_fertility", "q143_length_percentiles",
+    "q144_flow_concentration", "q145_interarrival_quartiles",
+    "q146_weekday_seasonality", "q147_customer_value_bands",
     "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = _STALE_R3 + _NEW_R5
+    head = _HEAD_R6
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 
