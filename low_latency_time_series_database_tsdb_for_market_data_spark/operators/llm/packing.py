@@ -68,9 +68,14 @@ def q121_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' substring is 1-based and end-clamped, and md5 over
     identical bytes is identical."""
     d = table(spark, sf_dir, "documents")
-    starts = F.sequence(
-        F.lit(1), F.length("text"), F.lit(_STRIDE)
-    )
+    # Spark's sequence(1, 0, +step) raises (illegal boundaries) where
+    # DuckDB's generate_series returns the empty set — guard so an empty
+    # document yields zero chunks instead of crashing the job (same
+    # short-input discipline as texthash.ngrams)
+    starts = F.when(
+        F.length("text") > 0,
+        F.sequence(F.lit(1), F.length("text"), F.lit(_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
     c = F.expr(f"substring(text, chunk_start, {_CHUNK})")
     return (
         d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))

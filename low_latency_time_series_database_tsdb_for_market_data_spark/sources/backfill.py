@@ -74,7 +74,10 @@ def ingest_files_idempotent(
     {files_seen, files_ingested, rows_ingested}."""
     seen = _read_manifest(manifest_path)
     files = sorted(_glob.glob(src_glob))
-    fresh = [(f, file_id(f)) for f in files if file_id(f) not in seen]
+    # one file_id (stat) per file, reused for both the membership test
+    # and the manifest record
+    ids = [(f, file_id(f)) for f in files]
+    fresh = [(f, fid) for f, fid in ids if fid not in seen]
     if not fresh:
         return {
             "files_seen": len(files),
@@ -82,9 +85,15 @@ def ingest_files_idempotent(
             "rows_ingested": 0,
         }
     df = (reader or _default_reader)(spark, [f for f, _ in fresh])
-    rows = df.count()
-    if rows:
-        write_ticks(df, table_dir, mode="append")
+    # persist so the audit count and the table append share ONE source
+    # scan instead of reading every fresh file twice
+    df = df.persist()
+    try:
+        rows = df.count()
+        if rows:
+            write_ticks(df, table_dir, mode="append")
+    finally:
+        df.unpersist()
     # manifest records AFTER the table append (see module doc)
     mp = Path(manifest_path)
     mp.parent.mkdir(parents=True, exist_ok=True)

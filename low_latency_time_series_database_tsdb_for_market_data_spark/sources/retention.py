@@ -44,26 +44,104 @@ def _has_parquet(path: str) -> bool:
     return p.exists() and any(p.glob("**/*.parquet"))
 
 
+def _stage_paths(raw_dir: str, bars_dir: str) -> tuple[str, str, str]:
+    """(raw stage, bars stage, commit marker) for one retention pass."""
+    return (
+        f"{raw_dir.rstrip('/')}__retain_stage",
+        f"{bars_dir.rstrip('/')}__append_stage",
+        f"{raw_dir.rstrip('/')}__retain_commit",
+    )
+
+
+def _finish_bars_append(bars_stage: str, bars_dir: str) -> None:
+    """Move staged partial-bar part files into the live bars table.
+
+    File renames are atomic on one filesystem and Spark part names carry
+    a job-unique UUID, so a re-run after a crash mid-move just moves the
+    remaining files — a part exists in exactly one of the two
+    directories at every instant."""
+    Path(bars_dir).mkdir(parents=True, exist_ok=True)
+    for f in sorted(Path(bars_stage).glob("*.parquet")):
+        dest = Path(bars_dir) / f.name
+        if dest.exists():
+            raise RuntimeError(
+                f"retention: bars part collision at {dest} — "
+                "stage was built by a different pass; inspect by hand"
+            )
+        _shutil.move(str(f), str(dest))
+    _shutil.rmtree(bars_stage)
+
+
+def recover_retention(raw_dir: str, bars_dir: str) -> list[str]:
+    """Finish or roll back a retention pass interrupted by a crash.
+
+    The commit marker is written only after BOTH staging directories are
+    fully materialized and count-verified, so its presence means the
+    pass's outcome is decided: redo the (idempotent) swap + append
+    steps.  Its absence means the pass never committed: the live tables
+    are untouched, so any stage remnants are rolled back and the next
+    pass re-runs from scratch.  Called automatically at the top of
+    :func:`apply_retention`; safe to call any time (no-op when no stage
+    or marker exists).  Returns the list of actions taken."""
+    raw_stage, bars_stage, marker = _stage_paths(raw_dir, bars_dir)
+    actions: list[str] = []
+    if Path(marker).exists():
+        if Path(raw_stage).exists():
+            if Path(raw_dir).exists():
+                _shutil.rmtree(raw_dir)
+            _shutil.move(raw_stage, raw_dir)
+            actions.append("raw_swap_finished")
+        if Path(bars_stage).exists():
+            _finish_bars_append(bars_stage, bars_dir)
+            actions.append("bars_append_finished")
+        Path(marker).unlink()
+        actions.append("commit_marker_cleared")
+    else:
+        for stage in (raw_stage, bars_stage):
+            if Path(stage).exists():
+                _shutil.rmtree(stage)
+                actions.append(f"rolled_back:{Path(stage).name}")
+    return actions
+
+
 def apply_retention(
     spark: SparkSession,
     raw_dir: str,
     bars_dir: str,
     cutoff: _dt.datetime,
     bucket: str = "1 minute",
+    _crash_at: str | None = None,
 ) -> dict:
     """Expire raw ticks with ts < cutoff into partial bars.
 
     Idempotent: a re-run with the same (or an earlier) cutoff finds no
     expiring rows and changes nothing — including on a raw table already
     expired down to nothing (a fully-archived table stays queryable
-    through unified_bars).  The surviving raw slice is fully
-    materialized into a staging directory BEFORE the old table is
-    removed, so no crash point loses data: the survivors always exist
-    complete in the stage or the final directory (a crash between the
-    remove and the rename leaves them in the stage path, recoverable by
-    finishing the rename by hand; a table format with atomic REPLACE
-    commits closes even that window).  Returns an audit dict
-    {expired_rows, retained_rows, bars_appended}."""
+    through unified_bars).
+
+    Crash safety is a two-stage commit: the partial bars AND the
+    surviving raw slice are each fully materialized into staging
+    directories and count-verified, then a commit marker file is
+    written, and only then do the live tables change (raw swap, then
+    bars part-file move).  Before the marker exists nothing live has
+    changed and :func:`recover_retention` (run automatically at entry)
+    rolls the stages back, so a re-run after an early crash re-runs the
+    whole pass exactly once — the pre-fix hazard where a crash between a
+    live bars append and the raw swap double-folded the same partials on
+    re-run cannot occur, because partials only reach bars_dir after the
+    expired rows have left raw_dir.  After the marker exists, recovery
+    redoes the idempotent swap/move steps to completion.  On a real
+    deployment the marker is a table-format atomic commit
+    (Iceberg/Delta REPLACE + append in one transaction).
+
+    ``_crash_at`` is a test-only fault-injection point naming a step to
+    die before ('bars_staged' | 'committed' | 'raw_swapped').
+
+    Returns an audit dict {expired_rows, retained_rows, bars_appended}
+    where bars_appended counts the partial-bar ROWS APPENDED BY THIS
+    PASS (not the bars table total)."""
+    raw_stage, bars_stage, marker = _stage_paths(raw_dir, bars_dir)
+    recover_retention(raw_dir, bars_dir)
     if not _has_parquet(raw_dir):  # everything already archived
         return {"expired_rows": 0, "retained_rows": 0, "bars_appended": 0}
     raw = read_ticks(spark, raw_dir)
@@ -76,28 +154,45 @@ def apply_retention(
             "retained_rows": raw.count(),
             "bars_appended": 0,
         }
-    partials = _tick_partials(old, bucket)
-    partials.write.mode("append").parquet(bars_dir)
-    n_bars = spark.read.parquet(bars_dir).count()
 
-    # stage -> swap: materialize survivors fully, then replace the dir
-    # (an empty survivor set swaps in an empty directory — Spark writes
-    # no part files for an empty partitioned frame, and every reader
-    # here goes through the _has_parquet guard)
-    stage = f"{raw_dir.rstrip('/')}__retain_stage"
+    # stage 1: partial bars for the expiring slice
+    partials = _tick_partials(old, bucket)
+    partials.write.mode("overwrite").parquet(bars_stage)
+    n_appended = spark.read.parquet(bars_stage).count()
+    if _crash_at == "bars_staged":
+        raise RuntimeError("injected crash: after bars staged")
+
+    # stage 2: the surviving raw slice (an empty survivor set stages an
+    # empty directory — Spark writes no part files for an empty
+    # partitioned frame, and every reader here goes through the
+    # _has_parquet guard)
     recent = raw.where(F.col("ts") >= lit)
     retained = recent.count()
     if retained:
-        write_ticks(recent, stage, mode="overwrite")
-        assert read_ticks(spark, stage).count() == retained  # barrier
+        write_ticks(recent, raw_stage, mode="overwrite")
+        staged = read_ticks(spark, raw_stage).count()
+        if staged != retained:  # barrier: survives python -O
+            raise RuntimeError(
+                f"retention stage incomplete: {staged} != {retained}"
+            )
     else:
-        Path(stage).mkdir(parents=True, exist_ok=True)
+        Path(raw_stage).mkdir(parents=True, exist_ok=True)
+
+    # commit point: both stages verified-complete; all later steps are
+    # idempotent redo territory for recover_retention
+    Path(marker).touch()
+    if _crash_at == "committed":
+        raise RuntimeError("injected crash: after commit marker")
     _shutil.rmtree(raw_dir)
-    _shutil.move(stage, raw_dir)
+    _shutil.move(raw_stage, raw_dir)
+    if _crash_at == "raw_swapped":
+        raise RuntimeError("injected crash: after raw swap")
+    _finish_bars_append(bars_stage, bars_dir)
+    Path(marker).unlink()
     return {
         "expired_rows": expired,
         "retained_rows": retained,
-        "bars_appended": n_bars,
+        "bars_appended": n_appended,
     }
 
 

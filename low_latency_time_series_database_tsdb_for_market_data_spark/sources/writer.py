@@ -108,7 +108,9 @@ def compact_ticks(
         colocate=True,
         target_files=target_files,
     )
-    assert spark.read.parquet(stage).count() == rows  # barrier
+    staged = spark.read.parquet(stage).count()
+    if staged != rows:  # barrier: must survive python -O (assert strips)
+        raise RuntimeError(f"compact stage incomplete: {staged} != {rows}")
     _shutil.rmtree(path)
     _shutil.move(stage, path)
     files_after = len(list(_Path(path).glob("**/*.parquet")))

@@ -151,3 +151,121 @@ def test_retention_property_ties_and_random_cutoffs(spark, tmp_path):
         apply_retention(spark, raw_dir, bars_dir, cutoff)
         got = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
         assert_df_equal(got, expected, name=f"retention trial {trial}")
+
+
+def test_crash_before_commit_rolls_back_and_rerun_is_exact(
+    spark, sf_dir, tmp_path
+):
+    """A crash AFTER the bars stage is written but BEFORE the commit
+    marker must leave both live tables untouched; the re-run then
+    executes the whole pass exactly once (the pre-fix hazard: partials
+    appended live before the raw swap double-folded on re-run)."""
+    import datetime as dt
+
+    import pytest
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (  # noqa: E501
+        _stage_paths,
+    )
+
+    raw_dir = str(tmp_path / "rawc1")
+    bars_dir = str(tmp_path / "barsc1")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    n_total = ticks.count()
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    (p50,) = ticks.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_retention(
+            spark, raw_dir, bars_dir, cutoff, _crash_at="bars_staged"
+        )
+    # live tables untouched: raw still full, bars still absent
+    assert read_ticks(spark, raw_dir).count() == n_total
+    from pathlib import Path as _P
+
+    assert not any(_P(bars_dir).glob("**/*.parquet")) if _P(
+        bars_dir
+    ).exists() else True
+
+    audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
+    assert audit["expired_rows"] + audit["retained_rows"] == n_total
+    # stages cleaned up, marker gone
+    for p in _stage_paths(raw_dir, bars_dir):
+        assert not _P(p).exists()
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after pre-commit crash")
+
+
+def test_crash_after_commit_recovers_without_double_fold(
+    spark, sf_dir, tmp_path
+):
+    """Crashes after the commit marker ('committed': before the raw
+    swap; 'raw_swapped': between the swap and the bars move) must be
+    finished idempotently by the next run — bars fold exactly once."""
+    import datetime as dt
+
+    import pytest
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (  # noqa: E501
+        _stage_paths,
+    )
+    from pathlib import Path as _P
+
+    ticks = tick_view(spark, sf_dir)
+    (p50,) = ticks.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+
+    for trial, crash_at in enumerate(["committed", "raw_swapped"]):
+        raw_dir = str(tmp_path / f"rawc2_{trial}")
+        bars_dir = str(tmp_path / f"barsc2_{trial}")
+        write_ticks(ticks, raw_dir, mode="overwrite")
+        n_total = ticks.count()
+        expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_retention(
+                spark, raw_dir, bars_dir, cutoff, _crash_at=crash_at
+            )
+        # re-run: recovery finishes the committed pass, then finds
+        # nothing left to expire below the same cutoff
+        audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
+        assert audit["expired_rows"] == 0
+        assert audit["retained_rows"] + ticks.where(
+            F.col("ts") < F.lit(cutoff)
+        ).count() == n_total
+        for p in _stage_paths(raw_dir, bars_dir):
+            assert not _P(p).exists()
+        after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+        assert_df_equal(
+            after, expected, name=f"bars after crash at {crash_at}"
+        )
+
+
+def test_bars_appended_counts_this_pass_only(spark, sf_dir, tmp_path):
+    """The audit key reports partial-bar rows appended BY THIS PASS, not
+    the bars-table total (two passes must not report cumulative)."""
+    import datetime as dt
+
+    raw_dir = str(tmp_path / "rawa")
+    bars_dir = str(tmp_path / "barsa")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    p33, p66 = ticks.selectExpr(
+        "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+    ).collect()[0][0]
+    base = dt.datetime(1970, 1, 1)
+    a1 = apply_retention(
+        spark, raw_dir, bars_dir, base + dt.timedelta(microseconds=int(p33))
+    )
+    a2 = apply_retention(
+        spark, raw_dir, bars_dir, base + dt.timedelta(microseconds=int(p66))
+    )
+    assert a1["bars_appended"] > 0 and a2["bars_appended"] > 0
+    total = spark.read.parquet(bars_dir).count()
+    assert a1["bars_appended"] + a2["bars_appended"] == total

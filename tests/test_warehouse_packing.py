@@ -725,3 +725,25 @@ def test_q147_bands_partition_and_monotone(reg, spark):
     assert (got.max_spend.values[:-1] <= got.min_spend.values[1:]).all()
     assert list(got.revenue_share_e4) == sorted(got.revenue_share_e4)
     assert abs(got.revenue_share_e4.sum() - 1.0) <= 5e-4
+
+
+def test_q121_empty_document_yields_zero_chunks(reg, spark, tmp_path):
+    """Spark's sequence(1, 0, +step) raises on empty text where DuckDB's
+    generate_series returns the empty set — the guard must make an empty
+    document produce zero chunks, not crash the job."""
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(3)
+    rows = src.collect()
+    empty = spark.createDataFrame(
+        [tuple("" if f == "text" else r[f] for f in src.columns)
+         for r in rows[:1]],
+        src.schema,
+    )
+    fixture = str(tmp_path / "docs_empty")
+    src.unionByName(empty).write.parquet(f"{fixture}/documents.parquet")
+    got = reg["q121_chunk_overlap"].fn(spark, fixture).toPandas()
+    empty_id = rows[0]["doc_id"]
+    # the non-empty copies of doc 0 chunk normally; the empty clone
+    # contributes nothing
+    n_for_doc0 = (rows[0]["n_chars"] - 1) // 150 + 1
+    assert len(got[got.doc_id == empty_id]) == n_for_doc0
+    assert len(got) == sum((r["n_chars"] - 1) // 150 + 1 for r in rows)
