@@ -677,7 +677,13 @@ def quantized_embeddings(e: DataFrame) -> DataFrame:
 
 
 def assign_blocks(
-    e: DataFrame, target_block: int = _TARGET_BLOCK, n_hint: int | None = None
+    e: DataFrame,
+    target_block: int = _TARGET_BLOCK,
+    n_hint: int | None = None,
+    max_seeds: int = _MAX_SEEDS,
+    refine_hot_cells: bool = False,
+    hot_factor: int = 4,
+    refine_budget: int | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, cell, blk) — capacity-bounded IVF-style blocks.
 
@@ -692,17 +698,25 @@ def assign_blocks(
     blk = (rank - 1) div target_block, so max block size == target_block
     by construction, whatever the data distribution.
 
-    Scale accounting: k is CAPPED at _MAX_SEEDS so driver/broadcast model
-    state is bounded (64k seeds x 64 dims x 8 B = 32 MB — broadcast-sized,
-    never O(corpus)).  Up to ~33M vectors (k_cap x target_block) the
-    quantizer alone keeps blocks near target size; beyond that the
-    row_number sub-split still enforces the hard cap, at the price of
-    rank-arbitrary splits inside hot cells — the signal to add a second
-    quantizer level there (train_centroids per hot cell, mechanics
-    identical; FAISS-style IVF makes exactly this k ~ sqrt(n) /
-    hierarchy trade).  Assignment shuffles nothing, and the two real
-    shuffles are the cell window + the block groupBy — the minimum for a
-    bounded blocked self-comparison.
+    Scale accounting: k is CAPPED at max_seeds (default 64k) so
+    driver/broadcast model state is bounded (64k seeds x 64 dims x 8 B =
+    32 MB — broadcast-sized, never O(corpus)).  Up to ~33M vectors
+    (k_cap x target_block) the quantizer alone keeps blocks near target
+    size; beyond that the row_number sub-split still enforces the hard
+    cap, at the price of rank-arbitrary splits inside hot cells.
+    ``refine_hot_cells=True`` adds the second quantizer level FAISS-style
+    IVF hierarchies use for exactly this regime: any cell holding more
+    than hot_factor x target_block rows gets its own per-cell seed set
+    (k2 = ceil(cell_size/target_block) of the cell's smallest-vec_id
+    members — the same deterministic first-k init as level 1, refinable
+    with `train_centroids`), ALL hot cells re-assigned jointly in ONE
+    extra narrow map, so sub-blocks follow the geometry again instead of
+    rank order.  The level-2 model carries its own max_seeds budget
+    (second 32 MB), rationed across hot cells by size; the row_number
+    split stays underneath as the unconditional hard cap (degenerate
+    all-identical corpora defeat any quantizer).  Assignment shuffles
+    nothing, and the two real shuffles are the cell window + the block
+    groupBy — the minimum for a bounded blocked self-comparison.
 
     n_hint: the corpus size, when the caller already knows it (e.g. from
     parquet footer metadata — `catalog.parquet_num_rows`); saves the
@@ -713,7 +727,7 @@ def assign_blocks(
 
     qe = e.transform(quantized_embeddings)
     n = n_hint if n_hint is not None else qe.count()
-    k = min(max(1, -(-n // target_block)), _MAX_SEEDS)  # ceil, capped
+    k = min(max(1, -(-n // target_block)), max_seeds)  # ceil, capped
     seeds = [
         r["qv"] for r in qe.orderBy("vec_id").limit(k).select("qv").collect()
     ]
@@ -729,32 +743,44 @@ def assign_blocks(
     # preserves global first-occurrence argmin tie semantics exactly
     seed_chunk = 1024
 
+    keep_qv = ", qv array<bigint>" if refine_hot_cells else ""
+
     def assign(batches):
         for pdf in batches:
             q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-            best_d = None
-            best_j = None
-            for off in range(0, seed_mat.shape[0], seed_chunk):
-                s = seed_mat[off : off + seed_chunk]
-                # argmin_j ||q - s_j||^2 == argmin_j (||s_j||^2 - 2 q.s_j);
-                # ||q||^2 is constant per row, so dropping it keeps both
-                # the order and the tie structure exact
-                d = seed_sq[off : off + seed_chunk][None, :] - 2 * (q @ s.T)
-                jloc = d.argmin(axis=1)
-                dmin = d[np.arange(len(q)), jloc]
-                if best_d is None:
-                    best_d, best_j = dmin, jloc + off
-                else:
-                    upd = dmin < best_d  # strict: earlier chunk wins ties
-                    best_d = np.where(upd, dmin, best_d)
-                    best_j = np.where(upd, jloc + off, best_j)
-            out = pdf[["vec_id", "embedding"]].copy()
-            out["cell"] = best_j.astype("int64")
+            cols = (
+                ["vec_id", "embedding", "qv"]
+                if refine_hot_cells
+                else ["vec_id", "embedding"]
+            )
+            out = pdf[cols].copy()
+            out["cell"] = np.asarray(
+                _chunked_argmin(q, seed_mat, seed_sq, seed_chunk)
+            ).astype("int64")
             yield out
 
     assigned = qe.mapInPandas(
-        assign, "vec_id bigint, embedding array<float>, cell bigint"
+        assign, f"vec_id bigint, embedding array<float>{keep_qv}, cell bigint"
     )
+
+    if refine_hot_cells:
+        assigned = _refine_hot_cells(
+            assigned,
+            target_block,
+            refine_budget if refine_budget is not None else _MAX_SEEDS,
+            hot_factor,
+            seed_chunk,
+        )
+        w = Window.partitionBy("cell", "sub").orderBy("vec_id")
+        # fold the subcell into blk (distinct per cell either way):
+        # <=2^20 rank-split blocks per subcell = 512M rows/subcell headroom
+        blk = F.expr(f"sub * {1 << 20} + (rn - 1) div {target_block}")
+        return (
+            assigned.withColumn("rn", F.row_number().over(w))
+            .withColumn("blk", blk)
+            .drop("rn", "sub", "qv")
+        )
+
     w = Window.partitionBy("cell").orderBy("vec_id")
     blk = F.expr(f"(rn - 1) div {target_block}")
     return (
@@ -762,6 +788,114 @@ def assign_blocks(
         .withColumn("blk", blk)
         .drop("rn")
     )
+
+
+def _refine_hot_cells(
+    assigned: DataFrame,
+    target_block: int,
+    max_seeds: int,
+    hot_factor: int,
+    seed_chunk: int,
+) -> DataFrame:
+    """Second quantizer level: re-partition every hot level-1 cell by its
+    own per-cell seed set, jointly for all hot cells in one narrow map.
+
+    Input (vec_id, embedding, qv, cell) -> output adds `sub` (bigint,
+    0 for rows of non-hot cells).  Seeds per hot cell = its k2 smallest
+    vec_ids (deterministic first-k init, same as level 1); k2 rationed
+    from one max_seeds budget proportionally to cell size so the
+    broadcast model stays <= one seed-matrix budget however many cells
+    run hot."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    threshold = hot_factor * target_block
+    sizes = assigned.groupBy("cell").count()
+    hot = {
+        r["cell"]: r["count"]
+        for r in sizes.where(F.col("count") > threshold).collect()
+    }
+    if not hot:
+        return assigned.withColumn("sub", F.lit(0).cast("bigint"))
+
+    total_hot = sum(hot.values())
+    want = {
+        c: min(-(-sz // target_block), max_seeds)
+        for c, sz in hot.items()
+    }
+    if sum(want.values()) > max_seeds:
+        # ration the one model budget by cell size, >=1 seed each
+        want = {
+            c: max(1, (max_seeds * sz) // total_hot)
+            for c, sz in hot.items()
+        }
+
+    # one job collects every hot cell's first-k2 members: rank window
+    # restricted to hot cells, bounded by the seed budget
+    k2_col = F.create_map(
+        *[F.lit(x) for kv in want.items() for x in kv]
+    )
+    wr = Window.partitionBy("cell").orderBy("vec_id")
+    seed_rows = (
+        assigned.where(F.col("cell").isin(*want.keys()))
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k2_col[F.col("cell")])
+        .select("cell", "rnk", "qv")
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in sorted(seed_rows, key=lambda r: (r["cell"], r["rnk"])):
+        by_cell.setdefault(r["cell"], []).append(r["qv"])
+    models = {}
+    for c, qvs in by_cell.items():
+        mat = np.array(qvs, dtype=np.int64)
+        models[c] = (mat, (mat * mat).sum(axis=1))
+
+    def assign2(batches):
+        for pdf in batches:
+            sub = np.zeros(len(pdf), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            for c in np.unique(cells):
+                m = models.get(int(c))
+                if m is None:
+                    continue
+                idx = np.flatnonzero(cells == c)
+                q = np.stack(pdf["qv"].to_numpy()[idx]).astype(np.int64)
+                mat, sq = m
+                sub[idx] = np.asarray(
+                    _chunked_argmin(q, mat, sq, seed_chunk), dtype=np.int64
+                )
+            out = pdf.copy()
+            out["sub"] = sub
+            yield out
+
+    return assigned.mapInPandas(
+        assign2,
+        "vec_id bigint, embedding array<float>, qv array<bigint>,"
+        " cell bigint, sub bigint",
+    )
+
+
+def _chunked_argmin(q, mat, sq, seed_chunk):
+    """Strict-< running argmin over seed chunks (first-occurrence ties),
+    shared by both quantizer levels."""
+    import numpy as np
+
+    best_d = None
+    best_j = None
+    for off in range(0, mat.shape[0], seed_chunk):
+        s = mat[off : off + seed_chunk]
+        d = sq[off : off + seed_chunk][None, :] - 2 * (q @ s.T)
+        jloc = d.argmin(axis=1)
+        dmin = d[np.arange(len(q)), jloc]
+        if best_d is None:
+            best_d, best_j = dmin, jloc + off
+        else:
+            upd = dmin < best_d
+            best_d = np.where(upd, dmin, best_d)
+            best_j = np.where(upd, jloc + off, best_j)
+    return best_j
 
 
 @query(
@@ -918,12 +1052,16 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: Levenshtein is the standard unit-cost edit distance on
     both engines (exact integer); the similarity leaves through the
     integer-decided ratio.  The Spark side computes the distance BANDED
-    (threshold = global_max_len/5, probed from one scalar agg over the
-    checkpointed reps): any pair that could pass the per-pair filter has
-    dist <= max_len/5 <= threshold, so the banded value equals the full
-    distance wherever it is kept; beyond the band Spark returns -1 and
-    the pair is dropped without finishing the O(n*m) table — the
-    standard bounded-verify trick, ~5x cheaper per pair.
+    with a PER-PAIR threshold, floor(max(len_a, len_b)/5) — exactly the
+    tightest bound the keep-filter admits (dist integer, so
+    5*dist <= max_len iff dist <= floor(max_len/5)): the banded value
+    equals the full distance wherever the pair is kept; beyond the band
+    Spark returns -1 and the pair is dropped without finishing the
+    O(n*m) table.  Per-pair (vs the earlier global-max band) means a
+    short pair next to one long document no longer pays the long
+    document's band width — and the global max-length probe job is gone
+    (the threshold rides inside the row expression; Spark's levenshtein
+    accepts a non-foldable threshold SQL-side).
 
     Shape: reps localCheckpoint-materialize ONCE (one corpus scan) and
     feed the LSH candidate stage AND both text join-backs; candidate
@@ -936,8 +1074,6 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     reps, _ = _exact_collapse(d)
     reps = reps.localCheckpoint(eager=False)
-    max_len = reps.agg(F.max(F.length("text"))).collect()[0][0] or 1
-    threshold = max(1, max_len // _EDIT_MAX_FRAC_DEN)
     cand = lsh_candidate_pairs(reps, par).select(
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
     )
@@ -953,9 +1089,12 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("ta", "tb", threshold).cast("bigint").alias(
-                "dist"
-            ),
+            F.expr(
+                "levenshtein(ta, tb, cast(greatest(length(ta),"
+                f" length(tb)) div {_EDIT_MAX_FRAC_DEN} as int))"
+            )
+            .cast("bigint")
+            .alias("dist"),
             F.greatest(F.length("ta"), F.length("tb"))
             .cast("bigint")
             .alias("max_len"),

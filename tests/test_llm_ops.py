@@ -467,3 +467,95 @@ def test_decode_audio_real_pcm(spark):
     assert good.peak <= amp
     bad = rows[2]
     assert bad.channels is None and bad.rms is None
+
+
+def test_q62_two_level_blocking_restores_geometry_in_hot_cells(spark):
+    """The >33M-vector regime simulated at test scale: max_seeds=4 makes
+    the level-1 quantizer saturate (4 seeds for 48 clusters), so one
+    cell swallows 45 clusters (2700 rows).  refine_hot_cells must give
+    that cell its own seed set and recover GEOMETRIC sub-blocks: every
+    planted cluster lands in exactly one block of exactly cluster size —
+    no rank-arbitrary splits, no block over target."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        assign_blocks,
+    )
+
+    n_clusters, per_cluster, target = 48, 60, 60
+    n = n_clusters * per_cluster
+    # vec_id i -> cluster i % 48, embedding = one-hot basis vector of its
+    # cluster (all inter-cluster distances equal -> argmin ties resolve
+    # first-occurrence, deterministically)
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, 64), i ->"
+            f" CAST(IF(i - 1 = id % {n_clusters}, 1.0, 0.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    blocked = assign_blocks(
+        e, target_block=target, max_seeds=4, refine_hot_cells=True
+    ).toPandas()
+    assert len(blocked) == n
+
+    # hard cap holds everywhere
+    sizes = blocked.groupby(["cell", "blk"]).size()
+    assert sizes.max() <= target
+
+    # geometric recovery: every cluster occupies exactly ONE block and
+    # owns it exclusively (48 blocks of exactly 60 rows)
+    blocked["cluster"] = blocked["vec_id"] % n_clusters
+    grp = blocked.groupby(["cell", "blk"])["cluster"].nunique()
+    assert (grp == 1).all(), "a block mixes clusters"
+    per_cluster_blocks = blocked.groupby("cluster").apply(
+        lambda g: len(g[["cell", "blk"]].drop_duplicates()),
+        include_groups=False,
+    )
+    assert (per_cluster_blocks == 1).all(), "a cluster split across blocks"
+    assert sizes.min() == per_cluster and len(sizes) == n_clusters
+
+    # single-level control: same saturation WITHOUT refinement leaves the
+    # hot cell rank-split — interleaved vec_ids force mixed blocks
+    one_level = assign_blocks(
+        e, target_block=target, max_seeds=4, refine_hot_cells=False
+    ).toPandas()
+    one_level["cluster"] = one_level["vec_id"] % n_clusters
+    mixed = one_level.groupby(["cell", "blk"])["cluster"].nunique()
+    assert mixed.max() > 1  # rank splits ignore geometry
+
+
+def test_q62_two_level_budget_rationing_and_degenerate_cell(spark):
+    """Two-level edge cases: (a) the level-2 seed budget is rationed when
+    hot cells want more than max_seeds seeds in total; (b) the
+    all-identical corpus (quantizers helpless) still respects the hard
+    cap via the rank split under level 2."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        assign_blocks,
+    )
+
+    n, target = 2000, 8
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(0.5 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    # max_seeds=16: level 1 collapses to one cell of 2000 (> 4*8); level 2
+    # wants ceil(2000/8)=250 seeds but its budget is rationed to 16 — all
+    # identical anyway, so every row lands in sub 0 and the rank split
+    # caps blocks
+    blocked = assign_blocks(
+        e,
+        target_block=target,
+        max_seeds=16,
+        refine_hot_cells=True,
+        refine_budget=16,
+    )
+    sizes = blocked.groupBy("cell", "blk").count().toPandas()
+    assert blocked.count() == n
+    assert sizes["count"].max() <= target
+    assert sizes["count"].sum() == n
