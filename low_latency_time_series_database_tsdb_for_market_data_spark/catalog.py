@@ -167,6 +167,40 @@ def ts_min_epoch_ns(path: str, col: str = "ts") -> int | None:
         return None
 
 
+def ts_max_epoch_ns(path: str, col: str = "ts") -> int | None:
+    """Maximum ts as UTC epoch nanos from parquet footer statistics — the
+    upper-bound twin of :func:`ts_min_epoch_ns`, same contract: None on
+    any layout/stat the probe cannot trust, caller falls back to a data
+    probe."""
+    mds = _footer_metadatas(path)
+    if mds is None:
+        return None
+    try:
+        hi: _dt.datetime | None = None
+        for md in mds:
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in idx:
+                return None
+            lt = str(md.schema.column(idx[col]).logical_type)
+            if not lt.startswith("Timestamp(") or "timeUnit=microseconds" not in lt:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = st.max
+                if not isinstance(mx, _dt.datetime):
+                    return None
+                if mx.tzinfo is not None:
+                    mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                hi = mx if hi is None or mx > hi else hi
+        if hi is None:
+            return None
+        return ((hi - _EPOCH) // _dt.timedelta(microseconds=1)) * 1000
+    except Exception:  # malformed stats -> data-probe fallback
+        return None
+
+
 def parquet_num_rows(path: str) -> int | None:
     """Exact row count from parquet footer metadata — no scan, no Spark
     job (None if the path holds no parquet files).  Footers are the

@@ -1,0 +1,83 @@
+"""Driver-line tail-buffer invariant (VERDICT r5 item 8): the bench's
+single stdout JSON line must stay parseable and under the 2000-char tail
+cap however far the registry grows — pinned here at 200 queries, well
+past the current 147."""
+
+from __future__ import annotations
+
+import json
+
+from bench import LINE_BUDGET, build_driver_line
+
+_SCALARS = {
+    "sf": 0.1,
+    "ingest_rows_per_sec": 123456,
+    "scan_rows_per_sec": 98765432,
+    "cold_point_sec": 0.678,
+    "warm_point_sec": 0.109,
+    "point_cache_open_sec": 1.23,
+    "open_sec": 10.17,
+    "dedup_docs_per_sec": 22345,
+    "gen_1m": {"ingest_rows_per_sec": 4264000, "scan_rows_per_sec": 19400000},
+    "gen_10m": {"ingest_rows_per_sec": 17500000, "scan_rows_per_sec": 79000000},
+}
+
+
+def _fake_queries(n: int) -> dict[str, float]:
+    # realistic per-query seconds (r5 suite: median ~0.4 s, a handful of
+    # 1-3 s outliers), decimals populated so rounding has real work to do
+    return {
+        f"q{i:02d}_some_operator_name": (
+            3.1456 if i % 29 == 0 else 0.1 + (i % 8) / 10 + 0.0456
+        )
+        for i in range(1, n + 1)
+    }
+
+
+def test_line_fits_and_parses_at_current_registry_size():
+    qs = _fake_queries(147)
+    line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    assert len(line) < LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "declared_query_suite_seconds"
+    assert len(parsed["queries"]) == 147
+
+
+def test_line_fits_and_parses_at_200_queries():
+    qs = _fake_queries(200)
+    line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    assert len(line) < LINE_BUDGET
+    parsed = json.loads(line)
+    # either per-query detail (possibly at reduced precision) or the
+    # suite-total fallback — both are valid driver lines
+    assert parsed["queries"]
+    assert parsed["value"] > 0
+
+
+def test_line_never_silently_truncates_at_extreme_growth():
+    """At absurd growth the builder must either emit a valid line via the
+    suite-total fallback or raise — never return an over-budget line."""
+    qs = _fake_queries(1000)
+    try:
+        line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    except RuntimeError:
+        return  # loud failure is acceptable
+    assert len(line) < LINE_BUDGET
+    json.loads(line)
+
+
+def test_real_registry_names_fit():
+    """The actual registry's short keys at 1-decimal precision must fit
+    with margin at the current size."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    reg = load_all()
+    qs = {
+        name: (3.1456 if i % 29 == 0 else 0.1234 + (i % 8) / 10)
+        for i, name in enumerate(reg)
+    }
+    line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    assert len(line) < LINE_BUDGET
+    assert len(json.loads(line)["queries"]) == len(reg)

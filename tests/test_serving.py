@@ -1,0 +1,95 @@
+"""PointServer (hot-slice serving path): results must be identical to
+the registry's q04/q05 — only the physical source (InMemoryTableScan vs
+parquet FileScan) may differ — and probes outside the cached slice must
+fall back to the parquet path transparently."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+    events_raw,
+    ts_min_epoch_ns,
+    ts_max_epoch_ns,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+    load_all,
+)
+from low_latency_time_series_database_tsdb_for_market_data_spark.serving import (
+    PointServer,
+)
+from tests.oracle_diff import assert_df_equal
+
+SF = "/root/testdata/sf0.01"
+
+
+def _sorted(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_point_server_matches_q05(spark):
+    reg = load_all()
+    srv = PointServer(spark, SF)
+    try:
+        srv.open()
+        got = _sorted(srv.point(srv.table_min_ns()))
+        want = _sorted(reg["q05_point_lookup"].fn(spark, SF))
+        assert_df_equal(got, want, name="server point vs q05")
+        # the cached probe really serves from the in-memory relation
+        plan = srv.point(srv.table_min_ns())._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        srv.close()
+
+
+def test_range_matches_q04_and_footer_bounds(spark):
+    reg = load_all()
+    srv = PointServer(spark, SF)
+    try:
+        srv.open()
+        # q04's fixed window, through the server
+        from low_latency_time_series_database_tsdb_for_market_data_spark.operators.reference_surface import (  # noqa: E501
+            _T1_NS,
+            _T2_NS,
+        )
+
+        got = _sorted(srv.range(_T1_NS, _T2_NS))
+        want = _sorted(reg["q04_range_scan"].fn(spark, SF))
+        assert_df_equal(got, want, name="server range vs q04")
+        # footer max twin agrees with the data
+        mx = ts_max_epoch_ns(f"{SF}/events.parquet")
+        if mx is not None:
+            raw = events_raw(spark, SF)
+            from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (  # noqa: E501
+                with_ts,
+            )
+
+            data_max = (
+                with_ts(raw)
+                .agg(F.max(F.unix_micros("ts")))
+                .collect()[0][0]
+            )
+            assert mx == data_max * 1000
+    finally:
+        srv.close()
+
+
+def test_probe_outside_cached_slice_falls_back(spark):
+    """A server caching only a late window must still answer an early
+    probe correctly (parquet fallback), and the plan must NOT be the
+    cache."""
+    reg = load_all()
+    lo = ts_min_epoch_ns(f"{SF}/events.parquet")
+    srv = PointServer(spark, SF, lo_ns=lo + 10**15)  # cache starts later
+    try:
+        srv.open()
+        q = srv.point(lo)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
+        got = _sorted(q)
+        want = _sorted(reg["q05_point_lookup"].fn(spark, SF))
+        assert_df_equal(got, want, name="fallback point vs q05")
+    finally:
+        srv.close()

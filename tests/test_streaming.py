@@ -715,3 +715,268 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir, tmp_path):
     )
     assert got.sort_index().equals(expect.sort_index())
     assert not (tmp_path / "ckpt" / "state").exists()  # stateless plan
+
+
+def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
+    """Soak (VERDICT r5 item 9): ONE composed live pipeline at sf0.1 —
+    ingest -> continuous rollup (+ in-place compaction) -> gap + burst
+    monitors -> centroid scorer — fed by SIX single-file delivery waves
+    (six micro-batches per leg, checkpointed state carrying across every
+    restart), with the end state of every leg asserted equal to its
+    one-shot batch replay over the full corpus."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.writer import (
+        read_ticks,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        burst_alert_stream,
+        gap_alert_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        ingest_available_now,
+        open_tick_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.rollup import (
+        compact_rollup,
+        continuous_ohlc,
+        read_bars,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.score import (
+        score_vector_stream,
+        train_centroid_model,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_waves = 6
+
+    # --- stage six time-ordered event files + six embedding files ------
+    ev = table(spark, sf01, "events")
+    fracs = [i / n_waves for i in range(1, n_waves)]
+    cuts = ev.selectExpr(
+        f"percentile(unix_micros(ts), array({','.join(map(str, fracs))})) AS p"
+    ).collect()[0][0]
+    # the raw fixture ts may be TIMESTAMP_NTZ; cast is exact under the
+    # catalog's pinned UTC session
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = [None, *[int(c) for c in cuts], None]
+    ev_splits = []
+    for i in range(n_waves):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (us > bounds[i])
+        if bounds[i + 1] is not None:
+            cond = cond & (us <= bounds[i + 1])
+        ev_splits.append(spark.read.parquet(f"{sf01}/events.parquet").where(cond))
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    n_emb = emb.count()
+    emb_splits = [
+        emb.where(
+            (F.col("vec_id") % n_waves) == i
+        )
+        for i in range(n_waves)
+    ]
+
+    def stage(splits, name):
+        staged = []
+        for i, df in enumerate(splits):
+            part = tmp_path / f"{name}_stage{i}"
+            df.coalesce(1).write.parquet(str(part))
+            staged.append(_glob.glob(str(part / "*.parquet"))[0])
+        return staged
+
+    ev_files = stage(ev_splits, "ev")
+    emb_files = stage(emb_splits, "emb")
+
+    live = tmp_path / "live"
+    (live / "events.parquet").mkdir(parents=True)
+    (live / "embeddings.parquet").mkdir(parents=True)
+
+    ticks_dir = str(tmp_path / "ticks_table")
+    rollup = str(tmp_path / "rollup")
+    ck = {n: str(tmp_path / f"ckpt_{n}")
+          for n in ("ingest", "rollup", "gap", "burst", "score")}
+
+    model = train_centroid_model(spark, sf01)
+    emb_schema = emb.schema
+
+    # memory sinks cannot recover from checkpoints, so each monitored
+    # leg appends its micro-batch output to a parquet dir via
+    # foreachBatch — the restart-safe accumulation a real alert bus is
+    out_dirs = {n: str(tmp_path / f"out_{n}") for n in ("gap", "burst", "score")}
+
+    def run_leg(df, name):
+        out = out_dirs[name]
+
+        def sink(batch_df, epoch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(out)
+
+        q = (
+            df.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck[name])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    base = _time.time() - 1000
+    for wave in range(n_waves):
+        # deliver one more file to each live source
+        dst_e = str(live / "events.parquet" / f"{wave:02d}.parquet")
+        _shutil.copy(ev_files[wave], dst_e)
+        _os.utime(dst_e, (base + 10 * wave, base + 10 * wave))
+        dst_m = str(live / "embeddings.parquet" / f"{wave:02d}.parquet")
+        _shutil.copy(emb_files[wave], dst_m)
+
+        # leg 1: ingest into the partitioned tick table
+        ingest_available_now(
+            spark, str(live / "events.parquet"), ticks_dir, ck["ingest"]
+        )
+        # leg 2: continuous rollup; compact in place every second wave
+        continuous_ohlc(
+            spark,
+            str(live / "events.parquet"),
+            rollup,
+            ck["rollup"],
+            max_files_per_trigger=1,
+        )
+        if wave % 2 == 1:
+            compacted = str(tmp_path / f"compact{wave}")
+            compact_rollup(spark, rollup, compacted)
+            _shutil.rmtree(rollup)
+            _shutil.move(compacted, rollup)
+        # legs 3+4: monitors (closed-gap mode, stateful across waves)
+        mon_src = open_tick_stream(
+            spark, str(live / "events.parquet"), max_files_per_trigger=1
+        ).select(
+            F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+        )
+        run_leg(gap_alert_stream(mon_src, gap_s=300), "gap")
+        mon_src2 = open_tick_stream(
+            spark, str(live / "events.parquet"), max_files_per_trigger=1
+        ).select(
+            F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
+        )
+        run_leg(burst_alert_stream(mon_src2, factor=2, warmup=5), "burst")
+        # leg 5: stateless scorer over the embeddings stream
+        emb_stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(live / "embeddings.parquet"))
+        )
+        run_leg(
+            score_vector_stream(
+                emb_stream.select("vec_id", "embedding"), model
+            ).select("vec_id", "label_pred", "dist"),
+            "score",
+        )
+
+    # --- end-state == batch replay, leg by leg -------------------------
+    # ingest: every source row landed exactly once
+    ingested = read_ticks(spark, ticks_dir)
+    direct = tick_view(spark, sf01)
+    assert ingested.count() == direct.count()
+    def digest(df):
+        return df.agg(
+            F.sum("seq").alias("s"),
+            F.sum(F.round(F.col("price") * 100).cast("bigint")).alias("p"),
+            F.sum("volume").alias("v"),
+            F.countDistinct("symbol").alias("k"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+        ).collect()[0]
+    assert digest(ingested) == digest(direct)
+
+    # rollup (through 3 in-place compactions): equals one-shot batch OHLC
+    bars = read_bars(spark, rollup)
+    ticks = tick_view(spark, sf01)
+    direct_bars = (
+        ticks.groupBy(
+            "symbol", F.window("ts", "1 hour")["start"].alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("ts", "seq", "price"))["price"].alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max(F.struct("ts", "seq", "price"))["price"].alias("close"),
+            F.round(
+                F.sum(F.round(F.col("price") * 100).cast("bigint")) / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+        )
+        .select(
+            "symbol", "bucket", "n", "open", "high", "low", "close", "avg_price"
+        )
+    )
+    assert sorted(bars.select(*direct_bars.columns).collect()) == sorted(
+        direct_bars.collect()
+    )
+
+    # gap monitor: accumulated alerts across the 6 restarts == batch q87
+    alerts = spark.read.parquet(out_dirs["gap"]).toPandas()
+    assert not alerts.open_gap.any()
+    batch = {
+        r["event_type"]: r
+        for r in load_all()["q87_gap_report"].fn(spark, str(live)).collect()
+    }
+    grouped = alerts.groupby("symbol")
+    for sym, row in batch.items():
+        if row["n_gaps"] == 0:
+            assert sym not in grouped.groups
+            continue
+        g = grouped.get_group(sym)
+        assert len(g) == row["n_gaps"]
+        assert int(g.gap_us.sum()) == row["gap_time_us"]
+        assert int(g.gap_us.max()) == row["max_gap_us"]
+
+    # burst monitor: accumulated alerts == causal integer replay
+    got_burst = spark.read.parquet(out_dirs["burst"]).toPandas()
+    raw = (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            (F.floor(F.unix_micros("ts") / 60_000_000) * 60_000_000).alias(
+                "minute_us"
+            ),
+        )
+        .groupBy("symbol", "minute_us")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    expect = []
+    for sym, g in raw.groupby("symbol"):
+        g = g.sort_values("minute_us")
+        nm = tot = 0
+        rows = list(g.itertuples())
+        for r in rows[:-1]:  # the final minute never closes
+            if nm >= 5 and r.cnt * nm > 2 * tot:
+                expect.append((sym, int(r.minute_us), int(r.cnt), nm, tot))
+            nm += 1
+            tot += int(r.cnt)
+    got_set = {
+        (r.symbol, int(r.minute_us), int(r.n_ticks), int(r.prior_minutes),
+         int(r.prior_ticks))
+        for r in got_burst.itertuples()
+    }
+    assert got_set == set(expect)
+
+    # scorer: streamed scores across waves == the same map run in batch
+    scored = spark.read.parquet(out_dirs["score"]).toPandas()
+    assert len(scored) == n_emb
+    batch_scored = (
+        score_vector_stream(emb.select("vec_id", "embedding"), model)
+        .select("vec_id", "label_pred", "dist")
+        .toPandas()
+    )
+    a = scored.sort_values("vec_id").reset_index(drop=True)
+    b = batch_scored.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
