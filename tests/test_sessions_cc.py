@@ -155,8 +155,49 @@ def test_connected_components_raises_when_not_converged(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "a bigint, b bigint"
     )
+    # small_graph_max=0 forces the distributed loop (the driver fast
+    # path always converges, so the loud-failure contract is the loop's)
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, small_graph_max=0)
     got = {r.doc_id: r.cluster_id
-           for r in connected_components(chain, max_iter=10).collect()}
+           for r in connected_components(
+               chain, max_iter=10, small_graph_max=0).collect()}
     assert set(got.values()) == {1}
+
+
+def test_cc_driver_fast_path_equals_distributed(spark):
+    """The size-dispatched union-find must emit IDENTICAL rows to the
+    distributed min-label loop on assorted graph shapes (chains, stars,
+    cycles, merged components, self-loops)."""
+    import random
+
+    rng = random.Random(13)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 9)],
+        "star": [(5, i) for i in range(6, 16)],
+        "cycle": [(1, 2), (2, 3), (3, 1)],
+        "two_comps_merge": [(1, 2), (3, 4), (2, 3), (10, 11)],
+        "random": [
+            (rng.randrange(50), rng.randrange(50)) for _ in range(120)
+        ],
+        "self_loops": [(7, 7), (7, 8)],
+    }
+    for name, edge_list in shapes.items():
+        edges = spark.createDataFrame(edge_list, "a bigint, b bigint")
+        fast = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(edges).collect()
+        )
+        dist = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(
+                edges, small_graph_max=0
+            ).collect()
+        )
+        assert fast == dist, f"fast path diverges on {name}"
+        # cluster_id is the component minimum
+        by_cluster = {}
+        for v, c in fast:
+            by_cluster.setdefault(c, []).append(v)
+        for c, members in by_cluster.items():
+            assert c == min(members)
