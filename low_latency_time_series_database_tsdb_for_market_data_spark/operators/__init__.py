@@ -7,6 +7,7 @@ from . import events_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm  # noqa: F401
+from . import micro_ext  # noqa: F401
 from . import portfolio_ext  # noqa: F401
 from . import quality_ext  # noqa: F401
 from . import reference_surface  # noqa: F401
@@ -15,4 +16,5 @@ from . import sessions  # noqa: F401
 from . import setops  # noqa: F401
 from . import tpch_ext  # noqa: F401
 from . import tsdb_ext  # noqa: F401
+from . import warehouse_ext2  # noqa: F401
 from . import windows  # noqa: F401

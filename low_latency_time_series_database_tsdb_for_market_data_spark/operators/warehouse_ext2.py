@@ -1,0 +1,388 @@
+"""Round-6 warehouse depth (q148-q153): the remaining classic TPC-H
+report shapes expressible over this catalog — cross-nation trade matrix
+(Q7), market-share trend (Q8), brand/size supplier distribution (Q16),
+large-volume orders (Q18), dormant rich customers (Q22 spirit), and
+Pareto ABC revenue classification.
+
+Same disciplines as tpch_ext.py: money in exact BIGINT 1e-4 dollar
+units (`_rev_u`), fixed 25/5-row nation/region dims ride F.broadcast,
+customer/supplier join on their natural keys (they scale with the fact
+tables — never broadcast by assumption), output is dim- or top-k-
+bounded, never fact-sized.  Reference parity: the reference engine
+(`timeseries_db.cpp`) has no relational surface at all — these queries
+are the "analytics engine next to the tick store" half of SURVEY §2.2's
+coverage, exercising Catalyst's join planner the way the tick operators
+exercise the scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import ratio_e4, ratio_round
+from ..registry import query
+from .tpch_ext import _REV_U_SQL, _rev_u
+
+
+@query(
+    "q148_nation_trade_matrix",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (SUM({_REV_U_SQL}) * 200 + 10000) // 20000 / 100.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+    category="warehouse-join",
+)
+def q148_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade matrix (TPC-H Q7 shape): revenue shipped
+    between every (supplier nation, customer nation) pair by ship year,
+    domestic flows excluded.
+
+    Shape: lineitem⋈orders⋈customer shuffle on the orderkey/custkey
+    spine; supplier joins on suppkey; both nation lookups broadcast
+    (25 rows).  The <> filter runs after the broadcast joins as a cheap
+    codegen predicate.  Output is |nations|² x years — dim-bounded."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("snk"),
+                 F.col("n_name").alias("supp_nation"))
+    )
+    nc = F.broadcast(
+        n.select(F.col("n_nationkey").alias("cnk"),
+                 F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("snk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("cnk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_rev_u()).alias("rev_u"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            "n_items",
+            ratio_round("rev_u", "10000", 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q149_market_share_trend",
+    oracle=f"""
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+             ns.n_name AS supp_nation,
+             SUM({_REV_U_SQL}) AS rev_u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2)
+    SELECT order_year,
+           ((SELECT COALESCE(SUM(rev_u), 0) FROM flows f2
+             WHERE f2.order_year = f1.order_year
+               AND f2.supp_nation = 'NATION_7') * 20000
+            + SUM(rev_u)) // (2 * SUM(rev_u)) / 10000.0 AS focal_share
+    FROM flows f1
+    GROUP BY order_year
+    """,
+    category="warehouse-join",
+)
+def q149_market_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share trend (TPC-H Q8 shape): the share of one focal
+    nation's suppliers (NATION_7) in everything ASIA-region customers
+    bought, by order year.
+
+    Shape: region restricts nation (broadcast-broadcast), which
+    restricts customer BEFORE the fact join — the same pre-fact dim
+    pruning q114 uses; one hash-agg to (year, supp_nation) flows, then
+    the share is a conditional-sum ratio per year, integer-decided.
+    Output is |years| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cnk")
+        )
+    )
+    ns = F.broadcast(
+        n.select(F.col("n_nationkey").alias("snk"),
+                 F.col("n_name").alias("supp_nation"))
+    )
+    flows = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("snk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(nc, c.c_nationkey == F.col("cnk")),
+              o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "supp_nation",
+        )
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+    )
+    per_year = flows.groupBy("order_year").agg(
+        F.sum("rev_u").alias("total_u"),
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("rev_u")).otherwise(
+                F.lit(0)
+            )
+        ).alias("focal_u"),
+    )
+    return per_year.select(
+        "order_year", ratio_e4("focal_u", "total_u").alias("focal_share")
+    )
+
+
+@query(
+    "q150_brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY 1, 2
+    """,
+    category="warehouse-join",
+)
+def q150_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per (brand, small size) — TPC-H Q16's shape
+    with lineitem as the part-supplier link (this catalog carries no
+    partsupp table).  COUNT(DISTINCT) over two columns in one hash-agg;
+    the size predicate prunes part before the join.  At scale the
+    distinct expands to (brand, size, suppkey) partial sets map-side —
+    Spark's expand+agg plan — and output is brands x sizes."""
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+@query(
+    "q151_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty,
+           (CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 200 + 100)
+             // 200 / 100.0 AS total_price
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    category="warehouse-join",
+)
+def q151_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): the 20 biggest orders by
+    total line quantity above the 300-unit threshold, with their
+    customers.
+
+    Shape: the HAVING filter reduces lineitem to a tiny keyset FIRST
+    (one hash-agg with map-side partials), and that keyset drives the
+    orders/customer joins — at 100 TB the big-order set is thousands of
+    rows, so AQE turns both probe joins into broadcasts; the top-20 is
+    TakeOrderedAndProject.  Quantities are integral doubles — ROUND
+    makes the BIGINT sum exact on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint")).alias("total_qty")
+        )
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "total_qty",
+            ratio_round(
+                "CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))", "100", 2
+            ).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q152_dormant_rich_customers",
+    oracle="""
+    WITH recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+    avg_bal AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer)
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dormant,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0
+             AS dormant_balance
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN avg_bal
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+      AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * avg_bal.n > avg_bal.s
+    GROUP BY 1
+    """,
+    category="warehouse-join",
+)
+def q152_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers by nation (TPC-H Q22 spirit over
+    this catalog's columns): customers holding an above-average account
+    balance with NO order since 2001 — the win-back campaign list.
+
+    Exactness: the above-average comparison is the integer cross-multiply
+    bal_cents * n_customers > sum_cents — no float average ever exists.
+    Shape: the recent-buyer keyset is order-dim-bounded and drives a
+    left-anti join (broadcast at scale — distinct custkeys with recent
+    orders is far smaller than customer); the global (sum, count) pair
+    is a two-scalar broadcast literal; nation broadcasts.  Output is
+    |nations| rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    recent = (
+        o.where(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    s_, n_ = (
+        c.agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return (
+        c.join(recent, "c_custkey", "left_anti")
+        .where(bal_c * F.lit(int(n_)) > F.lit(int(s_)))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            (F.sum(bal_c) / 100.0).alias("dormant_balance"),
+        )
+    )
+
+
+@query(
+    "q153_part_revenue_abc",
+    oracle=f"""
+    WITH pr AS (
+      SELECT p.p_partkey, p.p_brand, SUM({_REV_U_SQL}) AS rev_u
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *,
+             SUM(rev_u) OVER (ORDER BY rev_u DESC, p_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_u,
+             SUM(rev_u) OVER () AS total_u
+      FROM pr),
+    classed AS (
+      SELECT p_brand,
+             CASE WHEN cum_u * 10 <= total_u * 8 THEN 'A'
+                  WHEN cum_u * 100 <= total_u * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT p_brand, abc, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY 1, 2
+    """,
+    category="warehouse-analytics",
+)
+def q153_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by lifetime
+    revenue; the head covering <=80% of cumulative revenue is class A,
+    <=95% B, the tail C — counts per (brand, class).
+
+    Exactness: class boundaries are integer cross-multiplications on
+    exact BIGINT revenue units — no percentage float ever exists.
+    Shape note (the one honest scale caveat in this module): the
+    cumulative sum is a GLOBAL-ORDER window, a single-partition pass
+    over the per-part aggregate — fine while parts are dim-sized
+    (millions of rows through one task), the standard warehouse ABC
+    shape; a fact-sized ranking would need a range-partitioned two-pass
+    prefix sum instead.  The growing frame obeys the repo's
+    UNBOUNDED-PRECEDING-only window rule."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+    )
+    w = (
+        Window.orderBy(F.col("rev_u").desc(), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = pr.select(
+        "p_brand",
+        F.sum("rev_u").over(w).alias("cum_u"),
+        F.sum("rev_u").over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total_u"),
+    )
+    classed = ranked.select(
+        "p_brand",
+        F.when(F.col("cum_u") * 10 <= F.col("total_u") * 8, "A")
+        .when(F.col("cum_u") * 100 <= F.col("total_u") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("p_brand", "abc").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )

@@ -316,6 +316,13 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q137_disjunctive_revenue",
         "q132_spend_gini", "q138_segment_activity",
         "q139_promo_share_monthly",
+        # round-6 warehouse shapes: multi-table joins (q148/q149 read the
+        # 25-row nation dim twice — one broadcast per role, KB-scale);
+        # q151/q152's second scan is the big-order / recent-buyer keyset
+        # probe of its own fact table, both keyset-bounded
+        "q148_nation_trade_matrix", "q149_market_share_trend",
+        "q150_brand_supplier_counts", "q151_large_orders",
+        "q152_dormant_rich_customers", "q153_part_revenue_abc",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass
