@@ -5,6 +5,7 @@ from .score import score_vector_stream, train_centroid_model  # noqa: F401
 from .stateful import (  # noqa: F401
     burst_alert_stream,
     gap_alert_stream,
+    ofi_stream,
     symbol_snapshot_stream,
 )
 from .windows import (  # noqa: F401

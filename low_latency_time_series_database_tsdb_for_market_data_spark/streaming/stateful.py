@@ -340,3 +340,112 @@ def gap_alert_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+OFI_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("minute_us", T.LongType()),
+        T.StructField("ofi", T.LongType()),
+        T.StructField("total_volume", T.LongType()),
+        T.StructField("n_ticks", T.LongType()),
+    ]
+)
+
+OFI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_minute_us", T.LongType()),
+        T.StructField("ofi", T.LongType()),
+        T.StructField("vol", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_c", T.LongType()),
+        T.StructField("has_last", T.LongType()),
+    ]
+)
+
+
+def make_ofi_monitor():
+    """Build the applyInPandasWithState update function for
+    :func:`ofi_stream` — the real-time form of q155's order-flow
+    imbalance.
+
+    Per-symbol state is six int64s: the open minute's running
+    (ofi, volume, n) plus the last tick's exact cents price, which the
+    tick rule compares against ACROSS minute boundaries exactly like
+    the batch lag() does.  A minute EMITS when a later-minute tick
+    arrives (arrival-driven close, the burst monitor's discipline), so
+    each symbol's final minute stays open — a live monitor cannot know
+    the minute is over.  Ticks are processed in (ts, seq) order inside
+    every batch; a tick older than the open minute is DROPPED
+    deterministically (it already missed its emitted minute — folding
+    it anywhere would disagree with the batch replay) — the ordered
+    file replay never produces one, and a production feed with real
+    disorder widens the watermark instead.  All arithmetic is BIGINT:
+    classification on exact cents, signed volume sums — bit-identical
+    to q155 over closed minutes."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["ts", "seq"])
+        ts_us = _ts_us(batch)
+        minutes = (ts_us // _MIN_US) * _MIN_US
+        cents_s = (batch["price"] * 100).round().astype("int64")
+        vols = batch["volume"].astype("int64")
+
+        cur_m, ofi, vol, n, last_c, has_last = (
+            state.get if state.exists else (-1, 0, 0, 0, 0, 0)
+        )
+        out: list[dict] = []
+        for m, c, v in zip(minutes, cents_s, vols):
+            m, c, v = int(m), int(c), int(v)
+            if not has_last:  # very first tick: no previous price
+                cur_m, last_c, has_last = m, c, 1
+                continue
+            if m < cur_m:  # disordered beyond the open minute: drop
+                continue
+            if m > cur_m:  # open minute closes
+                out.append(
+                    {
+                        "symbol": key[0],
+                        "minute_us": cur_m,
+                        "ofi": ofi,
+                        "total_volume": vol,
+                        "n_ticks": n,
+                    }
+                )
+                cur_m, ofi, vol, n = m, 0, 0, 0
+            sign = 1 if c > last_c else (-1 if c < last_c else 0)
+            ofi += sign * v
+            vol += v
+            n += 1
+            last_c = c
+        state.update((cur_m, ofi, vol, n, last_c, has_last))
+        # a minute that closed with zero counted ticks (only the state
+        # seed lived there) still emits its zero row IF any tick was
+        # counted in it — n==0 rows only appear for the seed minute and
+        # are dropped to match the batch WHERE pc IS NOT NULL
+        rows = [r for r in out if r["n_ticks"] > 0]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return update
+
+
+def ofi_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming order-flow imbalance per closed (symbol, minute) — the
+    real-time twin of q155.  `ticks` needs (symbol, ts, price, volume,
+    seq).  State is six int64s per symbol; output is minute-bounded, not
+    tick-bounded; the stateful shuffle is the natural symbol key."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        make_ofi_monitor(),
+        outputStructType=OFI_ROW_SCHEMA,
+        stateStructType=OFI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -980,3 +980,73 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
     a = scored.sort_values("vec_id").reset_index(drop=True)
     b = batch_scored.sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ofi_stream_matches_batch_q155_closed_minutes(spark, sf_dir, tmp_path):
+    """Streaming order-flow imbalance across 3 micro-batches must equal
+    batch q155 on every CLOSED minute (each symbol's final minute stays
+    open in the live monitor — a real-time operator cannot know the
+    minute ended), with the tick-rule lag carrying ACROSS minute and
+    batch boundaries."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        ofi_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p33, p66 = (
+        ev.selectExpr(
+            "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+        ).collect()[0][0]
+    )
+    us = F.unix_micros("ts")
+    splits = [
+        ev.where(us <= int(p33)),
+        ev.where((us > int(p33)) & (us <= int(p66))),
+        ev.where(us > int(p66)),
+    ]
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    stream = open_tick_stream(
+        spark, f"{sf}/events.parquet", max_files_per_trigger=1
+    ).select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts_event").alias("ts"),
+        F.col("value").alias("price"),
+        F.col("user_id").alias("volume"),
+        F.col("event_id").alias("seq"),
+    )
+    _run_to_memory(ofi_stream(stream), "ofi_out", mode="append")
+    got = spark.sql("SELECT * FROM ofi_out").toPandas()
+
+    batch = load_all()["q155_order_flow_imbalance"].fn(spark, sf).toPandas()
+    batch["minute_us"] = (
+        batch["minute"].to_numpy().astype("datetime64[us]").astype("int64")
+    )
+    # closed minutes only: drop each symbol's max minute
+    last = batch.groupby("event_type")["minute_us"].transform("max")
+    closed = batch[batch.minute_us < last]
+
+    a = (
+        got.sort_values(["symbol", "minute_us"])
+        .reset_index(drop=True)[
+            ["symbol", "minute_us", "ofi", "total_volume", "n_ticks"]
+        ]
+    )
+    b = (
+        closed.rename(columns={"event_type": "symbol"})
+        .sort_values(["symbol", "minute_us"])
+        .reset_index(drop=True)[
+            ["symbol", "minute_us", "ofi", "total_volume", "n_ticks"]
+        ]
+    )
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert (
+            a[col].to_numpy() == b[col].to_numpy()
+        ).all(), f"mismatch in {col}"
