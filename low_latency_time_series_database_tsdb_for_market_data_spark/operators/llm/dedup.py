@@ -1165,3 +1165,99 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_len",
         ratio_e4("max_len - dist", "max_len").alias("sim_e4"),
     )
+
+
+@query(
+    "q159_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    cap AS (SELECT greatest({_DF_MIN_CAP},
+                            CAST(ceil({_DF_FRAC} * COUNT(*)) AS BIGINT)) AS cap
+            FROM documents),
+    grp AS (SELECT s, COUNT(*) AS c FROM shd GROUP BY s),
+    kept AS (SELECT shd.doc_id, shd.s FROM shd JOIN grp USING (s), cap
+             WHERE grp.c < cap.cap),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+               FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT ia AS doc_a, ib AS doc_b, c AS n_common,
+           sa.n AS na, sb.n AS nb,
+           (c * 20000 + least(sa.n, sb.n)) // (2 * least(sa.n, sb.n))
+             / 10000.0 AS containment_e4
+    FROM common
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE c * 5 >= least(sa.n, sb.n) * 4
+      AND c * 5 < (sa.n + sb.n - c) * 3
+    """,
+    category="llm-dedup",
+)
+def q159_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: pairs where >=80% of the SMALLER document's
+    retained shingles appear in the larger one, yet symmetric Jaccard
+    stays below q56's 0.6 bar — the quote-inclusion / excerpt class a
+    Jaccard-only dedup systematically misses (a short doc embedded in a
+    long one has tiny |A∩B|/|A∪B| but containment ~1).  Deduplicating on
+    containment is what keeps boilerplate-wrapped copies of the same
+    article from surviving as "distinct" training documents.
+
+    Exactness: containment = c / min(na, nb) and both boundary tests are
+    integer cross-multiplications (c·5 >= 4·min; c·5 < 3·union) — no
+    float threshold exists; the reported value leaves through the
+    integer-decided e4 ratio.
+
+    Shape: IDENTICAL machinery to q56 — the one corpus shuffle builds
+    the per-shingle doc sets under the corpus-relative DF cap (pair
+    fan-out stays linear), sizes and pairs both read the checkpointed
+    vocabulary aggregation, size lookups broadcast.  Only the final
+    keep-predicate differs, so the 100 TB story is q56's."""
+    d = table(spark, sf_dir, "documents")
+    cap_row = d.agg(
+        F.greatest(
+            F.lit(_DF_MIN_CAP),
+            F.ceil(F.count(F.lit(1)) * _DF_FRAC),
+        ).alias("cap")
+    )
+    grouped = (
+        _shingle_rows(spark, sf_dir)
+        .select(F.xxhash64("s").alias("hs"), "doc_id")
+        .groupBy("hs")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .crossJoin(F.broadcast(cap_row))
+        .where(F.size("ds") < F.col("cap"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    common = (
+        grouped.where(F.size("ds") > 1)
+        .select(F.posexplode("ds").alias("i", "ia"), "ds")
+        .select(
+            "ia",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("ib"),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
+    mn = F.least(F.col("na"), F.col("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        common.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .where((F.col("c") * 5 >= mn * 4) & (F.col("c") * 5 < union_sz * 3))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.col("c").alias("n_common"),
+            "na",
+            "nb",
+            ratio_e4("c", "least(na, nb)").alias("containment_e4"),
+        )
+    )

@@ -559,3 +559,47 @@ def test_q62_two_level_budget_rationing_and_degenerate_cell(spark):
     assert blocked.count() == n
     assert sizes["count"].max() <= target
     assert sizes["count"].sum() == n
+
+
+def test_q159_containment_catches_excerpts_jaccard_misses(spark, tmp_path):
+    """Planted corpus: a 40-token excerpt embedded in a 200-token
+    article has containment ~1.0 but Jaccard ~0.2 — q159 must emit
+    exactly that pair (the quote-inclusion class), while the
+    near-identical pair (Jaccard >= 0.6, q56's catch) and unrelated
+    docs stay excluded.  The shipped corpus has no excerpt pairs (q159
+    is 0 rows there), so this fixture is the operator's teeth."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    words = [f"tok{i:03d}" for i in range(200)]
+    big = " ".join(words)                      # 200 tokens
+    small = " ".join(words[80:120])            # contiguous 40-token excerpt
+    twin_words = [f"twn{i:03d}" for i in range(100)]  # disjoint vocab:
+    near_a = " ".join(twin_words)                     # NOT excerpts of big
+    near_b = " ".join(twin_words[:98] + ["zzz", "yyy"])  # high-jaccard twin
+    other = " ".join(f"unrel{i:03d}" for i in range(60))
+    rows = [
+        (1, big, "en", "web", len(big)),
+        (2, small, "en", "web", len(small)),
+        (3, near_a, "en", "web", len(near_a)),
+        (4, near_b, "en", "web", len(near_b)),
+        (5, other, "en", "web", len(other)),
+    ]
+    fixture = str(tmp_path / "cont")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.parquet(f"{fixture}/documents.parquet")
+
+    reg = load_all()
+    got = reg["q159_containment_pairs"].fn(spark, fixture).toPandas()
+    assert set(zip(got.doc_a, got.doc_b)) == {(1, 2)}
+    row = got.iloc[0]
+    # all 38 of the excerpt's shingles appear in the article
+    assert row.n_common == row.nb == 38 and row.na == 198
+    assert row.containment_e4 == 1.0
+    # and q56 on the same fixture keeps the twin pair, not the excerpt
+    j = reg["q56_ngram_jaccard_pairs"].fn(spark, fixture).toPandas()
+    assert (3, 4) in set(zip(j.doc_a, j.doc_b))
+    assert (1, 2) not in set(zip(j.doc_a, j.doc_b))
