@@ -53,13 +53,13 @@ def _lagc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_LAGC_SQL},
     agg AS (
       SELECT event_type,
-             SUM(abs(c - pc)) AS move_c,
-             SUM(c * user_id) AS dollar_u,
+             CAST(SUM(abs(c - pc)) AS BIGINT) AS move_c,
+             CAST(SUM(c * user_id) AS BIGINT) AS dollar_u,
              CAST(COUNT(*) AS BIGINT) AS n_ticks
       FROM s WHERE pc IS NOT NULL GROUP BY 1)
     SELECT event_type, n_ticks, move_c, dollar_u,
-           (move_c * 1000000000 * 20000 + dollar_u) // (2 * dollar_u)
-             / 10000.0 AS illiq_e4
+           (CAST(move_c AS HUGEINT) * 1000000000 * 20000 + dollar_u)
+             // (2 * dollar_u) / 10000.0 AS illiq_e4
     FROM agg WHERE dollar_u > 0
     """,
     category="timeseries-microstructure",
@@ -92,7 +92,12 @@ def q154_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
         "move_c",
         "dollar_u",
-        ratio_e4("move_c * 1000000000", "dollar_u").alias("illiq_e4"),
+        # widen BEFORE the 1e9 scale-up: BIGINT move_c * 1e9 can pass
+        # int64 range on big tapes (ratio_e4's DECIMAL cast happens
+        # after its num_sql evaluates)
+        ratio_e4(
+            "CAST(move_c AS DECIMAL(38,0)) * 1000000000", "dollar_u"
+        ).alias("illiq_e4"),
     )
 
 

@@ -203,7 +203,9 @@ def q150_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q151_large_orders",
     oracle=f"""
     WITH big AS (
-      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
       FROM lineitem GROUP BY 1
       HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
     SELECT c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty,

@@ -9,17 +9,21 @@ import json
 
 from bench import LINE_BUDGET, build_driver_line
 
+# mirrors main()'s driver-line scalar block exactly (short keys; full
+# names live in bench_detail.json)
 _SCALARS = {
     "sf": 0.1,
     "ingest_rows_per_sec": 123456,
     "scan_rows_per_sec": 98765432,
     "cold_point_sec": 0.678,
     "warm_point_sec": 0.109,
-    "point_cache_open_sec": 1.23,
+    "cache_open_sec": 1.23,
     "open_sec": 10.17,
-    "dedup_docs_per_sec": 22345,
-    "gen_1m": {"ingest_rows_per_sec": 4264000, "scan_rows_per_sec": 19400000},
-    "gen_10m": {"ingest_rows_per_sec": 17500000, "scan_rows_per_sec": 79000000},
+    "dedup_rps": 22345,
+    "g1m_ingest": 4264000,
+    "g1m_scan": 19400000,
+    "g10m_ingest": 17500000,
+    "g10m_scan": 79000000,
 }
 
 
