@@ -265,3 +265,72 @@ def test_split_assign_matches_hashlib_mirror(spark):
         b = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
         want = "train" if b < _VAL_LO else ("val" if b < _TEST_LO else "test")
         assert got[i] == want, i
+
+
+@given(
+    window=st.lists(
+        st.integers(1, 50_000), min_size=20, max_size=20  # cents prices
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bollinger_integer_test_equals_float_band(window):
+    """q156's BIGINT band test (n·c − s)² > 4(n·q − s²) must agree with
+    the float formula |c − mean| > 2σ everywhere the float test is not
+    sitting on a representability knife-edge — and the integer test is
+    the DEFINED semantics on ties, so only clear float verdicts are
+    compared."""
+    import math
+
+    n = len(window)
+    s = sum(window)
+    q = sum(x * x for x in window)
+    c = window[-1]
+    dev = n * c - s
+    int_wide = dev * dev > 4 * (n * q - s * s)
+    mean = s / n
+    var = (q - s * s / n) / n
+    sigma = math.sqrt(max(var, 0.0))
+    lhs, rhs = abs(c - mean), 2 * sigma
+    if abs(lhs - rhs) > 1e-9 * max(1.0, rhs):  # clear float verdict
+        assert int_wide == (lhs > rhs)
+
+
+@given(
+    c=st.integers(0, 10_000),
+    na=st.integers(1, 10_000),
+    nb=st.integers(1, 10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_containment_thresholds_match_rational_arithmetic(c, na, nb):
+    """q159's keep-predicate (5c >= 4·min AND 5c < 3·union) must equal
+    the exact rational conditions containment >= 0.8 and jaccard < 0.6
+    (Fraction arithmetic — no float anywhere)."""
+    from fractions import Fraction
+
+    c = min(c, na, nb)  # |A∩B| cannot exceed either set
+    union = na + nb - c
+    mn = min(na, nb)
+    int_keep = (c * 5 >= mn * 4) and (c * 5 < union * 3)
+    frac_keep = Fraction(c, mn) >= Fraction(4, 5) and (
+        Fraction(c, union) < Fraction(3, 5) if union else False
+    )
+    assert int_keep == frac_keep
+
+
+@given(
+    move=st.integers(0, 10**10),
+    dollars=st.integers(1, 10**15),
+)
+@settings(max_examples=300, deadline=None)
+def test_amihud_e4_ratio_is_exact_half_up(move, dollars):
+    """q154's scaled e4 ratio equals round-half-up of the exact rational
+    (move·1e9/dollars) at 4 decimals, computed via Fractions."""
+    from fractions import Fraction
+
+    got = ((move * 10**9 * 20000 + dollars) // (2 * dollars)) / 10000.0
+    x = Fraction(move * 10**9, dollars)
+    scaled = x * 10000
+    half_up = (
+        int(scaled) + (1 if scaled - int(scaled) >= Fraction(1, 2) else 0)
+    )
+    assert got == half_up / 10000.0

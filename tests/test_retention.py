@@ -269,3 +269,55 @@ def test_bars_appended_counts_this_pass_only(spark, sf_dir, tmp_path):
     assert a1["bars_appended"] > 0 and a2["bars_appended"] > 0
     total = spark.read.parquet(bars_dir).count()
     assert a1["bars_appended"] + a2["bars_appended"] == total
+
+
+def test_recovery_is_reentrant_after_crash_mid_recovery(
+    spark, sf_dir, tmp_path
+):
+    """A crash DURING recovery must leave a state the next recovery still
+    finishes: simulate 'committed' crash, then hand-simulate the
+    mid-recovery crash window (raw_dir removed, stage not yet moved) and
+    re-run — the pass completes exactly once, bars fold exactly once."""
+    import datetime as dt
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    import pytest
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (  # noqa: E501
+        _stage_paths,
+        recover_retention,
+    )
+
+    raw_dir = str(tmp_path / "rawr")
+    bars_dir = str(tmp_path / "barsr")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    (p50,) = ticks.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_retention(
+            spark, raw_dir, bars_dir, cutoff, _crash_at="committed"
+        )
+    raw_stage, bars_stage, marker = _stage_paths(raw_dir, bars_dir)
+    assert _P(marker).exists() and _P(raw_stage).exists()
+    # crash mid-recovery: the rmtree of raw_dir happened, the stage move
+    # did not — exactly the window recover_retention's own rmtree/move
+    # pair reopens
+    _sh.rmtree(raw_dir)
+    actions = recover_retention(raw_dir, bars_dir)
+    assert "raw_swap_finished" in actions
+    assert "bars_append_finished" in actions
+    for p in (raw_stage, bars_stage, marker):
+        assert not _P(p).exists()
+    # second recovery is a no-op
+    assert recover_retention(raw_dir, bars_dir) == []
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after mid-recovery crash")
+    # and the same cutoff is now a no-op pass
+    audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
+    assert audit["expired_rows"] == 0
