@@ -68,6 +68,7 @@ class PointServer:
         self._raw = events_raw(spark, sf_dir)
         self._lo = lo_ns
         self._hi = hi_ns
+        self._symbols = symbols
         slice_df = self._raw
         if lo_ns is not None:
             slice_df = slice_df.where(
@@ -120,6 +121,22 @@ class PointServer:
                 & (F.col("ts") <= ts_bound(self._raw, hi_ns, upper=True))
             )
         )
+
+    def refresh(self) -> float:
+        """Re-materialize the cache after the underlying table changed
+        (append/compaction/retention).  Spark's columnar cache pins the
+        file listing at persist time, so a served slice goes stale the
+        moment a writer commits; a long-lived server calls refresh()
+        from its ingest hook.  Drops the old cache, re-resolves the
+        datasource (fresh file listing + footer bounds), persists and
+        materializes the new slice; returns the seconds it took.  Probes
+        issued concurrently keep working — worst case they read the old
+        cached plan until the swap completes."""
+        self._hot.unpersist(blocking=False)
+        self.__init__(
+            self._spark, self._sf_dir, self._lo, self._hi, self._symbols
+        )
+        return self.open()
 
     def close(self) -> None:
         self._hot.unpersist(blocking=False)

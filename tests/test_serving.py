@@ -93,3 +93,42 @@ def test_probe_outside_cached_slice_falls_back(spark):
         assert_df_equal(got, want, name="fallback point vs q05")
     finally:
         srv.close()
+
+
+def test_refresh_picks_up_externally_appended_rows(spark, tmp_path):
+    """Same-session Spark writes auto-refresh cached plans
+    (refreshByPath), so the stale-cache case is an EXTERNAL writer
+    (another process/cluster commits files).  Simulated by copying a
+    part file in at the filesystem level: the served slice keeps
+    answering from the pinned listing until refresh() re-resolves the
+    table."""
+    import shutil
+
+    import os
+    from pathlib import Path
+
+    live = str(tmp_path / "live_sf")
+    src = Path(f"{SF}/events.parquet")
+    dst = Path(f"{live}/events.parquet")
+    if src.is_dir():
+        shutil.copytree(src, dst)
+    else:  # single-file fixture: wrap it in a directory table
+        dst.mkdir(parents=True)
+        shutil.copy(src, dst / "part-000.parquet")
+    srv = PointServer(spark, live)
+    try:
+        srv.open()
+        lo = srv.table_min_ns()
+        before = srv.point(lo).count()
+        # external writer: duplicate a part file at the filesystem level
+        # (no Spark write path, no refreshByPath)
+        part = next(dst.glob("part-*.parquet"))
+        shutil.copy(part, part.with_name("part-ext-copy.parquet"))
+        # stale cache still answers from the pinned listing
+        assert srv.point(lo).count() == before
+        srv.refresh()
+        assert srv.point(lo).count() == 2 * before
+        plan = srv.point(lo)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        srv.close()
