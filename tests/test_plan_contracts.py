@@ -392,3 +392,32 @@ def test_q137_disjunction_pushes_common_predicates(reg, spark, sf_dir):
     pf = " ".join(pushed_filters(q(reg, spark, sf_dir, "q137_disjunctive_revenue")))
     assert "p_brand" in pf or "p_size" in pf
     assert "l_quantity" in pf
+
+
+def test_round6_indicators_single_shuffle(reg, spark, sf_dir):
+    """q154/q156/q157: window + agg share the symbol key, so each plan
+    is exactly ONE exchange (the q86/q88 contract extended)."""
+    for name in (
+        "q154_amihud_illiquidity",
+        "q156_bollinger_breakouts",
+        "q157_donchian_breakouts",
+    ):
+        assert exchanges(q(reg, spark, sf_dir, name)) == 1, name
+
+
+def test_round6_warehouse_broadcasts_and_topk(reg, spark, sf_dir):
+    """q148: both 25-row nation roles must ride broadcast joins; q151's
+    top-20 must compile to TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    df = q(reg, spark, sf_dir, "q148_nation_trade_matrix")
+    assert broadcast_hash_joins(df) >= 2
+    plan = physical_plan(q(reg, spark, sf_dir, "q151_large_orders"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q158_single_window_pass_for_all_lags(reg, spark, sf_dir):
+    """All five ACF lags must come from ONE window operator (shared
+    symbol sort) — a per-lag window would re-shuffle the tape five
+    times."""
+    plan = physical_plan(q(reg, spark, sf_dir, "q158_price_acf"))
+    assert plan.count("Window") == 1
