@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ...catalog import table
 from ...functions.deterministic import ratio_e4, ratio_e4_signed
 from ...registry import query
-from .text import simhash_cte, simhash_df
+from .text import simhash_cte, simhash_cte_wide, simhash_df
 
 # SimHash banding: the 16-bit signature splits into two 8-bit bands; a
 # pair is a candidate iff it matches on at least one whole band, which
@@ -87,8 +87,6 @@ def simhash_pairs(
 ) -> DataFrame:
     """q95 as a reusable transform — see the query docstring.  max_band
     is the strict per-bucket cap (raises when a bucket reaches it)."""
-    from pyspark.sql import Window
-
     sim = simhash_df(d)
     banded = sim.select(
         "doc_id",
@@ -97,6 +95,52 @@ def simhash_pairs(
             F.array(F.expr("simhash div 256"), F.expr("simhash % 256"))
         ).alias("band", "bv"),
     )
+    return _banded_hamming_pairs(banded, max_band, ham_max)
+
+
+def simhash_pairs_wide(
+    d: DataFrame,
+    bits: int = 60,
+    n_bands: int = 4,
+    max_band: int = _MAX_BAND_DOCS,
+    ham_max: int = _HAM_MAX,
+) -> DataFrame:
+    """The WIDE-signature near-dup pair search — q95's documented 100 TB
+    path made concrete: a 60-bit signature banded into four 15-bit bands
+    gives 32,768 values per band (vs 256 at 16 bits), so average bucket
+    occupancy drops 128x at the same corpus size and the per-bucket cap
+    stops binding until corpora 128x larger.  Same capped in-set pair
+    generation and bit_count(xor) verify; recall semantics follow the
+    banding theory (a pair collides when any band matches exactly)."""
+    from .text import simhash_df_wide
+
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    w = bits // n_bands
+    sim = simhash_df_wide(d, bits)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash div {2 ** (w * j)}) % {2 ** w}")
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    return _banded_hamming_pairs(banded, max_band, ham_max)
+
+
+def _banded_hamming_pairs(
+    banded: DataFrame, max_band: int, ham_max: int
+) -> DataFrame:
+    """Shared tail of the simhash pair searches: capped in-set pair
+    generation per (band, bv) bucket + Hamming verify — the strict-cap
+    discipline documented on q95."""
+    from pyspark.sql import Window
+
     bw = Window.partitionBy("band", "bv").orderBy("doc_id")
     groups = (
         banded.withColumn("rn", F.row_number().over(bw))
@@ -445,3 +489,49 @@ def q130_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_true", F.col("label_c").alias("label_pred"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _wide_bands_sql(bits: int = 60, n_bands: int = 4) -> str:
+    w = bits // n_bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, simhash, (simhash // {2 ** (w * j)}) % {2 ** w}"
+        f" AS bv, {j} AS band FROM sim"
+        for j in range(n_bands)
+    )
+
+
+@query(
+    "q160_simhash_wide_pairs",
+    oracle=f"""
+    WITH {simhash_cte_wide()},
+    b AS ({_wide_bands_sql()}),
+    p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT))
+                      AS BIGINT) AS hamming
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {_HAM_MAX}
+    """,
+    category="llm-dedup",
+)
+def q160_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-signature SimHash near-dup pairs: the 60-bit signature q95's
+    docstring names as the 100 TB path, banded into four 15-bit bands
+    (32,768 values per band — average bucket occupancy 128x smaller than
+    the 16-bit variant at the same corpus size, so the strict per-bucket
+    cap stops binding until corpora 128x larger), Hamming <= 3 verify.
+
+    Precision/recall trade vs q95: more signature bits mean Hamming
+    distance reflects token-level similarity more faithfully (fewer
+    vote-tie collisions), while exact-band collision becomes RARER per
+    band — the four bands compensate (a pair within Hamming 3 of 60
+    bits differs in at most 3 bands, so at least one 15-bit band always
+    matches... unless all 3 flipped bits straddle 3 different bands and
+    a fourth differs — banding recall is probabilistic by design, and
+    the oracle reproduces the identical banding, so the check is exact
+    over the DECLARED semantics, not over an ideal).
+
+    Shape: identical to q95 — signature agg (60 vote columns, map-side
+    partials), posexplode to 4 band rows/doc, capped in-set pair
+    generation, bit_count(xor) verify."""
+    return simhash_pairs_wide(table(spark, sf_dir, "documents"))

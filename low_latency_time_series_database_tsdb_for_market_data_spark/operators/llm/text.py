@@ -327,3 +327,46 @@ def q61_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
     fp = F.md5(norm)
     return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp8"))
+
+
+def simhash_df_wide(d: DataFrame, bits: int = 60) -> DataFrame:
+    """(doc_id, simhash): the WIDE signature (default 60-bit — the q95
+    docstring's documented 100 TB path: more signature bits -> more band
+    values -> smaller buckets at the same recall).  Same one-explode +
+    one-doc-keyed-agg shape as :func:`simhash_df`; the vote agg is just
+    `bits` columns wide."""
+    from ...functions.texthash import simhash_bits, tokens as _tokens
+
+    tok = d.select("doc_id", F.explode(_tokens("text")).alias("w"))
+    h = tok.select("doc_id", F.md5("w").alias("hh"))
+    bcols = simhash_bits(F.col("hh"), bits)
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bcols[b] == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    assemble = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, 2 ** (bits - 1 - b)).otherwise(0)
+        assemble = term if assemble is None else assemble + term
+    return votes.select("doc_id", assemble.cast("bigint").alias("simhash"))
+
+
+def simhash_cte_wide(bits: int = 60) -> str:
+    """DuckDB twin of :func:`simhash_df_wide` (generalized
+    ``simhash_cte``): CTE chain ending in ``sim(doc_id, simhash)``."""
+    sums = []
+    for b in range(bits):
+        nib = f"('0x' || substr(hh, {b // 4 + 1}, 1))::INT"
+        bit = f"(({nib}) // {2 ** (3 - b % 4)}) % 2"
+        sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** (bits - 1 - b)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, md5(w) AS hh FROM tok),
+    bits AS (SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits)"""

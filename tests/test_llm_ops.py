@@ -603,3 +603,64 @@ def test_q159_containment_catches_excerpts_jaccard_misses(spark, tmp_path):
     j = reg["q56_ngram_jaccard_pairs"].fn(spark, fixture).toPandas()
     assert (3, 4) in set(zip(j.doc_a, j.doc_b))
     assert (1, 2) not in set(zip(j.doc_a, j.doc_b))
+
+
+def test_q160_wide_bands_shrink_buckets_and_find_planted_pair(spark, tmp_path):
+    """The 60-bit/4-band signature must (a) find a planted one-token
+    near-dup pair within Hamming 3, and (b) produce strictly more
+    distinct band-bucket values than the 16-bit variant on the same
+    corpus — the occupancy claim the 100 TB path rests on."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.corpus_ext import (  # noqa: E501
+        simhash_pairs_wide,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.text import (  # noqa: E501
+        simhash_df,
+        simhash_df_wide,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    words = [f"tok{i:03d}" for i in range(60)]
+    rows = [(1, " ".join(words), "en", "web", 1)]
+    rows.append((2, " ".join(words[:-1] + ["changed"]), "en", "web", 1))
+    for i in range(3, 60):
+        rows.append(
+            (i, " ".join(f"doc{i}_{j}" for j in range(40)), "en", "web", 1)
+        )
+    fixture = str(tmp_path / "wide")
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    d.write.parquet(f"{fixture}/documents.parquet")
+
+    reg = load_all()
+    got = reg["q160_simhash_wide_pairs"].fn(spark, fixture).toPandas()
+    assert (1, 2) in set(zip(got.doc_a, got.doc_b))
+
+    # occupancy: distinct 15-bit band values >> distinct 8-bit values
+    wide = simhash_df_wide(d, 60).select(
+        F.explode(
+            F.array(*[
+                F.expr(f"(simhash div {2 ** (15 * j)}) % 32768")
+                for j in range(4)
+            ])
+        ).alias("bv")
+    )
+    narrow = simhash_df(d).select(
+        F.explode(
+            F.array(F.expr("simhash div 256"), F.expr("simhash % 256"))
+        ).alias("bv")
+    )
+    assert (
+        wide.distinct().count() > narrow.distinct().count()
+    )
+
+    # degenerate guard still applies: bits must divide into bands
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs_wide(d, bits=60, n_bands=7)
