@@ -58,20 +58,25 @@ def build_driver_line(total: float, queries: dict, scalars: dict) -> str:
     """The single driver-facing JSON line, kept under LINE_BUDGET chars.
 
     Per-query precision adapts to the suite size: 3 decimals while the
-    line fits, else 2, else 1 — and as a last resort the per-query map is
-    dropped entirely in favour of the suite total (the full 4-decimal
-    detail is always in bench_detail.json; the driver line only needs
-    relative magnitudes).  Raises if even the fallback exceeds the
-    budget, so growth past the cap fails HERE, loudly, not in the
-    driver's truncated tail."""
-    for q_decimals in (3, 2, 1, None):
+    line fits, else 2, else 1; still too long -> the "q" key prefix is
+    dropped ("01": 0.2 — bare-number keys, ~1 byte/query back); and as a
+    last resort the per-query map is dropped entirely in favour of the
+    suite total (the full 4-decimal detail is always in
+    bench_detail.json; the driver line only needs relative magnitudes).
+    Raises if even the fallback exceeds the budget, so growth past the
+    cap fails HERE, loudly, not in the driver's truncated tail."""
+    for q_decimals, bare in ((3, False), (2, False), (1, False),
+                             (1, True), (None, False)):
         out = {
             "metric": "declared_query_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": (
-                {name.split("_")[0]: round(sec, q_decimals)
-                 for name, sec in queries.items()}
+                {
+                    (name.split("_")[0].lstrip("q") if bare
+                     else name.split("_")[0]): round(sec, q_decimals)
+                    for name, sec in queries.items()
+                }
                 if q_decimals is not None
                 else {"suite": total}
             ),
