@@ -310,3 +310,69 @@ def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+def ivf_index(
+    vecs: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign every (vec_id, embedding) row to its nearest centroid —
+    the IVF build pass, Arrow-batched: the centroid matrix broadcasts
+    inside the closure and each batch runs ONE numpy matmul
+    (argmin_c ||v-c||² == argmin_c (||c||² − 2 v·c); first-occurrence
+    ties).  Measured at 1M x 64-dim vectors / k=64: 3.4 s (292 k vec/s)
+    vs 27 s for the same argmin as JVM literal-array expressions — the
+    k-crossover rule of thumb: literal arrays for single-digit k (q65's
+    8 centroids), this path from k ≈ 64 up (BASELINE.md round-6 notes).
+
+    Returns (vec_id, embedding, centroid).  At 100 TB the result is
+    written `partitionBy(centroid)` so probes are partition-pruned
+    scans."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    csq = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = csq[None, :] - 2.0 * (m @ cmat.T)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["centroid"] = d.argmin(axis=1).astype("int64")
+            yield out
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, centroid bigint"
+    )
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    probe: list[float],
+    nprobe: int,
+    topk: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbours of `probe` over an `ivf_index`-ed table,
+    scanning only the nprobe nearest inverted lists (~nprobe/k of the
+    data; with a partitionBy(centroid) layout, partition-pruned).  The
+    in-list scoring is the q51 JVM dot product; top-k compiles to
+    TakeOrderedAndProject.  Approximate by design — recall governed by
+    nprobe/k, checked against exact search in tests."""
+    pd2 = [
+        sum((x - y) * (x - y) for x, y in zip(probe, c)) for c in centroids
+    ]
+    lists = sorted(range(len(centroids)), key=lambda i: (pd2[i], i))[:nprobe]
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    pnorm = float(sum(x * x for x in probe))
+    hits = indexed.where(F.col("centroid").isin(lists))
+    if exclude_vec_id is not None:
+        hits = hits.where(F.col("vec_id") != exclude_vec_id)
+    v = _dbl(F.col("embedding"))
+    cos = _dot(v, p) / F.sqrt(_norm2(v) * F.lit(pnorm))
+    return (
+        hits.withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )

@@ -664,3 +664,50 @@ def test_q160_wide_bands_shrink_buckets_and_find_planted_pair(spark, tmp_path):
 
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs_wide(d, bits=60, n_bands=7)
+
+
+def test_ivf_index_and_search_recall_vs_exact(spark, sf_dir):
+    """ivf_index + ivf_search (the trained-quantizer scale path the
+    1M-vector record measured): at nprobe=k the search is EXHAUSTIVE and
+    must equal exact q51 row-for-row; at nprobe=2/8 recall vs exact must
+    clear the same 0.5 bar the q64/q65 fixtures use."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table as _table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (  # noqa: E501
+        PROBE_VEC_ID,
+        ivf_index,
+        ivf_search,
+        train_centroids,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    from pyspark.sql import functions as F
+
+    e = _table(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, k=8, iters=1)
+    indexed = ivf_index(e, cents).localCheckpoint()
+    probe = [
+        float(x)
+        for x in e.where(F.col("vec_id") == PROBE_VEC_ID)
+        .collect()[0]["embedding"]
+    ]
+
+    exact = load_all()["q51_similarity_topk"].fn(spark, sf_dir).collect()
+    exact_ids = [r["vec_id"] for r in exact]
+
+    # exhaustive: identical ranking and rounded cosines
+    full = ivf_search(
+        indexed, cents, probe, nprobe=8, exclude_vec_id=PROBE_VEC_ID
+    ).collect()
+    assert [r["vec_id"] for r in full] == exact_ids
+    assert [r["cos"] for r in full] == [r["cos"] for r in exact]
+
+    # approximate: nprobe=2 of 8 lists
+    approx = ivf_search(
+        indexed, cents, probe, nprobe=2, exclude_vec_id=PROBE_VEC_ID
+    ).collect()
+    got = {r["vec_id"] for r in approx}
+    assert len(got & set(exact_ids)) / len(exact_ids) >= 0.5
