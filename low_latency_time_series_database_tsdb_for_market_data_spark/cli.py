@@ -50,6 +50,7 @@ HELP = """Usage:
   cli last <symbol> <count>
   cli benchmark <symbol> <num_ticks>
   cli import <symbol> <csv_file>
+  cli maintain [target_files]
 """
 
 
@@ -238,6 +239,29 @@ def cmd_benchmark(
     return out
 
 
+def cmd_maintain(
+    spark: SparkSession, data_dir: str, target_files: int | None = None
+) -> list[str]:
+    """Engine extension (no reference analogue — its files live forever,
+    `timeseries_db.cpp:157-168`): compact the tick table to bound file
+    count and restore the time-clustered layout that keeps row-group
+    stats selective after many small appends.  Stage-then-swap, so a
+    crash leaves a complete table at one of the two paths."""
+    from pathlib import Path
+
+    from .sources.writer import compact_ticks
+
+    path = _table_path(data_dir)
+    has_data = Path(path).exists() and any(Path(path).glob("**/*.parquet"))
+    if not has_data:
+        return ["Nothing to maintain: no tick table at " + path]
+    audit = compact_ticks(spark, path, target_files=target_files)
+    return [
+        f"Compacted {audit['rows']} ticks: "
+        f"{audit['files_before']} -> {audit['files_after']} files"
+    ]
+
+
 def run(argv: list[str], spark: SparkSession, data_dir: str = "tsdb_data") -> list[str]:
     """Dispatch one CLI invocation; returns output lines (testable core)."""
     if not argv:
@@ -255,6 +279,10 @@ def run(argv: list[str], spark: SparkSession, data_dir: str = "tsdb_data") -> li
         return cmd_benchmark(spark, data_dir, args[0], int(args[1]))
     if cmd == "import" and len(args) == 2:
         return cmd_import(spark, data_dir, args[0], args[1])
+    if cmd == "maintain" and len(args) <= 1:
+        return cmd_maintain(
+            spark, data_dir, int(args[0]) if args else None
+        )
     return [HELP]
 
 

@@ -147,3 +147,28 @@ def test_benchmark_seq_continues_from_existing(spark, data_dir):
     assert len(seqs) == 8
     assert len(set(seqs)) == 8, "duplicate seq values after benchmark"
     assert seqs == list(range(seqs[0], seqs[0] + 8))
+
+
+def test_maintain_compacts_and_preserves_query_results(spark, tmp_path):
+    """`maintain` (engine extension): many small inserts accumulate
+    files; compaction must bound them and leave every query byte-for-
+    byte identical."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.cli import (
+        run,
+    )
+
+    d = str(tmp_path / "data")
+    for i in range(8):
+        run(["insert", "AAPL", str(1000 + i), f"{100 + i}.5", "10"], spark, d)
+    before = run(["query", "AAPL", "1000", "1010"], spark, d)
+    from pathlib import Path
+
+    files_before = len(list(Path(d).glob("**/*.parquet")))
+    out = run(["maintain", "2"], spark, d)
+    assert out[0].startswith("Compacted 8 ticks:")
+    files_after = len(list(Path(d).glob("**/*.parquet")))
+    assert files_after < files_before
+    assert run(["query", "AAPL", "1000", "1010"], spark, d) == before
+    # empty data dir: graceful
+    out2 = run(["maintain"], spark, str(tmp_path / "nope"))
+    assert out2[0].startswith("Nothing to maintain")
