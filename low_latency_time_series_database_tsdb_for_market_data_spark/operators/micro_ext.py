@@ -371,3 +371,75 @@ def q158_price_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     )
+
+
+@query(
+    "q161_kyle_lambda",
+    oracle=f"""
+    WITH {_LAGC_SQL},
+    fl AS (
+      SELECT event_type,
+             (CASE WHEN c > pc THEN user_id
+                   WHEN c < pc THEN -user_id ELSE 0 END) AS x,
+             c - pc AS y
+      FROM s WHERE pc IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM fl GROUP BY 1)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) AS lambda_cents
+    FROM m WHERE (n * sxx - sx * sx) > 0
+    """,
+    category="timeseries-microstructure",
+)
+def q161_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per symbol: the OLS slope of tick price change
+    (cents) on tick-rule signed volume — the price-impact coefficient
+    ("how many cents does one unit of net flow move the price"), the
+    regression behind execution-cost models and the fourth member of
+    the microstructure family (q103 Roll spread = autocovariance,
+    q154 Amihud = |move|/dollar, q155 OFI = the regressor itself).
+
+    Exactness: the q158 moment discipline — n, Σx, Σy, Σxy, Σx²
+    aggregate as exact BIGINTs (order-independent at any parallelism),
+    and the slope is ONE float expression per symbol evaluated on those
+    identical integers; zero-variance flow (no signed volume at all) is
+    excluded by an integer test.
+
+    Shape: the shared _lagc symbol-keyed window pass + one
+    symbol-bounded hash-agg — one shuffle total."""
+    lag = _lagc(spark, sf_dir)
+    x = (
+        F.when(F.col("c") > F.col("pc"), F.col("user_id"))
+        .when(F.col("c") < F.col("pc"), -F.col("user_id"))
+        .otherwise(F.lit(0))
+    )
+    y = F.col("c") - F.col("pc")
+    m = (
+        lag.where(F.col("pc").isNotNull())
+        .select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.where(varx > 0)
+        .select(
+            "event_type",
+            "n",
+            F.round(cov / varx.cast("double"), 6).alias("lambda_cents"),
+        )
+    )

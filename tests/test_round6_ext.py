@@ -239,3 +239,23 @@ def test_q158_acf_matches_numpy_pearson(reg, spark, tape):
             r = (n * sxy - sx * sy) / np.sqrt(float(vx) * float(vy))
             assert abs(got.loc[(sym, k)].r - round(r, 4)) <= 1e-4
             assert int(got.loc[(sym, k)].n) == n
+
+
+def test_q161_kyle_lambda_matches_numpy_ols(reg, spark, tape):
+    """The slope must equal numpy's least-squares fit of Δcents on
+    tick-rule signed volume, computed independently per symbol."""
+    import numpy as np
+
+    got = _pdf(reg, spark, "q161_kyle_lambda").set_index("event_type")
+    for sym, g in tape.groupby("event_type"):
+        prev = g.c.shift()
+        mask = prev.notna()
+        dy = (g.c - prev)[mask].to_numpy(dtype="float64")
+        sign = ((g.c > prev).astype(int) - (g.c < prev).astype(int))[mask]
+        x = (sign * g.user_id[mask]).to_numpy(dtype="float64")
+        if np.var(x) == 0:
+            assert sym not in got.index
+            continue
+        slope = np.polyfit(x, dy, 1)[0]
+        assert abs(got.loc[sym].lambda_cents - slope) < 1e-4
+        assert int(got.loc[sym].n) == len(x)
