@@ -7,6 +7,7 @@ from . import events_ext  # noqa: F401
 from . import extended  # noqa: F401
 from . import joins  # noqa: F401
 from . import llm  # noqa: F401
+from . import indicators_ext  # noqa: F401
 from . import micro_ext  # noqa: F401
 from . import portfolio_ext  # noqa: F401
 from . import quality_ext  # noqa: F401

@@ -10,7 +10,7 @@ primitives texthash.py pins as cross-engine-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ...catalog import table
@@ -267,4 +267,76 @@ def q92_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = d.agg(F.count(F.lit(1)).alias("tot"))
     return v.crossJoin(F.broadcast(tot)).select(
         "token", "cf", "df", ratio_e4("df", "tot").alias("df_share")
+    )
+
+
+# A token is "rare" when its whole-corpus collection frequency is at or
+# below this — the hapax/near-hapax band OCR noise and mojibake live in.
+_RARE_MAX = 3
+
+
+@query(
+    "q164_rare_token_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+           FROM toks GROUP BY 1, 2),
+    w AS (SELECT source, token, m,
+                 SUM(m) OVER (PARTITION BY token) AS cf
+          FROM st)
+    SELECT source,
+           CAST(SUM(m) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN cf <= {_RARE_MAX} THEN m ELSE 0 END)
+                AS BIGINT) AS rare_tokens,
+           CAST(SUM(CASE WHEN cf <= {_RARE_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS rare_types,
+           (SUM(CASE WHEN cf <= {_RARE_MAX} THEN m ELSE 0 END) * 20000
+              + SUM(m)) // (2 * SUM(m)) / 10000.0 AS rare_share
+    FROM w GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q164_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token exposure per source: what fraction of a source's token
+    stream is corpus-rare (collection frequency <= 3) — the
+    noise/quality proxy curation pipelines threshold on (OCR garbage,
+    mojibake, and boilerplate IDs are hapax-heavy; clean prose is not),
+    next to the count of distinct rare types it contributes.
+
+    Exactness: occurrence counts are exact BIGINTs; the share rounds
+    half-up in integers (ratio_e4 identity).  The corpus-wide frequency
+    is a SUM over the (source, token) partials — no float ever exists.
+
+    Shape: explode -> ONE (source, token) hash-agg (map-side partials
+    shrink the token stream to the per-source vocabulary), then the
+    corpus frequency arrives as a whole-partition window SUM over that
+    SAME compacted table — replacing the vocab self-join q92 would need
+    — and a source-keyed agg finishes.  Three exchanges, all moving
+    vocabulary-sized rows, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    st = (
+        d.repartition(par)
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cf = F.sum("m").over(Window.partitionBy("token"))
+    w = st.select("source", "m", cf.alias("cf"))
+    rare_m = F.when(F.col("cf") <= _RARE_MAX, F.col("m")).otherwise(
+        F.lit(0)
+    )
+    rare_t = F.when(F.col("cf") <= _RARE_MAX, 1).otherwise(F.lit(0))
+    agg = w.groupBy("source").agg(
+        F.sum("m").cast("bigint").alias("total_tokens"),
+        F.sum(rare_m).cast("bigint").alias("rare_tokens"),
+        F.sum(rare_t).cast("bigint").alias("rare_types"),
+    )
+    return agg.select(
+        "source",
+        "total_tokens",
+        "rare_tokens",
+        "rare_types",
+        ratio_e4("rare_tokens", "total_tokens").alias("rare_share"),
     )
