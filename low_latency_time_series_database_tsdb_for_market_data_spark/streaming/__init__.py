@@ -7,6 +7,7 @@ from .stateful import (  # noqa: F401
     gap_alert_stream,
     ofi_stream,
     symbol_snapshot_stream,
+    volume_bar_stream,
 )
 from .windows import (  # noqa: F401
     dedup_stream,

@@ -449,3 +449,119 @@ def ofi_stream(ticks: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+VBAR_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bar_id", T.LongType()),
+        T.StructField("n_ticks", T.LongType()),
+        T.StructField("open_c", T.LongType()),
+        T.StructField("high_c", T.LongType()),
+        T.StructField("low_c", T.LongType()),
+        T.StructField("close_c", T.LongType()),
+        T.StructField("bar_volume", T.LongType()),
+    ]
+)
+
+VBAR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cum", T.LongType()),
+        T.StructField("cur_bar", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("open_c", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("close_c", T.LongType()),
+        T.StructField("vol", T.LongType()),
+        T.StructField("has", T.LongType()),
+    ]
+)
+
+
+def make_volume_bar_builder(bar_v: int):
+    """Build the applyInPandasWithState update function for
+    :func:`volume_bar_stream` — the real-time form of q165's
+    volume-clock bars.
+
+    Per-symbol state is nine int64s: the running volume prefix sum plus
+    the OPEN bar's (id, n, OHLC cents, volume).  A tick's bar id is
+    floor(prefix_before / V) — bit-identical to the batch assignment —
+    and a bar EMITS when a tick lands in a LATER bar (arrival-driven
+    close, the OFI monitor's discipline), so each symbol's final bar
+    stays open: a live sampler cannot know no more volume is coming.
+    Bar ids a single oversized tick jumps clean over never existed in
+    either engine (no empty bars).  Ticks are processed in (ts, seq)
+    order inside every batch; the prefix sum assumes the replay is
+    ordered across batches exactly like the batch window's sort — the
+    ordered file replay guarantees it, and a production feed with real
+    disorder must widen the upstream watermark instead.  All arithmetic
+    is BIGINT on exact cents."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(["ts", "seq"])
+        cents_s = (batch["price"] * 100).round().astype("int64")
+        vols = batch["volume"].astype("int64")
+
+        cum, cur_bar, n, open_c, hi, lo, close_c, vol, has = (
+            state.get if state.exists else (0, -1, 0, 0, 0, 0, 0, 0, 0)
+        )
+        out: list[dict] = []
+        for c, v in zip(cents_s, vols):
+            c, v = int(c), int(v)
+            bar = cum // bar_v
+            if not has:
+                cur_bar, n, open_c, hi, lo, close_c, vol, has = (
+                    bar, 1, c, c, c, c, v, 1,
+                )
+            elif bar > cur_bar:
+                out.append(
+                    {
+                        "symbol": key[0],
+                        "bar_id": cur_bar,
+                        "n_ticks": n,
+                        "open_c": open_c,
+                        "high_c": hi,
+                        "low_c": lo,
+                        "close_c": close_c,
+                        "bar_volume": vol,
+                    }
+                )
+                cur_bar, n, open_c, hi, lo, close_c, vol = (
+                    bar, 1, c, c, c, c, v,
+                )
+            else:
+                n += 1
+                hi = max(hi, c)
+                lo = min(lo, c)
+                close_c = c
+                vol += v
+            cum += v
+        state.update((cum, cur_bar, n, open_c, hi, lo, close_c, vol, has))
+        if out:
+            yield pd.DataFrame(out)
+
+    return update
+
+
+def volume_bar_stream(ticks: DataFrame, bar_v: int = 100_000) -> DataFrame:
+    """Streaming volume-clock bars per symbol — the real-time twin of
+    q165 (every CLOSED bar matches the batch replay bit-for-bit; each
+    symbol's final bar stays open).  `ticks` needs (symbol, ts, price,
+    volume, seq).  State is nine int64s per symbol; output is
+    bar-bounded, not tick-bounded; the stateful shuffle is the natural
+    symbol key."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        make_volume_bar_builder(bar_v),
+        outputStructType=VBAR_ROW_SCHEMA,
+        stateStructType=VBAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import table
@@ -1047,6 +1049,98 @@ def test_ofi_stream_matches_batch_q155_closed_minutes(spark, sf_dir, tmp_path):
     )
     assert len(a) == len(b)
     for col in a.columns:
+        assert (
+            a[col].to_numpy() == b[col].to_numpy()
+        ).all(), f"mismatch in {col}"
+
+
+def test_volume_bar_stream_matches_batch_q165_closed_bars(
+    spark, sf_dir, tmp_path
+):
+    """Streaming volume-clock bars across 3 micro-batches must equal
+    the batch q165 semantics on every CLOSED bar (each symbol's final
+    bar stays open — a live sampler cannot know no more volume is
+    coming), with the volume prefix sum carrying ACROSS batch
+    boundaries.  Bar size 300 (not q165's 100k) so the sf0.001 tape
+    (per-symbol volume ~1.5k) closes several bars per symbol; the expectation is an independent
+    pandas replay of the same prefix-sum assignment."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        volume_bar_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    p33, p66 = (
+        ev.selectExpr(
+            "percentile(unix_micros(ts), array(0.33, 0.66)) AS p"
+        ).collect()[0][0]
+    )
+    us = F.unix_micros("ts")
+    splits = [
+        ev.where(us <= int(p33)),
+        ev.where((us > int(p33)) & (us <= int(p66))),
+        ev.where(us > int(p66)),
+    ]
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    stream = open_tick_stream(
+        spark, f"{sf}/events.parquet", max_files_per_trigger=1
+    ).select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts_event").alias("ts"),
+        F.col("value").alias("price"),
+        F.col("user_id").alias("volume"),
+        F.col("event_id").alias("seq"),
+    )
+    _run_to_memory(
+        volume_bar_stream(stream, bar_v=300), "vbar_out", mode="append"
+    )
+    got = spark.sql("SELECT * FROM vbar_out").toPandas()
+
+    # independent pandas replay of the batch assignment at the same V
+    tape = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    rows = []
+    for sym, g in tape.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        g = g.assign(bar=(g.user_id.cumsum() - g.user_id) // 300)
+        for bar, bdf in g.groupby("bar"):
+            rows.append(
+                (sym, bar, len(bdf), bdf.c.iloc[0], bdf.c.max(),
+                 bdf.c.min(), bdf.c.iloc[-1], int(bdf.user_id.sum()))
+            )
+    batch = pd.DataFrame(
+        rows,
+        columns=["event_type", "bar_id", "n_ticks", "open_c", "high_c",
+                 "low_c", "close_c", "bar_volume"],
+    )
+    # closed bars only: drop each symbol's max (still-open) bar
+    last = batch.groupby("event_type")["bar_id"].transform("max")
+    closed = batch[batch.bar_id < last]
+
+    cols = [
+        "symbol", "bar_id", "n_ticks", "open_c", "high_c", "low_c",
+        "close_c", "bar_volume",
+    ]
+    a = got.sort_values(["symbol", "bar_id"]).reset_index(drop=True)[cols]
+    b = (
+        closed.rename(columns={"event_type": "symbol"})
+        .sort_values(["symbol", "bar_id"])
+        .reset_index(drop=True)[cols]
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for col in cols:
         assert (
             a[col].to_numpy() == b[col].to_numpy()
         ).all(), f"mismatch in {col}"
