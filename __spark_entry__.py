@@ -35,50 +35,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file caps at the first 50 dict entries, so
-# order the dict by verification PRIORITY.  Round-6 window (the
-# round-5 judge's item #1, VERDICT.md "Next round" list): the 47
-# round-5 additions q101-q147 — never inside a driver window, but
-# exact-audited (zero float tolerance) at sf0.001/0.01/0.1 and
-# judge-audited EXACT at sf0.01 — followed by the three queries whose
-# read path changed in round 5 AFTER their last driver row (q02
-# distributed CSV import; q04/q05 footer-stats probes), = exactly 50.
-# This completes the official correctness record for the whole
-# registry: every one of the 147 round-5 queries then has a driver
-# row on
-# code no older than the row.  Queries q101-q147 are all
-# oracle-backed (none of the rows-only sketches are in this window).
-# Any round-6 additions are appended AFTER the head-50 (registry
-# iteration order) and rotate into the round-7 window — per the
-# judge's item #2 (freeze the window until the rotation lands).
-# A driver that sorts keys or checks all 158 is unaffected — the key
-# set is identical.
-_HEAD_R6 = [
-    "q101_lead_lag", "q102_drawdown_spells", "q103_roll_spread",
-    "q104_benford_digits", "q105_staleness_runs",
-    "q106_minute_rate_anomaly", "q107_zipf_coverage", "q108_norm_band",
-    "q109_overnight_gap", "q110_dispersion_screen", "q111_causal_bursts",
-    "q112_market_beta", "q113_ship_priority", "q114_region_revenue_share",
-    "q115_cust_order_distribution", "q116_returned_items",
-    "q117_flow_autocorr", "q118_turnover_hhi", "q119_price_ending_digits",
-    "q120_event_study", "q121_chunk_overlap", "q122_pack_contexts",
-    "q123_lexical_diversity", "q124_df_score", "q125_retention_cohorts",
-    "q126_rolling_active_users", "q127_brand_revenue_share",
-    "q128_centroid_separation", "q129_edit_distance_pairs",
-    "q130_nearest_centroid_eval", "q131_late_ship_priority",
-    "q132_spend_gini", "q133_value_deciles", "q134_trimmed_mean",
-    "q135_asof_nearest", "q136_holt_trend", "q137_disjunctive_revenue",
-    "q138_segment_activity", "q139_promo_share_monthly",
-    "q140_monthly_growth", "q141_market_profile",
-    "q142_tokenizer_fertility", "q143_length_percentiles",
-    "q144_flow_concentration", "q145_interarrival_quartiles",
-    "q146_weekday_seasonality", "q147_customer_value_bands",
-    "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
+# order the dict by verification PRIORITY.  Round-7 window (the
+# round-6 judge's item #1, VERDICT.md "Next round" list): the 18
+# round-6 additions q148-q165 — never inside a driver window, but
+# exact-audited (zero float tolerance) at sf0.01 and judge-audited
+# EXACT — followed by the 32 lowest-numbered queries whose last
+# official row dates to round 4 (q01..q39 block; their rows predate
+# the round-5/6 read-path changes), = exactly 50.  After this window
+# every registry query except the 15-query q40-q50/q74-q77 r4 tail
+# has a driver row no older than round 5; that tail rotates in round
+# 8.  All 50 names here are oracle-backed (none of the rows-only
+# sketches are in the window).  A driver that sorts keys or checks
+# all 165 is unaffected — the key set is identical.
+_HEAD_R7 = [
+    "q148_nation_trade_matrix", "q149_market_share_trend",
+    "q150_brand_supplier_counts", "q151_large_orders",
+    "q152_dormant_rich_customers", "q153_part_revenue_abc",
+    "q154_amihud_illiquidity", "q155_order_flow_imbalance",
+    "q156_bollinger_breakouts", "q157_donchian_breakouts",
+    "q158_price_acf", "q159_containment_pairs",
+    "q160_simhash_wide_pairs", "q161_kyle_lambda",
+    "q162_variance_ratio", "q163_rsi_screen",
+    "q164_rare_token_ratio", "q165_volume_clock",
+    "q01_scan_full", "q03_project", "q06_last_n", "q07_topk_value",
+    "q08_count", "q09_count_by_symbol", "q10_join_inner",
+    "q11_join_broadcast", "q12_join_outer", "q13_join_theta",
+    "q14_semi", "q15_anti", "q16_asof", "q17_interval_join",
+    "q18_multiway_join", "q19_above_group_avg", "q21_time_bucket",
+    "q22_ohlc", "q24_count_distinct", "q26_rollup", "q28_stats_agg",
+    "q29_deterministic_sample", "q30_moving_avg", "q31_rank",
+    "q32_lag_returns", "q33_cume_range_frame", "q34_sort_limit",
+    "q35_window_analytics", "q36_resample_locf", "q37_sessionize",
+    "q38_twap", "q39_ewma",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = _HEAD_R6
+    head = _HEAD_R7
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 
