@@ -17,12 +17,13 @@ exercise the scan path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.deterministic import ratio_e4, ratio_round
 from ..registry import query
+from .prefix import global_cumsum
 from .tpch_ext import _REV_U_SQL, _rev_u
 
 
@@ -290,8 +291,9 @@ def q152_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the recent-buyer keyset is order-dim-bounded and drives a
     left-anti join (broadcast at scale — distinct custkeys with recent
     orders is far smaller than customer); the global (sum, count) pair
-    is a two-scalar broadcast literal; nation broadcasts.  Output is
-    |nations| rows."""
+    joins back as a broadcast 1-row aggregate (bnlj-scalar — the q164
+    pattern), so the registry stays fully lazy: no job runs at plan
+    construction.  Nation broadcasts.  Output is |nations| rows."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
@@ -302,16 +304,15 @@ def q152_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
     )
-    s_, n_ = (
-        c.agg(
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")),
-            F.count(F.lit(1)),
-        ).collect()[0]
-    )
     bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    tot = c.agg(
+        F.sum(bal_c).alias("__bal_sum"),
+        F.count(F.lit(1)).alias("__bal_n"),
+    )
     return (
         c.join(recent, "c_custkey", "left_anti")
-        .where(bal_c * F.lit(int(n_)) > F.lit(int(s_)))
+        .crossJoin(F.broadcast(tot))
+        .where(bal_c * F.col("__bal_n") > F.col("__bal_sum"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -352,13 +353,12 @@ def q153_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: class boundaries are integer cross-multiplications on
     exact BIGINT revenue units — no percentage float ever exists.
-    Shape note (the one honest scale caveat in this module): the
-    cumulative sum is a GLOBAL-ORDER window, a single-partition pass
-    over the per-part aggregate — fine while parts are dim-sized
-    (millions of rows through one task), the standard warehouse ABC
-    shape; a fact-sized ranking would need a range-partitioned two-pass
-    prefix sum instead.  The growing frame obeys the repo's
-    UNBOUNDED-PRECEDING-only window rule."""
+    Shape: the cumulative revenue is :func:`..prefix.global_cumsum` —
+    the range-partitioned two-pass prefix sum — so the part dimension
+    (2B rows at TPC-H SF10k) is sorted in N parallel range slices, not
+    one single-partition window task; the grand total rides the same
+    broadcast offsets frame.  Plan-contract-tested: no
+    ``Exchange SinglePartition`` feeds a Window anywhere in this plan."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     pr = (
@@ -366,17 +366,12 @@ def q153_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_brand")
         .agg(F.sum(_rev_u()).alias("rev_u"))
     )
-    w = (
-        Window.orderBy(F.col("rev_u").desc(), "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = pr.select(
-        "p_brand",
-        F.sum("rev_u").over(w).alias("cum_u"),
-        F.sum("rev_u").over(
-            Window.partitionBy()
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("total_u"),
+    ranked = global_cumsum(
+        pr,
+        [F.col("rev_u").desc(), F.col("p_partkey")],
+        "rev_u",
+        "cum_u",
+        total_col="total_u",
     )
     classed = ranked.select(
         "p_brand",
