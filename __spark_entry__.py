@@ -39,14 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-6 judge's item #1, VERDICT.md "Next round" list): the 18
 # round-6 additions q148-q165 — never inside a driver window, but
 # exact-audited (zero float tolerance) at sf0.01 and judge-audited
-# EXACT — followed by the 32 lowest-numbered queries whose last
-# official row dates to round 4 (q01..q39 block; their rows predate
-# the round-5/6 read-path changes), = exactly 50.  After this window
-# every registry query except the 15-query q40-q50/q74-q77 r4 tail
-# has a driver row no older than round 5; that tail rotates in round
-# 8.  All 50 names here are oracle-backed (none of the rows-only
-# sketches are in the window).  A driver that sorts keys or checks
-# all 165 is unaffected — the key set is identical.
+# EXACT — plus q166 (the round-7 planted-containment variant, so the
+# q159 keep-predicate gets a NON-EMPTY official row) — followed by the
+# 31 lowest-numbered queries whose last official row dates to round 4
+# (q01..q38 block; their rows predate the round-5/6 read-path
+# changes), = exactly 50.  After this window every registry query
+# except the 16-query q39-q50/q74-q77 r4 tail has a driver row no
+# older than round 5; that tail rotates in round 8.  All 50 names
+# here are oracle-backed (none of the rows-only sketches are in the
+# window).  A driver that sorts keys or checks all queries is
+# unaffected — the key set is identical.
 _HEAD_R7 = [
     "q148_nation_trade_matrix", "q149_market_share_trend",
     "q150_brand_supplier_counts", "q151_large_orders",
@@ -57,6 +59,7 @@ _HEAD_R7 = [
     "q160_simhash_wide_pairs", "q161_kyle_lambda",
     "q162_variance_ratio", "q163_rsi_screen",
     "q164_rare_token_ratio", "q165_volume_clock",
+    "q166_containment_planted",
     "q01_scan_full", "q03_project", "q06_last_n", "q07_topk_value",
     "q08_count", "q09_count_by_symbol", "q10_join_inner",
     "q11_join_broadcast", "q12_join_outer", "q13_join_theta",
@@ -66,7 +69,7 @@ _HEAD_R7 = [
     "q29_deterministic_sample", "q30_moving_avg", "q31_rank",
     "q32_lag_returns", "q33_cume_range_frame", "q34_sort_limit",
     "q35_window_analytics", "q36_resample_locf", "q37_sessionize",
-    "q38_twap", "q39_ewma",
+    "q38_twap",
 ]
 
 

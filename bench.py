@@ -151,6 +151,16 @@ def main() -> None:
     srv = PointServer(spark, SF_DIR)
     point_cache_open_sec = srv.open()
     probe_ns = srv.table_min_ns()
+    if probe_ns is None:
+        # footer stats absent/untrusted (e.g. a rewritten fixture):
+        # fall back to a data probe for the min ts instead of crashing
+        from pyspark.sql import functions as F
+
+        probe_ns = (
+            with_ts(events_raw(spark, SF_DIR))
+            .agg((F.min(F.unix_micros("ts")) * 1000).alias("ns"))
+            .collect()[0]["ns"]
+        )
     warm_point_sec = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()

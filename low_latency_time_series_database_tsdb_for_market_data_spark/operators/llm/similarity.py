@@ -80,7 +80,49 @@ def q51_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q64_ann_lsh_bucketed",
-    oracle=None,  # ANN recall is checked against q51 in tests, not by SQL
+    # The full ANN pipeline IS SQL-expressible: signature bits are exact
+    # float-sign decisions on the same left-to-right accumulation order
+    # both engines use (the q51 precedent), bucket algebra is integer.
+    # Recall vs exact q51 is additionally asserted in tests.
+    oracle=f"""
+    WITH planes AS (SELECT vec_id AS pid, embedding AS c
+                    FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+    probe AS (SELECT embedding AS p FROM embeddings
+              WHERE vec_id = {PROBE_VEC_ID}),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    bits AS (SELECT e.vec_id, pl.pid,
+                    CASE WHEN SUM(CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(pl.c[i] AS DOUBLE)) >= 0
+                         THEN 1 << (pl.pid - 1) ELSE 0 END AS bit
+             FROM embeddings e, planes pl, idx
+             WHERE e.vec_id <> {PROBE_VEC_ID}
+             GROUP BY e.vec_id, pl.pid),
+    buckets AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+                FROM bits GROUP BY vec_id),
+    pbits AS (SELECT CAST(SUM(bit) AS BIGINT) AS pb FROM (
+                SELECT pl.pid,
+                       CASE WHEN SUM(CAST(p.p[i] AS DOUBLE)
+                                     * CAST(pl.c[i] AS DOUBLE)) >= 0
+                            THEN 1 << (pl.pid - 1) ELSE 0 END AS bit
+                FROM probe p, planes pl, idx GROUP BY pl.pid)),
+    allowed AS (SELECT xor(pb, m.m) AS bucket
+                FROM pbits, (VALUES (0), (1), (2), (4), (8)) m(m)),
+    dots AS (SELECT e.vec_id,
+                    SUM(CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(p.p[i] AS DOUBLE)) AS dot,
+                    SUM(CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)) AS nn,
+                    SUM(CAST(p.p[i] AS DOUBLE)
+                        * CAST(p.p[i] AS DOUBLE)) AS np
+             FROM embeddings e, probe p, idx
+             WHERE e.vec_id <> {PROBE_VEC_ID} GROUP BY e.vec_id)
+    SELECT d.vec_id, ROUND(d.dot / sqrt(d.nn * d.np), 4) AS cos
+    FROM dots d
+    JOIN buckets b USING (vec_id)
+    JOIN allowed a ON a.bucket = b.bucket
+    ORDER BY d.dot / sqrt(d.nn * d.np) DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
     category="llm-similarity",
 )
 def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +292,58 @@ N_PROBE = 2
 
 @query(
     "q65_ann_ivf",
-    oracle=None,  # ANN recall is checked against exact q51 in tests
+    # IVF assignment is deterministic arithmetic end-to-end: centroid
+    # scores use the same accumulation order both engines share (q51
+    # precedent), argmin ties break on (score, centroid index) exactly
+    # like Spark's array_min over (score, idx) structs, probe-list
+    # selection mirrors Python's stable sort by distance.  Recall vs
+    # exact q51 is additionally asserted in tests.
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS c
+                   FROM embeddings
+                   WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
+    probe AS (SELECT embedding AS p FROM embeddings
+              WHERE vec_id = {PROBE_VEC_ID}),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    cstats AS (SELECT cid, SUM(CAST(c[i] AS DOUBLE)
+                              * CAST(c[i] AS DOUBLE)) AS cnorm
+               FROM cents, idx GROUP BY cid),
+    scores AS (SELECT e.vec_id, ct.cid,
+                      MAX(cs.cnorm)
+                        - 2.0 * SUM(CAST(e.embedding[i] AS DOUBLE)
+                                    * CAST(ct.c[i] AS DOUBLE)) AS score
+               FROM embeddings e, cents ct, idx, cstats cs
+               WHERE cs.cid = ct.cid AND e.vec_id <> {PROBE_VEC_ID}
+               GROUP BY e.vec_id, ct.cid),
+    assigned AS (SELECT vec_id, cid - 1 AS centroid
+                 FROM (SELECT vec_id, cid,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY score, cid) AS rn
+                       FROM scores)
+                 WHERE rn = 1),
+    pd AS (SELECT ct.cid,
+                  SUM((CAST(ct.c[i] AS DOUBLE) - CAST(p.p[i] AS DOUBLE))
+                      * (CAST(ct.c[i] AS DOUBLE)
+                         - CAST(p.p[i] AS DOUBLE))) AS d2
+           FROM cents ct, probe p, idx GROUP BY ct.cid),
+    plist AS (SELECT cid - 1 AS centroid FROM pd
+              ORDER BY d2, cid LIMIT {N_PROBE}),
+    dots AS (SELECT e.vec_id,
+                    SUM(CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(p.p[i] AS DOUBLE)) AS dot,
+                    SUM(CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)) AS nn,
+                    SUM(CAST(p.p[i] AS DOUBLE)
+                        * CAST(p.p[i] AS DOUBLE)) AS np
+             FROM embeddings e, probe p, idx
+             WHERE e.vec_id <> {PROBE_VEC_ID} GROUP BY e.vec_id)
+    SELECT d.vec_id, ROUND(d.dot / sqrt(d.nn * d.np), 4) AS cos
+    FROM dots d
+    JOIN assigned a ON a.vec_id = d.vec_id
+    JOIN plist pl ON pl.centroid = a.centroid
+    ORDER BY d.dot / sqrt(d.nn * d.np) DESC, d.vec_id
+    LIMIT {TOP_K}
+    """,
     category="llm-similarity",
 )
 def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,13 +62,17 @@ class PointServer:
         lo_ns: int | None = None,
         hi_ns: int | None = None,
         symbols: list[str] | None = None,
+        symbol_col: str = "event_type",
     ) -> None:
         self._spark = spark
         self._sf_dir = sf_dir
         self._raw = events_raw(spark, sf_dir)
         self._lo = lo_ns
         self._hi = hi_ns
-        self._symbols = symbols
+        # the events table's symbol analogue is event_type (TESTDATA.md);
+        # deployments with a real symbol column pass symbol_col="symbol"
+        self._symbols = list(symbols) if symbols else None
+        self._symbol_col = symbol_col
         slice_df = self._raw
         if lo_ns is not None:
             slice_df = slice_df.where(
@@ -78,8 +82,10 @@ class PointServer:
             slice_df = slice_df.where(
                 F.col("ts") <= ts_bound(self._raw, hi_ns, upper=True)
             )
-        if symbols:
-            slice_df = slice_df.where(F.col("symbol").isin(symbols))
+        if self._symbols:
+            slice_df = slice_df.where(
+                F.col(symbol_col).isin(self._symbols)
+            )
         self._hot = slice_df.persist(StorageLevel.MEMORY_AND_DISK)
         self._opened = False
         # footer-stats bounds, cached once: probes against a known-empty
@@ -96,31 +102,51 @@ class PointServer:
         self._opened = True
         return time.perf_counter() - t0
 
-    def _in_cache(self, lo_ns: int, hi_ns: int) -> bool:
+    def _in_cache(
+        self, lo_ns: int, hi_ns: int, symbols: list[str] | None = None
+    ) -> bool:
+        """Whether the cached slice fully covers a probe: ts window
+        inside the cached window AND, for a symbol-sliced server, the
+        probe restricted to a SUBSET of the cached symbols — a ts-only
+        probe against a symbol-sliced cache would silently drop the
+        other symbols, so it must fall back to the parquet path."""
         if not self._opened:
             return False
         if self._lo is not None and lo_ns < self._lo:
             return False
         if self._hi is not None and hi_ns > self._hi:
             return False
+        if self._symbols is not None and (
+            symbols is None or not set(symbols) <= set(self._symbols)
+        ):
+            return False
         return True
 
     def table_min_ns(self) -> int | None:
         return self._tbl_min
 
-    def point(self, epoch_ns: int) -> DataFrame:
+    def point(
+        self, epoch_ns: int, symbols: list[str] | None = None
+    ) -> DataFrame:
         """Degenerate range (reference S4 with start == end) against the
         cached slice when it covers the probe, else the parquet path."""
-        return self.range(epoch_ns, epoch_ns)
+        return self.range(epoch_ns, epoch_ns, symbols)
 
-    def range(self, lo_ns: int, hi_ns: int) -> DataFrame:
-        src = self._hot if self._in_cache(lo_ns, hi_ns) else self._raw
-        return with_ts(
-            src.where(
-                (F.col("ts") >= ts_bound(self._raw, lo_ns))
-                & (F.col("ts") <= ts_bound(self._raw, hi_ns, upper=True))
-            )
+    def range(
+        self, lo_ns: int, hi_ns: int, symbols: list[str] | None = None
+    ) -> DataFrame:
+        src = (
+            self._hot
+            if self._in_cache(lo_ns, hi_ns, symbols)
+            else self._raw
         )
+        out = src.where(
+            (F.col("ts") >= ts_bound(self._raw, lo_ns))
+            & (F.col("ts") <= ts_bound(self._raw, hi_ns, upper=True))
+        )
+        if symbols:
+            out = out.where(F.col(self._symbol_col).isin(list(symbols)))
+        return with_ts(out)
 
     def refresh(self) -> float:
         """Re-materialize the cache after the underlying table changed
@@ -134,7 +160,12 @@ class PointServer:
         cached plan until the swap completes."""
         self._hot.unpersist(blocking=False)
         self.__init__(
-            self._spark, self._sf_dir, self._lo, self._hi, self._symbols
+            self._spark,
+            self._sf_dir,
+            self._lo,
+            self._hi,
+            self._symbols,
+            self._symbol_col,
         )
         return self.open()
 

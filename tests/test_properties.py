@@ -296,6 +296,36 @@ def test_bollinger_integer_test_equals_float_band(window):
 
 
 @given(
+    sizes=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=200),
+    target_block=st.integers(1, 4096),
+    max_seeds=st.integers(1, 512),
+)
+@settings(max_examples=300, deadline=None)
+def test_seed_rationing_never_exceeds_budget(sizes, target_block, max_seeds):
+    """_ration_seeds must keep the level-2 seed total within ONE
+    max_seeds budget for ANY hot-cell size distribution (round-6
+    advice: the 1-seed floor could overshoot when many cells round up),
+    give every surviving cell >= 1 seed, and never exceed a cell's
+    ceil(size/target_block) need."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (  # noqa: E501
+        _ration_seeds,
+    )
+
+    hot = {i: sz for i, sz in enumerate(sizes)}
+    want = _ration_seeds(hot, target_block, max_seeds)
+    assert sum(want.values()) <= max_seeds
+    assert all(k >= 1 for k in want.values())
+    assert set(want) <= set(hot)
+    if sum(min(-(-sz // target_block), max_seeds)
+           for sz in sizes) <= max_seeds:
+        # under-budget wants pass through untrimmed
+        assert want == {
+            c: min(-(-sz // target_block), max_seeds)
+            for c, sz in hot.items()
+        }
+
+
+@given(
     c=st.integers(0, 10_000),
     na=st.integers(1, 10_000),
     nb=st.integers(1, 10_000),

@@ -95,6 +95,59 @@ def test_probe_outside_cached_slice_falls_back(spark):
         srv.close()
 
 
+def test_symbol_sliced_server(spark):
+    """A server caching one event_type slice: (a) a probe restricted to
+    that slice serves FROM the cache and matches the raw-path filter
+    exactly; (b) a ts-only probe must NOT serve from the symbol-sliced
+    cache (it would silently drop the other event types) and still
+    returns the full q04-equivalent result; (c) construction with the
+    default symbol_col works against the events schema (round-6 advice:
+    the old code filtered a nonexistent `symbol` column and ignored the
+    slice in _in_cache)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.reference_surface import (  # noqa: E501
+        _T1_NS,
+        _T2_NS,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (  # noqa: E501
+        with_ts,
+        ts_bound,
+    )
+
+    reg = load_all()
+    srv = PointServer(spark, SF, symbols=["click"])
+    try:
+        srv.open()
+        # (a) restricted probe: cached, and value-identical to raw
+        q = srv.range(_T1_NS, _T2_NS, symbols=["click"])
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        raw = events_raw(spark, SF)
+        want_df = with_ts(
+            raw.where(
+                (F.col("ts") >= ts_bound(raw, _T1_NS))
+                & (F.col("ts") <= ts_bound(raw, _T2_NS, upper=True))
+                & (F.col("event_type") == "click")
+            )
+        )
+        assert_df_equal(
+            _sorted(q), _sorted(want_df), name="symbol-sliced range"
+        )
+        assert (_sorted(q)["event_type"] == "click").all()
+        # (b) ts-only probe: falls back AND returns every event type
+        q2 = srv.range(_T1_NS, _T2_NS)
+        plan2 = q2._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan2
+        want2 = _sorted(reg["q04_range_scan"].fn(spark, SF))
+        assert_df_equal(_sorted(q2), want2, name="ts-only fallback")
+        # (c) a superset symbol probe also falls back
+        q3 = srv.range(_T1_NS, _T2_NS, symbols=["click", "view"])
+        assert "InMemoryTableScan" not in (
+            q3._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        srv.close()
+
+
 def test_refresh_picks_up_externally_appended_rows(spark, tmp_path):
     """Same-session Spark writes auto-refresh cached plans
     (refreshByPath), so the stale-cache case is an EXTERNAL writer
