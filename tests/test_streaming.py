@@ -720,12 +720,14 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir, tmp_path):
 
 
 def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
-    """Soak (VERDICT r5 item 9): ONE composed live pipeline at sf0.1 —
-    ingest -> continuous rollup (+ in-place compaction) -> gap + burst
-    monitors -> centroid scorer — fed by SIX single-file delivery waves
-    (six micro-batches per leg, checkpointed state carrying across every
-    restart), with the end state of every leg asserted equal to its
-    one-shot batch replay over the full corpus."""
+    """Soak (VERDICT r5 item 9, widened per r6 item 8): ONE composed
+    live pipeline at sf0.1 — ingest -> continuous rollup (+ in-place
+    compaction) -> gap + burst + OFI + volume-bar monitors -> centroid
+    scorer — fed by SIX single-file delivery waves (six micro-batches
+    per leg, checkpointed state carrying across every restart), with
+    the end state of every leg asserted equal to its one-shot batch
+    replay over the full corpus (OFI vs q155 closed minutes column by
+    column, volume bars vs an independent pandas prefix-sum replay)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -740,6 +742,8 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
     from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
         burst_alert_stream,
         gap_alert_stream,
+        ofi_stream,
+        volume_bar_stream,
     )
     from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
         ingest_available_now,
@@ -804,7 +808,8 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
     ticks_dir = str(tmp_path / "ticks_table")
     rollup = str(tmp_path / "rollup")
     ck = {n: str(tmp_path / f"ckpt_{n}")
-          for n in ("ingest", "rollup", "gap", "burst", "score")}
+          for n in ("ingest", "rollup", "gap", "burst", "ofi", "vbar",
+                    "score")}
 
     model = train_centroid_model(spark, sf01)
     emb_schema = emb.schema
@@ -812,7 +817,8 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
     # memory sinks cannot recover from checkpoints, so each monitored
     # leg appends its micro-batch output to a parquet dir via
     # foreachBatch — the restart-safe accumulation a real alert bus is
-    out_dirs = {n: str(tmp_path / f"out_{n}") for n in ("gap", "burst", "score")}
+    out_dirs = {n: str(tmp_path / f"out_{n}")
+                for n in ("gap", "burst", "ofi", "vbar", "score")}
 
     def run_leg(df, name):
         out = out_dirs[name]
@@ -868,7 +874,26 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
             F.col("event_type").alias("symbol"), F.col("ts_event").alias("ts")
         )
         run_leg(burst_alert_stream(mon_src2, factor=2, warmup=5), "burst")
-        # leg 5: stateless scorer over the embeddings stream
+
+        # legs 5+6: stateful microstructure monitors (per-minute OFI
+        # with the tick-rule lag, volume-clock bars with the volume
+        # prefix sum) — both carry state across every checkpointed
+        # restart and only ever emit CLOSED groups
+        def _tick_shaped():
+            return open_tick_stream(
+                spark, str(live / "events.parquet"), max_files_per_trigger=1
+            ).select(
+                F.col("event_type").alias("symbol"),
+                F.col("ts_event").alias("ts"),
+                F.col("value").alias("price"),
+                F.col("user_id").alias("volume"),
+                F.col("event_id").alias("seq"),
+            )
+
+        run_leg(ofi_stream(_tick_shaped()), "ofi")
+        run_leg(volume_bar_stream(_tick_shaped(), bar_v=30_000), "vbar")
+
+        # leg 7: stateless scorer over the embeddings stream
         emb_stream = (
             spark.readStream.schema(emb_schema)
             .option("maxFilesPerTrigger", 1)
@@ -970,6 +995,69 @@ def test_streaming_soak_composed_pipeline_sf01(spark, tmp_path):
         for r in got_burst.itertuples()
     }
     assert got_set == set(expect)
+
+    # OFI monitor: accumulated closed minutes across the 6 restarts ==
+    # q155 batch replay minus each symbol's final (still-open) minute,
+    # column by column
+    got_ofi = spark.read.parquet(out_dirs["ofi"]).toPandas()
+    ofi_batch = (
+        load_all()["q155_order_flow_imbalance"].fn(spark, str(live)).toPandas()
+    )
+    ofi_batch["minute_us"] = (
+        ofi_batch["minute"].to_numpy().astype("datetime64[us]").astype("int64")
+    )
+    last_m = ofi_batch.groupby("event_type")["minute_us"].transform("max")
+    closed_ofi = ofi_batch[ofi_batch.minute_us < last_m]
+    ofi_cols = ["symbol", "minute_us", "ofi", "total_volume", "n_ticks"]
+    a = got_ofi.sort_values(["symbol", "minute_us"]).reset_index(drop=True)[
+        ofi_cols
+    ]
+    b = (
+        closed_ofi.rename(columns={"event_type": "symbol"})
+        .sort_values(["symbol", "minute_us"])
+        .reset_index(drop=True)[ofi_cols]
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for col in ofi_cols:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), f"ofi {col}"
+
+    # volume-bar monitor: accumulated closed bars across the 6 restarts
+    # == an independent pandas prefix-sum replay at the same bar size
+    got_vb = spark.read.parquet(out_dirs["vbar"]).toPandas()
+    tape = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    vb_rows = []
+    for sym, g in tape.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        g = g.assign(bar=(g.user_id.cumsum() - g.user_id) // 30_000)
+        for bar, bdf in g.groupby("bar"):
+            vb_rows.append(
+                (sym, bar, len(bdf), bdf.c.iloc[0], bdf.c.max(),
+                 bdf.c.min(), bdf.c.iloc[-1], int(bdf.user_id.sum()))
+            )
+    vb_cols = ["symbol", "bar_id", "n_ticks", "open_c", "high_c",
+               "low_c", "close_c", "bar_volume"]
+    vb = pd.DataFrame(vb_rows, columns=vb_cols)
+    last_b = vb.groupby("symbol")["bar_id"].transform("max")
+    closed_vb = vb[vb.bar_id < last_b]
+    a = got_vb.sort_values(["symbol", "bar_id"]).reset_index(drop=True)[
+        vb_cols
+    ]
+    b = closed_vb.sort_values(["symbol", "bar_id"]).reset_index(drop=True)[
+        vb_cols
+    ]
+    assert len(a) == len(b) and len(a) > 0
+    for col in vb_cols:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), f"vbar {col}"
 
     # scorer: streamed scores across waves == the same map run in batch
     scored = spark.read.parquet(out_dirs["score"]).toPandas()
