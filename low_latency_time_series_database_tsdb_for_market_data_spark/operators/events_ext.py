@@ -255,3 +255,108 @@ def funnel_counts(ev: DataFrame) -> DataFrame:
         F.count("t2").alias("n_stage2"),
         F.count("t3").alias("n_stage3"),
     )
+
+
+@query(
+    "q170_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (SELECT prev_type, event_type AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           (n * 20000 + SUM(n) OVER (PARTITION BY prev_type))
+             // (2 * SUM(n) OVER (PARTITION BY prev_type)) / 10000.0
+             AS row_share
+    FROM t
+    """,
+    category="sequence-mining",
+)
+def q170_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behaviour: for every
+    (previous event, next event) pair, the transition count and its
+    row-normalized probability — the do-users-buy-after-clicking table
+    behind recommendation and churn models, and the sequence-mining
+    primitive the registry lacked.
+
+    Exactness: counts are integers and the row share is the
+    integer-decided e4 ratio over the per-prev row total.  Shape: ONE
+    shuffle keyed by user_id (the natural 100 TB partition key) for the
+    lag, one hash-agg to the |event_types|² matrix, and the
+    row-normalizing window runs on that dim-bounded frame partitioned
+    by prev_type — never a global window, never a second pass over the
+    tape."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.withColumn("row_tot", F.sum("n").over(wp)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        ratio_e4("n", "row_tot").alias("row_share"),
+    )
+
+
+@query(
+    "q171_user_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    category="sequence-mining",
+)
+def q171_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three events joined into
+    a path string, counted across the base, top 20 — the entry-funnel
+    report product teams read next to q98's fixed funnel, and the
+    second sequence-mining primitive (ordered prefix extraction).
+
+    Exactness: paths are exact strings from the (ts, event_id) total
+    order; counts are integers; the top-20 tie-breaks on the path
+    string.  Shape: one user_id shuffle for the row numbers, the rn<=3
+    filter compiles to a WindowGroupLimit (per-partition heaps keep 3
+    rows per user — the tape never re-sorts), one hash-agg per user
+    then per path, TakeOrderedAndProject for the top-20."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 3)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ...catalog import table
 from ...functions.deterministic import ratio_e4, ratio_e4_signed
+from ...functions.texthash import shingles, tokens
 from ...registry import query
 from .text import simhash_cte, simhash_cte_wide, simhash_df
 
@@ -535,3 +536,69 @@ def q160_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), posexplode to 4 band rows/doc, capped in-set pair
     generation, bit_count(xor) verify."""
     return simhash_pairs_wide(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q172_source_novelty",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh0 AS (SELECT source,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks),
+    sh AS (SELECT DISTINCT source, s FROM sh0),
+    g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS k FROM sh GROUP BY s)
+    SELECT sh.source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN g.k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           (SUM(CASE WHEN g.k = 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS exclusive_share
+    FROM sh JOIN g USING (s)
+    GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q172_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle novelty: how much of each source's distinct
+    3-gram vocabulary appears NOWHERE else in the corpus — the
+    marginal-value measure behind buy/crawl decisions (a source whose
+    shingles all exist elsewhere adds deduplication load, not
+    information), complementing q91's pairwise overlap with a
+    corpus-wide exclusivity rate.
+
+    Exactness: set counts are integers, the share is the
+    integer-decided e4 ratio.  Shape: one explode->distinct shuffle to
+    the (source, shingle) universe, one groupBy(shingle) carrying a
+    collect_set of sources (bounded by |sources|, a handful), a narrow
+    re-explode, and a final |sources|-bounded aggregate — all
+    vocabulary-scale, never corpus² (the q81/q92 scale story)."""
+    par = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        d.repartition(par)
+        .select(
+            "source", F.explode(shingles(tokens("text"))).alias("s")
+        )
+        .distinct()
+    )
+    g = sh.groupBy("s").agg(F.collect_set("source").alias("srcs"))
+    per_src = g.select(
+        F.explode("srcs").alias("source"), F.size("srcs").alias("k")
+    )
+    return (
+        per_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_exclusive",
+            ratio_e4("n_exclusive", "n_shingles").alias("exclusive_share"),
+        )
+    )

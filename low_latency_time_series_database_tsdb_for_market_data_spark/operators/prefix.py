@@ -98,16 +98,23 @@ def global_cumsum(
     value_col: str,
     out_col: str,
     total_col: str | None = None,
+    count_total_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach the global-order running sum of ``value_col`` (inclusive,
     ordered by ``order_cols``) as ``out_col`` — and, optionally, the
-    grand total as ``total_col`` — without any single-partition window.
+    grand total as ``total_col`` and the grand ROW COUNT as
+    ``count_total_col`` (both ride the same tiny offsets frame, so no
+    extra scalar-aggregate branch) — without any single-partition
+    window.
 
     ``order_cols`` must be a total order (include a unique tiebreaker)."""
     n = _num_partitions(df, num_partitions)
     d = _range_tagged(df.repartitionByRange(n, *order_cols), order_cols)
-    off = _offsets(d, [("v", F.sum(F.col(value_col)))])
+    measures: list[tuple[str, Column]] = [("v", F.sum(F.col(value_col)))]
+    if count_total_col is not None:
+        measures.append(("c", F.count(F.lit(1))))
+    off = _offsets(d, measures)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
@@ -118,9 +125,13 @@ def global_cumsum(
         .join(F.broadcast(off), _PID)
         .withColumn(out_col, F.col("__loc") + F.col("__off_v"))
     )
+    drops = [_PID, "__loc", "__off_v", "__tot_v"]
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot_v"))
-    return out.drop(_PID, "__loc", "__off_v", "__tot_v")
+    if count_total_col is not None:
+        out = out.withColumn(count_total_col, F.col("__tot_c"))
+        drops += ["__off_c", "__tot_c"]
+    return out.drop(*drops)
 
 
 def global_row_number(

@@ -383,3 +383,181 @@ def q153_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("p_brand", "abc").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
+
+
+@query(
+    "q167_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV_U_SQL}) AS rev_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1),
+    mx AS (SELECT MAX(rev_u) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           (r.rev_u * 200 + 10000) // 20000 / 100.0 AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+    WHERE r.rev_u = mx.m
+    """,
+    category="warehouse-join",
+)
+def q167_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier of 1996Q1 (TPC-H Q15 shape): the supplier(s) whose
+    quarter revenue equals the maximum — Q15's view+max formulated as
+    one aggregate plus a broadcast scalar.
+
+    Exactness: revenue compared as exact BIGINT 1e-4 dollar units, so
+    the equality join against the max cannot float-miss; the display
+    value is the integer-decided 2-decimal ratio.  Shape: the shipdate
+    predicate prunes the lineitem scan (quarter partition at scale),
+    one hash-agg to supplier grain, the 1-row max rides a broadcast
+    cross join (bnlj-scalar), and the supplier dim joins on its key —
+    output is the argmax set (1 row absent ties)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+    )
+    mx = rev.agg(F.max("rev_u").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_u") == F.col("m"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            ratio_round("rev_u", "10000", 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q168_small_qty_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'),
+    st AS (SELECT l_partkey, SUM(q) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+           FROM j GROUP BY 1)
+    SELECT (SUM(j.c) * 200 + 700) // 1400 / 100.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM j JOIN st USING (l_partkey)
+    WHERE j.q * 5 * st.n < st.sq
+    """,
+    category="warehouse-analytics",
+)
+def q168_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 shape): for one brand,
+    the average yearly revenue lost if orders below 20% of a part's
+    average quantity moved to bulk — the classic correlated-subquery
+    report.
+
+    Exactness: quantities are integral doubles rounded to BIGINT, and
+    the 20%-of-average test is the cross-multiplication
+    5·q·n < Σq — no float average exists; the /7 yearly average is the
+    integer-decided 2-decimal ratio.  Shape: the brand predicate prunes
+    part BEFORE the join (broadcast — one brand is 1/|brands| of a
+    dim), and the per-part average comes from a WINDOW over the already
+    joined-and-filtered rows, so lineitem is scanned ONCE and shuffled
+    once on partkey; a subquery formulation would scan it twice.
+    1-row output."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    from pyspark.sql import Window
+
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("l_partkey")
+    stats = j.select(
+        "q",
+        "c",
+        F.sum("q").over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return stats.where(F.col("q") * 5 * F.col("n") < F.col("sq")).agg(
+        ratio_round("SUM(c)", "700", 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q169_customer_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x,
+             SUM(x) OVER (ORDER BY x DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(x) OVER () AS tot,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
+      FROM spend),
+    thr AS (SELECT unnest([50, 80, 95]) AS pct)
+    SELECT CAST(thr.pct AS BIGINT) AS pct,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           (COUNT(*) * 20000 + MAX(n_cust)) // (2 * MAX(n_cust))
+             / 10000.0 AS base_share
+    FROM ranked, thr
+    WHERE (ranked.cum - ranked.x) * 100 < ranked.tot * thr.pct
+    GROUP BY 1
+    """,
+    category="warehouse-analytics",
+)
+def q169_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration ladder: how many customers (and what share
+    of the base) it takes to cover 50/80/95% of lifetime revenue — the
+    whale curve behind every key-account program, and q153's ABC logic
+    read at the customer grain.
+
+    Exactness: "still needed at pct%" is the integer cross-multiply
+    (cum − x)·100 < tot·pct on exact cent sums — a customer counts
+    while the revenue BEFORE it hasn't reached the threshold; both
+    shares are integer-decided.  Shape: the cumulative sum is the
+    two-pass range prefix (operators/prefix.py — no single-partition
+    window over the customer dim); the 3-row threshold table rides a
+    broadcast nested-loop; 3-row output."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    ranked = global_cumsum(
+        spend,
+        [F.col("x").desc(), F.col("o_custkey")],
+        "x",
+        "cum",
+        total_col="tot",
+        count_total_col="n_cust",
+    )
+    thr = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(50), F.lit(80), F.lit(95))).alias("pct")
+        )
+    )
+    return (
+        ranked.crossJoin(thr)
+        .where((F.col("cum") - F.col("x")) * 100 < F.col("tot") * F.col("pct"))
+        .groupBy(F.col("pct").cast("bigint").alias("pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("n_cust").alias("n_cust"),
+        )
+        .select(
+            "pct",
+            "n_customers",
+            ratio_e4("n_customers", "n_cust").alias("base_share"),
+        )
+    )

@@ -323,6 +323,11 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q148_nation_trade_matrix", "q149_market_share_trend",
         "q150_brand_supplier_counts", "q151_large_orders",
         "q152_dormant_rich_customers", "q153_part_revenue_abc",
+        # round-7 warehouse shapes: q167 joins supplier after the
+        # quarter aggregate; q168 broadcasts the brand-pruned part dim
+        # (its lineitem scan is single — the per-part average is a
+        # WINDOW, not a second scan)
+        "q167_top_supplier", "q168_small_qty_revenue",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass
@@ -434,6 +439,23 @@ def test_q153_q147_no_single_partition_window(reg, spark, sf_dir):
         plan = physical_plan(q(reg, spark, sf_dir, name))
         assert "Exchange SinglePartition" not in plan, name
         assert "windowspecdefinition(__prefix_pid" in plan, name
+
+
+def test_round7_additions_plan_shapes(reg, spark, sf_dir):
+    """q167-q172 scale contracts: q168's per-part average must be a
+    window over the single joined pass (exactly one lineitem FileScan);
+    q169 inherits the prefix module's no-single-partition-window
+    guarantee; q171's first-3 filter must compile to WindowGroupLimit
+    and its top-20 to TakeOrderedAndProject (per-partition heaps, no
+    global sort of the user dim)."""
+    plan = physical_plan(q(reg, spark, sf_dir, "q168_small_qty_revenue"))
+    assert plan.count("FileScan") == 2  # lineitem once + part once
+    plan = physical_plan(q(reg, spark, sf_dir, "q169_customer_pareto"))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__prefix_pid" in plan
+    plan = physical_plan(q(reg, spark, sf_dir, "q171_user_paths"))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q152_registry_is_lazy(reg, spark, sf_dir):
