@@ -415,18 +415,23 @@ def main() -> None:
         queries,
         {
             "sf": sf,
-            "ingest_rows_per_sec": int(n_events / ingest_sec),
-            "scan_rows_per_sec": int(n_events / scan_sec),
-            "cold_point_sec": round(cold_point_sec, 3),
-            "warm_point_sec": round(warm_point_sec, 3),
-            # warm_point_rebuild_sec (r5-continuity metric) lives in
-            # bench_detail.json only, and the remaining scalar keys are
-            # SHORT — every driver-line byte trades against per-query
-            # precision under the tail cap (full names in
-            # bench_detail.json): cache_open_sec == point_cache_open_sec,
+            # KEYS ARE DELIBERATELY TERSE from round 7 on: the driver
+            # records a 2000-char stdout tail, and at 176 registry
+            # queries the old long keys pushed even the bare-key
+            # 1-decimal encoding to 1999 chars — 4 over budget, which
+            # would have degraded the whole per-query map to the
+            # suite-total fallback.  Full names + 4-decimal detail stay
+            # in bench_detail.json (ingest_rps == ingest_rows_per_sec,
+            # scan_rps == scan_rows_per_sec, cold_pt/warm_pt ==
+            # cold/warm_point_sec, cache_open == point_cache_open_sec,
             # dedup_rps == dedup docs/s, g1m_/g10m_ == the gen blocks'
-            # ingest/scan rows-per-sec
-            "cache_open_sec": round(point_cache_open_sec, 2),
+            # ingest/scan rows-per-sec; warm_point_rebuild_sec is
+            # bench_detail-only).
+            "ingest_rps": int(n_events / ingest_sec),
+            "scan_rps": int(n_events / scan_sec),
+            "cold_pt": round(cold_point_sec, 3),
+            "warm_pt": round(warm_point_sec, 3),
+            "cache_open": round(point_cache_open_sec, 2),
             "open_sec": round(session_open_sec + warm_start_sec, 2),
             "dedup_rps": int(n_docs / dedup_sec),
             **{

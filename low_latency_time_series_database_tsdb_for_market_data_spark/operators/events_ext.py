@@ -360,3 +360,118 @@ def q171_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@query(
+    "q175_user_burst_screen",
+    oracle="""
+    WITH m AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT user_id, hr, c,
+                 MAX(c) OVER (PARTITION BY user_id) AS mx
+          FROM m),
+    u AS (SELECT user_id,
+                 SUM(c) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS active_hours,
+                 MAX(c) AS peak,
+                 MIN(CASE WHEN c = mx THEN hr END) AS peak_hr
+          FROM w GROUP BY 1)
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events, active_hours,
+           CAST(peak AS BIGINT) AS peak_hour_events,
+           CAST(peak_hr AS BIGINT) AS peak_hour,
+           (peak * active_hours * 20000 + tot) // (2 * tot) / 10000.0
+             AS burst_ratio
+    FROM u
+    WHERE peak * active_hours * 10 > 20 * tot
+    """,
+    category="data-quality",
+)
+def q175_user_burst_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity burst screen: users whose busiest hour runs at
+    more than 2x their own average active-hour rate — the self-relative
+    bot/scraper flag (an absolute threshold breaks at every SF; q106
+    screens rate bursts per SYMBOL, this screens them per ACTOR).
+
+    Exactness: the 2x test is the cross-multiply peak·hours·10 > 20·tot
+    on exact counts; the reported ratio is integer-decided; the peak
+    hour tie-breaks to the EARLIEST hour achieving the max (explicit
+    MIN over the argmax set — never an engine-specific arg_max).
+    Shape: one hash-agg to the user x hour grid (5 orders below the
+    tape at 100 TB), a user-partitioned window on that grid, one agg to
+    user grain — user_id is the partition key end to end, so the grid
+    never reshuffles."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wu = Window.partitionBy("user_id")
+    w = m.withColumn("mx", F.max("c").over(wu))
+    u = w.groupBy("user_id").agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("active_hours"),
+        F.max("c").alias("peak"),
+        F.min(F.when(F.col("c") == F.col("mx"), F.col("hr"))).alias(
+            "peak_hr"
+        ),
+    )
+    return u.where(
+        F.col("peak") * F.col("active_hours") * 10 > 20 * F.col("tot")
+    ).select(
+        "user_id",
+        F.col("tot").alias("n_events"),
+        "active_hours",
+        F.col("peak").alias("peak_hour_events"),
+        F.col("peak_hr").alias("peak_hour"),
+        ratio_e4("peak * active_hours", "tot").alias("burst_ratio"),
+    )
+
+
+@query(
+    "q176_minute_coverage",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      epoch_us(ts) // 60000000 AS minute
+               FROM events),
+    g AS (SELECT event_type,
+                 CAST(COUNT(DISTINCT minute) AS BIGINT) AS active_minutes,
+                 MIN(minute) AS mn, MAX(minute) AS mx
+          FROM m GROUP BY 1)
+    SELECT event_type, active_minutes,
+           CAST(mx - mn + 1 AS BIGINT) AS span_minutes,
+           CAST(mx - mn + 1 - active_minutes AS BIGINT) AS missing_minutes,
+           (active_minutes * 20000 + (mx - mn + 1)) // (2 * (mx - mn + 1))
+             / 10000.0 AS coverage
+    FROM g
+    """,
+    category="data-quality",
+)
+def q176_minute_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed completeness grid: per symbol, active minutes vs the
+    first-to-last-activity span, missing-minute count, and the
+    integer-decided coverage share — the SLA completeness number next
+    to q87's gap durations (q87 measures HOW LONG the holes are, this
+    measures HOW MANY grid cells are empty).
+
+    Exactness: minutes are integer epoch buckets, the span is integer
+    arithmetic, coverage is ratio_e4.  Shape: one distinct-agg keyed by
+    symbol (map-side partial distinct on the minute buckets), 5-row
+    output at any scale."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).groupBy("event_type").agg(
+        F.countDistinct("minute").alias("active_minutes"),
+        F.min("minute").alias("mn"),
+        F.max("minute").alias("mx"),
+    )
+    span = F.col("mx") - F.col("mn") + 1
+    return g.select(
+        "event_type",
+        "active_minutes",
+        span.alias("span_minutes"),
+        (span - F.col("active_minutes")).alias("missing_minutes"),
+        ratio_e4("active_minutes", "mx - mn + 1").alias("coverage"),
+    )

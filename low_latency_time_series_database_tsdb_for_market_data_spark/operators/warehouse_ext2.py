@@ -561,3 +561,111 @@ def q169_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("n_customers", "n_cust").alias("base_share"),
         )
     )
+
+
+@query(
+    "q173_forecast_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0
+             AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    category="warehouse-analytics",
+)
+def q173_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast (TPC-H Q6 shape): the revenue that would
+    have been retained by eliminating small-quantity 5-7% discounts in
+    one ship year — the canonical full-predicate-pushdown query.
+
+    Exactness: price x discount multiplies two exact integer scales
+    (cents x discount points = 1e-4 dollar units), summed as BIGINT and
+    divided once; the raw-double range predicates compare the same IEEE
+    values on both engines (fixture decimals are exact 2-decimal
+    doubles).  Shape: ALL FOUR predicates reach the parquet scan
+    (row-group pruning on shipdate at scale), no join, no shuffle
+    beyond the final 2-scalar aggregate — the cheapest possible plan
+    for the question."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * F.round(F.col("l_discount") * 100).cast("bigint")
+                )
+                / 10000.0
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q174_order_aging",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             date_diff('day', o_orderdate, TIMESTAMP '2001-08-01') AS age
+      FROM orders)
+    SELECT o_orderpriority,
+           CASE WHEN age < 365 THEN 'lt_1y'
+                WHEN age < 1095 THEN '1y_3y'
+                WHEN age < 1825 THEN '3y_5y'
+                ELSE 'ge_5y' END AS age_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           SUM(c) / 100.0 AS total_value
+    FROM a GROUP BY 1, 2
+    """,
+    category="warehouse-analytics",
+)
+def q174_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book aging matrix: orders bucketed by priority x age band
+    (relative to the fixture's 2001-08-01 horizon), with open-order
+    counts and exact total value — the backlog-health report an ops
+    desk reads daily.
+
+    Exactness: ages are integer day differences (identical calendar
+    arithmetic both engines), bands are integer CASE cuts, value sums
+    exact cents.  Shape: a narrow map into ONE hash-agg; output is
+    |priorities| x 4 bands at any scale."""
+    o = table(spark, sf_dir, "orders")
+    age = F.datediff(
+        F.lit("2001-08-01").cast("timestamp"), F.col("o_orderdate")
+    )
+    band = (
+        F.when(age < 365, "lt_1y")
+        .when(age < 1095, "1y_3y")
+        .when(age < 1825, "3y_5y")
+        .otherwise("ge_5y")
+    )
+    return (
+        o.groupBy("o_orderpriority", band.alias("age_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_open"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0
+            ).alias("total_value"),
+        )
+    )

@@ -11,13 +11,15 @@ from bench import LINE_BUDGET, build_driver_line
 
 # mirrors main()'s driver-line scalar block exactly (short keys; full
 # names live in bench_detail.json)
+# terse keys from round 7 (2000-char driver tail vs 176-query map;
+# full names live in bench_detail.json — see bench.py's scalar block)
 _SCALARS = {
     "sf": 0.1,
-    "ingest_rows_per_sec": 123456,
-    "scan_rows_per_sec": 98765432,
-    "cold_point_sec": 0.678,
-    "warm_point_sec": 0.109,
-    "cache_open_sec": 1.23,
+    "ingest_rps": 123456,
+    "scan_rps": 98765432,
+    "cold_pt": 0.678,
+    "warm_pt": 0.109,
+    "cache_open": 1.23,
     "open_sec": 10.17,
     "dedup_rps": 22345,
     "g1m_ingest": 4264000,

@@ -141,6 +141,112 @@ def test_q171_paths_match_python_replay(reg, spark):
     assert [(int(r.n_users), r.path) for _, r in got.iterrows()] == key
 
 
+def test_q173_forecast_revenue_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q173_forecast_revenue")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    q = li[
+        (pd.to_datetime(li.l_shipdate) >= "1996-01-01")
+        & (pd.to_datetime(li.l_shipdate) < "1997-01-01")
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    units = (
+        (q.l_extendedprice * 100).round().astype("int64")
+        * (q.l_discount * 100).round().astype("int64")
+    ).sum()
+    assert int(got.n_items.iloc[0]) == len(q)
+    assert got.promo_revenue.iloc[0] == int(units) / 10000.0
+
+
+def test_q174_order_aging_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q174_order_aging")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    age = (
+        pd.Timestamp("2001-08-01") - pd.to_datetime(o.o_orderdate)
+    ).dt.days
+    band = pd.cut(
+        age,
+        bins=[-1, 364, 1094, 1824, 10**9],
+        labels=["lt_1y", "1y_3y", "3y_5y", "ge_5y"],
+    ).astype(str)
+    exp = (
+        o.assign(
+            band=band, c=(o.o_totalprice * 100).round().astype("int64")
+        )
+        .groupby(["o_orderpriority", "band"])
+        .agg(
+            n=("c", "size"),
+            n_open=("o_orderstatus", lambda s: int((s == "O").sum())),
+            v=("c", "sum"),
+        )
+    )
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        e = exp.loc[(r.o_orderpriority, r.age_band)]
+        assert int(r.n_orders) == int(e.n)
+        assert int(r.n_open) == int(e.n_open)
+        assert r.total_value == int(e.v) / 100.0
+    # every order lands in exactly one cell
+    assert int(got.n_orders.sum()) == len(o)
+
+
+def test_q175_burst_screen_replay_sf001(reg, spark):
+    """At sf0.01 (the driver's fixture) the screen is non-empty; replay
+    the self-relative threshold and the earliest-argmax-hour rule."""
+    sf = "/root/testdata/sf0.01"
+    got = _pdf(reg, spark, "q175_user_burst_screen", sf=sf).set_index(
+        "user_id"
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    hr = (
+        ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        // 3_600_000_000
+    )
+    m = (
+        ev.assign(hr=hr)
+        .groupby(["user_id", "hr"])
+        .size()
+        .reset_index(name="c")
+    )
+    expect = {}
+    for uid, g in m.groupby("user_id"):
+        tot, act, peak = int(g.c.sum()), len(g), int(g.c.max())
+        if peak * act * 10 > 20 * tot:
+            peak_hr = int(g[g.c == peak].hr.min())
+            expect[uid] = (tot, act, peak, peak_hr)
+    assert len(got) > 0
+    assert sorted(got.index) == sorted(expect)
+    for uid, (tot, act, peak, peak_hr) in expect.items():
+        r = got.loc[uid]
+        assert (
+            int(r.n_events),
+            int(r.active_hours),
+            int(r.peak_hour_events),
+            int(r.peak_hour),
+        ) == (tot, act, peak, peak_hr)
+        assert r.burst_ratio == (
+            (peak * act * 20000 + tot) // (2 * tot)
+        ) / 10000.0
+
+
+def test_q176_minute_coverage_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q176_minute_coverage").set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    mn = (
+        ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        // 60_000_000
+    )
+    for sym, g in ev.assign(m=mn).groupby("event_type"):
+        act = g.m.nunique()
+        span = int(g.m.max() - g.m.min() + 1)
+        r = got.loc[sym]
+        assert int(r.active_minutes) == act
+        assert int(r.span_minutes) == span
+        assert int(r.missing_minutes) == span - act
+        assert r.coverage == ((act * 20000 + span) // (2 * span)) / 10000.0
+
+
 def test_q172_novelty_matches_python_replay(reg, spark):
     got = _pdf(reg, spark, "q172_source_novelty").set_index("source")
     d = pd.read_parquet(f"{SF}/documents.parquet")
