@@ -475,3 +475,66 @@ def q176_minute_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (span - F.col("active_minutes")).alias("missing_minutes"),
         ratio_e4("active_minutes", "mx - mn + 1").alias("coverage"),
     )
+
+
+@query(
+    "q178_first_touch",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    u AS (SELECT user_id,
+                 MIN(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM r GROUP BY 1)
+    SELECT first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           (SUM(converted) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0
+             AS conv_rate
+    FROM u GROUP BY 1
+    """,
+    category="sequence-mining",
+)
+def q178_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: users grouped by their very FIRST event
+    type, with the share that ever purchases — which entry point
+    actually converts (q98 measures the strict view→click→purchase
+    ordering; this credits the first touch regardless of path).
+
+    Exactness: the first event is rn = 1 over the (ts, event_id) total
+    order (never an engine-specific arg_min), conversion is an integer
+    flag, the rate is ratio_e4.  Shape: one user_id shuffle carries the
+    row numbers, the per-user collapse rides that partitioning, and
+    the final agg is |event_types| rows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    u = r.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("rn") == 1, F.col("event_type"))
+        ).alias("first_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        u.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "first_type",
+            "n_users",
+            "n_converted",
+            ratio_e4("n_converted", "n_users").alias("conv_rate"),
+        )
+    )

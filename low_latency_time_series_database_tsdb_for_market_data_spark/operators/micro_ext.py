@@ -443,3 +443,106 @@ def q161_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / varx.cast("double"), 6).alias("lambda_cents"),
         )
     )
+
+
+# VPIN bucket size (raw units of the size column; smaller than q165's
+# 100k so the small fixtures close several buckets per symbol).
+_VPIN_V = 20_000
+
+
+@query(
+    "q177_vpin",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS pc,
+             SUM(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    b AS (
+      SELECT event_type, (cum - user_id) // {_VPIN_V} AS bar_id,
+             user_id,
+             CASE WHEN c > pc THEN user_id
+                  WHEN c < pc THEN -user_id ELSE 0 END AS sv
+      FROM s),
+    bars AS (
+      SELECT event_type, bar_id,
+             abs(SUM(sv)) AS oi, SUM(user_id) AS vol
+      FROM b GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(vol) AS BIGINT) AS total_volume,
+           (SUM(oi) * 20000 + SUM(vol)) // (2 * SUM(vol)) / 10000.0
+             AS vpin,
+           CAST(SUM(CASE WHEN oi * 5 > vol * 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS toxic_buckets
+    FROM bars GROUP BY 1
+    """,
+    category="timeseries-microstructure",
+)
+def q177_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (volume-synchronized probability of informed trading): the
+    tape re-bucketed by cumulative size (q165's volume clock), each
+    bucket scoring |tick-rule signed volume| / volume (q155's signing),
+    reported per symbol as the volume-weighted toxicity ratio plus the
+    count of buckets past the 0.4 toxicity bar — the flow-toxicity
+    monitor market makers pull quotes on.
+
+    Exactness: signing compares exact cents (the first tick's NULL lag
+    signs 0 via identical CASE/NULL semantics), bucket ids are integer
+    division of the BIGINT volume prefix, |OI| and volumes are integer,
+    the headline ratio is ratio_e4 over sums, and the toxicity
+    threshold is the cross-multiply 5·|oi| > 2·vol.  Shape: ONE
+    symbol-keyed sort carries the lag AND the volume prefix (shared
+    window frame family), both aggregates ride the same symbol
+    partitioning — one exchange end to end, |symbols|-row output."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = cents("value")
+    s = ev.select(
+        "event_type",
+        "user_id",
+        c.alias("c"),
+        F.lag(c).over(w).alias("pc"),
+        F.sum("user_id").over(cum_w).alias("cum"),
+    )
+    sv = (
+        F.when(F.col("c") > F.col("pc"), F.col("user_id"))
+        .when(F.col("c") < F.col("pc"), -F.col("user_id"))
+        .otherwise(F.lit(0))
+    )
+    b = s.select(
+        "event_type",
+        F.expr(f"(cum - user_id) div {_VPIN_V}").alias("bar_id"),
+        "user_id",
+        sv.alias("sv"),
+    )
+    bars = b.groupBy("event_type", "bar_id").agg(
+        F.abs(F.sum("sv")).alias("oi"),
+        F.sum("user_id").alias("vol"),
+    )
+    return (
+        bars.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("oi").alias("sum_oi"),
+            F.sum("vol").cast("bigint").alias("total_volume"),
+            F.sum(
+                F.when(F.col("oi") * 5 > F.col("vol") * 2, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("toxic_buckets"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "total_volume",
+            ratio_e4("sum_oi", "total_volume").alias("vpin"),
+            "toxic_buckets",
+        )
+    )

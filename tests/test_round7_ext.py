@@ -247,6 +247,60 @@ def test_q176_minute_coverage_matches_python_replay(reg, spark):
         assert r.coverage == ((act * 20000 + span) // (2 * span)) / 10000.0
 
 
+def test_q177_vpin_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q177_vpin").set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    for sym, g in ev.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        c = (g.value * 100).round().astype("int64")
+        pc = c.shift()
+        sv = g.user_id.where(c > pc, 0) - g.user_id.where(c < pc, 0).fillna(
+            0
+        )
+        sv = sv.fillna(0).astype("int64")
+        cum = g.user_id.cumsum()
+        bar = (cum - g.user_id) // 20_000
+        bars = pd.DataFrame({"bar": bar, "sv": sv, "v": g.user_id}).groupby(
+            "bar"
+        ).agg(oi=("sv", lambda s: abs(int(s.sum()))), vol=("v", "sum"))
+        r = got.loc[sym]
+        assert int(r.n_buckets) == len(bars)
+        assert int(r.total_volume) == int(bars.vol.sum())
+        so, sv_ = int(bars.oi.sum()), int(bars.vol.sum())
+        assert r.vpin == ((so * 20000 + sv_) // (2 * sv_)) / 10000.0
+        assert int(r.toxic_buckets) == int(
+            (bars.oi * 5 > bars.vol * 2).sum()
+        )
+
+
+def test_q178_first_touch_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q178_first_touch").set_index("first_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    first = ev.groupby("user_id").event_type.first()
+    purchased = (
+        ev.assign(p=(ev.event_type == "purchase").astype(int))
+        .groupby("user_id")
+        .p.max()
+    )
+    exp = pd.DataFrame({"ft": first, "conv": purchased}).groupby("ft").agg(
+        n=("conv", "size"), c=("conv", "sum")
+    )
+    assert sorted(got.index) == sorted(exp.index)
+    for ft, row in exp.iterrows():
+        r = got.loc[ft]
+        assert int(r.n_users) == int(row.n)
+        assert int(r.n_converted) == int(row.c)
+        assert r.conv_rate == (
+            (int(row.c) * 20000 + int(row.n)) // (2 * int(row.n))
+        ) / 10000.0
+    # every user attributed exactly once
+    assert int(got.n_users.sum()) == ev.user_id.nunique()
+
+
 def test_q172_novelty_matches_python_replay(reg, spark):
     got = _pdf(reg, spark, "q172_source_novelty").set_index("source")
     d = pd.read_parquet(f"{SF}/documents.parquet")
