@@ -89,6 +89,27 @@ def test_ntile_expr_matches_builtin(spark, n, buckets):
     assert (a["b"].to_numpy() == b["b"].to_numpy()).all()
 
 
+def test_invariant_under_partition_count(spark):
+    """The cumulative values must not depend on HOW MANY range slices
+    the two-pass runs over — 1, 7, or 64 partitions give bit-identical
+    output (the local form of 'survives a different cluster size')."""
+    df = _skewed(spark, 10_000)
+    order = [F.col("v").desc(), F.col("k")]
+    ref = None
+    for n in (1, 7, 64):
+        got = (
+            global_cumsum(df, order, "v", "cum", total_col="tot",
+                          count_total_col="n", num_partitions=n)
+            .select("k", "cum", "tot", "n")
+            .toPandas()
+            .sort_values("k", ignore_index=True)
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got.equals(ref), f"num_partitions={n} diverged"
+
+
 def test_no_single_partition_window_in_plan(spark):
     # the whole point of the module: the plan must contain zero
     # SinglePartition exchanges and only pid-partitioned window specs
