@@ -1,0 +1,178 @@
+"""ANN scale soak: IVF build + probe over N million synthetic 64-dim
+vectors through the library surface (`ivf_index` / `ivf_search`), with
+recall@10 measured against exact brute-force numpy ground truth.
+
+Usage:
+    python tools/ann_soak.py [n_millions]    # default 10 -> 10M vectors
+
+Corpus: `k` planted Gaussian-ish clusters on a deterministic integer
+lattice (pure codegen generation — no Python row path), cluster
+centroids far apart so exact ground truth is unambiguous; 10% uniform
+noise vectors stress the partition boundaries.  The build pass is the
+Arrow-batched numpy matmul (`ivf_index`), the probe is the JVM dot
+product top-k (`ivf_search`) at nprobe/k = 1/8 of the lists.
+
+Prints ONE JSON line: vectors, build sec + vec/s, per-probe ms
+(min of 5), recall@10 vs exact, list-size skew (max/mean — the
+balance the capacity story rests on).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (  # noqa: E402,E501
+    ivf_index,
+    ivf_search,
+)
+
+DIM = 64
+K_LISTS = 64
+NPROBE = 8
+TOPK = 10
+
+
+def gen_vectors(spark: SparkSession, n: int):
+    """n vectors as ONE codegen expression: 90% cluster members (center
+    = hash-derived lattice point of cluster id, small deterministic
+    jitter), 10% uniform noise — float arrays, no Python rows."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % K_LISTS).alias("cl"),
+    )
+    # center coordinate c(cl, d) in {-100..100} * 10; jitter in {-3..3}
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: F.when(
+            F.col("vec_id") % 10 < 9,
+            (
+                ((F.xxhash64(F.col("cl"), d) % 201) - 100) * 10
+                + (F.xxhash64(F.col("vec_id"), d) % 7)
+                - 3
+            ).cast("float"),
+        ).otherwise(
+            ((F.xxhash64(F.col("vec_id"), d, F.lit(1)) % 2001) - 1000)
+            .cast("float")
+        ),
+    )
+    return base.select("vec_id", emb.alias("embedding"))
+
+
+def main() -> int:
+    n = int(float(sys.argv[1]) * 1_000_000) if len(sys.argv) > 1 else 10_000_000
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("ann-soak")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    vecs = gen_vectors(spark, n).repartition(par).persist()
+    n_vec = vecs.count()
+
+    # centroids = the K_LISTS cluster centers, computed exactly from the
+    # generator's lattice formula (training is covered by the 1M record;
+    # this soak measures the BUILD + PROBE scale path)
+    import numpy as _np
+
+    cents = []
+    probe_cl = 7
+    for cl in range(K_LISTS):
+        row = (
+            spark.range(1)
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(DIM - 1)),
+                    lambda d: (
+                        ((F.xxhash64(F.lit(cl), d) % 201) - 100) * 10
+                    ).cast("double"),
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        cents.append([float(x) for x in row])
+
+    t0 = time.perf_counter()
+    indexed = ivf_index(vecs, cents).persist()
+    n_idx = indexed.count()
+    build_sec = time.perf_counter() - t0
+    assert n_idx == n_vec
+
+    sizes = indexed.groupBy("centroid").count().toPandas()
+    skew = float(sizes["count"].max() / sizes["count"].mean())
+
+    # probe = the exact center of one cluster; ground truth brute-forced
+    # in numpy over a column sample? NO — exact GT must cover ALL
+    # vectors: compute exact top-k INSIDE Spark with the q51 expression
+    # (JVM, distributed), which is itself oracle-checked at fixture SF.
+    probe = cents[probe_cl]
+    t0 = time.perf_counter()
+    got = ivf_search(indexed, cents, probe, NPROBE, TOPK).collect()
+    first_probe_sec = time.perf_counter() - t0
+    probe_sec = first_probe_sec
+    for _ in range(4):
+        t0 = time.perf_counter()
+        ivf_search(indexed, cents, probe, NPROBE, TOPK).collect()
+        probe_sec = min(probe_sec, time.perf_counter() - t0)
+
+    # exact distributed ground truth (brute-force cosine over ALL rows)
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    nn = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    pn = float(sum(x * x for x in probe))
+    exact = (
+        vecs.select(
+            "vec_id", (dot / F.sqrt(nn * F.lit(pn))).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOPK)
+        .collect()
+    )
+    exact_ids = {r["vec_id"] for r in exact}
+    got_ids = {r["vec_id"] for r in got}
+    recall = len(exact_ids & got_ids) / TOPK
+
+    out = {
+        "vectors": n_vec,
+        "build_sec": round(build_sec, 1),
+        "build_vec_per_sec": round(n_vec / build_sec),
+        "probe_ms_min5": round(probe_sec * 1000, 1),
+        "probe_ms_first": round(first_probe_sec * 1000, 1),
+        "recall_at_10": recall,
+        "list_skew_max_over_mean": round(skew, 2),
+        "nprobe": NPROBE,
+        "k_lists": K_LISTS,
+    }
+    print(json.dumps(out))
+    assert recall >= 0.9, out  # separable corpus: near-perfect expected
+    # lists are NOT balanced by construction: the 10% noise splits by the
+    # Voronoi volumes of random lattice centers, which vary several-fold
+    # (observed max/mean ~4 at 1M).  That is exactly the skew a real
+    # corpus shows and why the capacity-bounded assign_blocks quantizer
+    # exists for the dedup path; here it is reported, and only a
+    # pathological collapse (one list swallowing the corpus) fails.
+    assert skew < 10.0, out
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
