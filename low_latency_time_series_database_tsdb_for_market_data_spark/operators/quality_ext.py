@@ -562,13 +562,15 @@ def q109_overnight_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one (symbol, day) exchange carries both row_number passes and
     the open/close agg; the day-over-day lag then runs on the day grid
     (orders of magnitude smaller than the tape) partitioned by symbol.
-    The ISO day STRING sorts identically to the date on both engines."""
+    The day rides the plan as a 4-byte DATE (shuffle key, sort payload)
+    and becomes the ISO string only on the day-grid output — the 30M
+    tape soak showed per-row date strings costing ~6x on this shape."""
     w = Window.partitionBy("event_type", "d")
     s = (
         table(spark, sf_dir, "events")
         .select(
             "event_type",
-            F.to_date("ts").cast("string").alias("d"),
+            F.to_date("ts").alias("d"),
             "ts",
             "event_id",
             cents("value").alias("c"),
@@ -594,7 +596,7 @@ def q109_overnight_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("pclose").isNotNull())
     return g.select(
         "event_type",
-        "d",
+        F.col("d").cast("string").alias("d"),
         "open_c",
         "close_c",
         (F.col("open_c") - F.col("pclose")).alias("gap_cents"),
@@ -636,7 +638,7 @@ def q110_dispersion_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("event_type", "d")
     s = ev.select(
         "event_type",
-        F.to_date("ts").cast("string").alias("d"),
+        F.to_date("ts").alias("d"),
         cents("value").alias("c"),
     ).select(
         "event_type",
@@ -654,7 +656,7 @@ def q110_dispersion_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        "d",
+        F.col("d").cast("string").alias("d"),
         "n_ticks",
         "n_disperse",
         ratio_e4("n_disperse", "n_ticks").alias("disp_share"),

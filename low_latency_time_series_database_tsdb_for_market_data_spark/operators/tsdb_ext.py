@@ -35,14 +35,25 @@ _LAG_SQL = """s AS (
 def _lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, d, c, pc): per-symbol lagged cents, Spark twin of
     _LAG_SQL.  One shuffle keyed by symbol; the sort inside each symbol
-    partition is the same order the storage layout already clusters by."""
+    partition is the same order the storage layout already clusters by.
+
+    ``d`` is a DATE (4-byte int), computed AFTER the window pass, and
+    consumers cast it to string only on the aggregated output: an
+    earlier version materialized the string per row BEFORE the sort, and
+    a 30M-row tape soak showed the string alloc + sort payload + string
+    group keys costing ~6x the arithmetically identical q87 shape."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return ev.select(
         "event_type",
-        F.to_date("ts").cast("string").alias("d"),
+        "ts",
         cents("value").alias("c"),
         F.lag(cents("value")).over(w).alias("pc"),
+    ).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "c",
+        "pc",
     )
 
 
@@ -83,7 +94,7 @@ def q86_realized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            "d",
+            F.col("d").cast("string").alias("d"),
             "n_returns",
             "rv",
             ratio_e4("sum_abs", "n_returns").alias("mean_abs_delta"),
@@ -183,6 +194,14 @@ def q88_tick_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dn).cast("bigint").alias("downticks"),
             F.sum(fl).cast("bigint").alias("flats"),
             (F.sum(up) - F.sum(dn)).cast("bigint").alias("net_direction"),
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("d"),
+            "upticks",
+            "downticks",
+            "flats",
+            "net_direction",
         )
     )
 
