@@ -17,8 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.deterministic import ratio_e4
+from ..functions.deterministic import cents, ratio_e4
 from ..registry import query
+from .prefix import global_row_number, ntile_expr
 
 
 @query(
@@ -223,5 +224,91 @@ def q138_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "total_value",
             ratio_e4("sum_sc", "100 * sum_n").alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q182_user_rfm",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               END), 0) AS mon_c
+      FROM events GROUP BY 1),
+    t AS (SELECT *,
+                 NTILE(4) OVER (ORDER BY last_us, user_id) AS r_band,
+                 NTILE(4) OVER (ORDER BY n_events, user_id) AS f_band,
+                 NTILE(4) OVER (ORDER BY mon_c, user_id) AS m_band
+          FROM u)
+    SELECT CAST(r_band AS BIGINT) AS r_band,
+           CAST(f_band AS BIGINT) AS f_band,
+           CAST(m_band AS BIGINT) AS m_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           SUM(mon_c) / 100.0 AS monetary,
+           (SUM(n_events) * 20000 + COUNT(*)) // (2 * COUNT(*))
+             / 10000.0 AS avg_events
+    FROM t GROUP BY 1, 2, 3
+    """,
+    category="engagement",
+)
+def q182_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored into recency / frequency /
+    monetary quartiles (1 = most stale / least active / lowest spend),
+    cells reporting population, total spend, and mean activity — the
+    classic CRM campaign grid (q147 bands customers by one axis; this
+    crosses three).
+
+    Exactness: all three metrics are integers (epoch micros, counts,
+    purchase cents), and each quartile is ANSI NTILE over a (metric,
+    user_id) total order computed via :func:`..prefix.global_row_number`
+    + :func:`..prefix.ntile_expr` — the two-pass range-partitioned row
+    number in pure integer arithmetic, so NO single-partition window
+    ever touches the user dimension (three independent NTILEs = three
+    chained range exchanges over the dim, each N-way parallel).  Shape:
+    the tape collapses to |users| rows in one user-keyed partial agg;
+    everything after runs on the dim.  Output is at most 4^3 cells."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value"))
+            ),
+            F.lit(0),
+        ).alias("mon_c"),
+    )
+    t = global_row_number(
+        u, [F.col("last_us"), F.col("user_id")], "r_rn", total_col="n_tot"
+    )
+    t = t.withColumn(
+        "r_band", ntile_expr(F.col("r_rn"), F.col("n_tot"), 4)
+    )
+    t = global_row_number(t, [F.col("n_events"), F.col("user_id")], "f_rn")
+    t = t.withColumn(
+        "f_band", ntile_expr(F.col("f_rn"), F.col("n_tot"), 4)
+    )
+    t = global_row_number(t, [F.col("mon_c"), F.col("user_id")], "m_rn")
+    t = t.withColumn(
+        "m_band", ntile_expr(F.col("m_rn"), F.col("n_tot"), 4)
+    )
+    return (
+        t.groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("mon_c") / 100.0).alias("monetary"),
+            F.sum("n_events").alias("sum_ev"),
+        )
+        .select(
+            "r_band",
+            "f_band",
+            "m_band",
+            "n_users",
+            "monetary",
+            ratio_e4("sum_ev", "n_users").alias("avg_events"),
         )
     )

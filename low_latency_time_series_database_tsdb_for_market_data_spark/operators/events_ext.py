@@ -538,3 +538,81 @@ def q178_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("n_converted", "n_users").alias("conv_rate"),
         )
     )
+
+
+@query(
+    "q181_signup_to_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS s_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY 1),
+    l AS (SELECT s_us,
+                 CASE WHEN p_us >= s_us THEN p_us - s_us END AS lat_us
+          FROM u WHERE s_us IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(COUNT(lat_us) AS BIGINT) AS n_converted,
+           (COUNT(lat_us) * 20000 + COUNT(*)) // (2 * COUNT(*))
+             / 10000.0 AS conv_share,
+           ROUND(quantile_cont(lat_us, 0.25), 4) AS p25_lat_us,
+           ROUND(quantile_cont(lat_us, 0.50), 4) AS p50_lat_us,
+           ROUND(quantile_cont(lat_us, 0.75), 4) AS p75_lat_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+    FROM l
+    """,
+    category="sequence-mining",
+)
+def q181_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: for users whose FIRST purchase comes at or
+    after their FIRST signup, the quartiles of signup→purchase delay —
+    the time-to-value funnel metric next to q98 (strict path counts)
+    and q178 (entry-point conversion).  Users who purchased before ever
+    signing up (shared devices, imports) count as signed-up but not
+    converted — decided by an integer comparison, not dropped silently.
+
+    Exactness: first-touch timestamps are MIN over integer epoch
+    micros, the latency set is integer, quartiles are exact
+    interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` on integers — the q27/q143 precedent), the share
+    is ratio_e4.  Shape: one user-keyed partial agg collapses the tape
+    to |users| rows; the 1-row output aggregates that dim with
+    null-skipping percentiles — no second pass, no window."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "p_us"
+        ),
+    )
+    l = u.where(F.col("s_us").isNotNull()).select(
+        F.when(
+            F.col("p_us") >= F.col("s_us"), F.col("p_us") - F.col("s_us")
+        ).alias("lat_us")
+    )
+    ps = F.percentile(
+        "lat_us", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        l.agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.count("lat_us").alias("n_converted"),
+            ps.alias("ps"),
+            F.max("lat_us").alias("max_lat_us"),
+        )
+        .select(
+            "n_signup_users",
+            "n_converted",
+            ratio_e4("n_converted", "n_signup_users").alias("conv_share"),
+            *[
+                F.round(F.col("ps")[i], 4).alias(n)
+                for i, n in enumerate(
+                    ("p25_lat_us", "p50_lat_us", "p75_lat_us")
+                )
+            ],
+            "max_lat_us",
+        )
+    )

@@ -317,3 +317,97 @@ def q165_volume_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c", "rn").alias("close_c"),
         F.sum("user_id").cast("bigint").alias("bar_volume"),
     )
+
+
+@query(
+    "q180_atr_daily",
+    oracle="""
+    WITH b AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type, d
+                                       ORDER BY ts DESC, event_id DESC)
+                      AS rn
+          FROM b),
+    day AS (SELECT event_type, d, MAX(c) AS hi, MIN(c) AS lo,
+                   MAX(CASE WHEN rn = 1 THEN c END) AS cl
+            FROM r GROUP BY 1, 2),
+    lagd AS (SELECT event_type, hi, lo, cl,
+                    lag(cl) OVER (PARTITION BY event_type ORDER BY d)
+                      AS pcl
+             FROM day),
+    tr AS (SELECT event_type,
+                  GREATEST(hi - lo, ABS(hi - pcl), ABS(lo - pcl)) AS t
+           FROM lagd WHERE pcl IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (SUM(t) * 20000 + 100 * COUNT(*)) // (200 * COUNT(*))
+             / 10000.0 AS atr,
+           MAX(t) / 100.0 AS max_tr
+    FROM tr GROUP BY 1
+    """,
+    category="timeseries-indicator",
+)
+def q180_atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range per symbol: daily true range — the largest of
+    (high-low), |high-prev close|, |low-prev close| — averaged over the
+    full day grid.  The gap-aware volatility unit behind position
+    sizing and stop placement (Bollinger q156 measures dispersion
+    around a mean; TR additionally charges overnight jumps to the day
+    that gapped).  Simple mean rather than Wilder's recursive smoothing
+    keeps every published number a pure integer ratio.
+
+    Exactness: cents BIGINT end-to-end; the day close is rn = 1 over
+    the (ts, event_id) DESC total order (q97's bucket-close rule), TR
+    is integer GREATEST/ABS, the mean is ratio_e4.  Shape: one
+    (symbol, day) exchange carries the close row-number pass AND the
+    hi/lo agg; the day-over-day lag runs on the day grid (orders of
+    magnitude smaller than the tape) partitioned by symbol; the final
+    agg is |symbols| rows.  The day rides as a 4-byte DATE (the q109
+    rule — never a per-row string)."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "ts",
+        "event_id",
+        cents("value").alias("c"),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    day = (
+        b.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type", "d")
+        .agg(
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("cl"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    lagd = day.withColumn("pcl", F.lag("cl").over(wd)).where(
+        F.col("pcl").isNotNull()
+    )
+    tr = lagd.select(
+        "event_type",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.col("pcl")),
+            F.abs(F.col("lo") - F.col("pcl")),
+        ).alias("t"),
+    )
+    return (
+        tr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("t").alias("sum_t"),
+            (F.max("t") / 100.0).alias("max_tr"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            ratio_e4("sum_t", "100 * n_days").alias("atr"),
+            "max_tr",
+        )
+    )

@@ -254,3 +254,71 @@ def q136_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("trend", F.round("trend", 4))
         .withColumn("forecast", F.round("forecast", 4))
     )
+
+
+@query(
+    "q184_session_quartiles",
+    oracle=f"""
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_S} * 1000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+             FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(dur_us, 0.25), 4) AS p25_dur_us,
+           ROUND(quantile_cont(dur_us, 0.50), 4) AS p50_dur_us,
+           ROUND(quantile_cont(dur_us, 0.75), 4) AS p75_dur_us,
+           ROUND(quantile_cont(n_events, 0.50), 4) AS p50_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM sess
+    """,
+    category="timeseries-session",
+)
+def q184_session_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape summary: quartiles of session duration and the
+    median events-per-session over q37's gaps-and-islands sessions —
+    the one-row engagement health panel a product dashboard reads
+    (q37 publishes the per-session grain; this is its rollup).
+
+    Exactness: sessions come from the exact q37 operator (shared
+    implementation, not a re-derivation), durations are integer
+    microseconds, and the quartiles are exact interpolated percentiles
+    on integers (q27/q143 precedent).  Shape: the user-keyed session
+    pass collapses the tape to |sessions| rows; the final 1-row agg
+    rides a partial-agg tree (percentiles over the session dim — at
+    100 TB that dim is users x sessions, mergeable via q73's sketch
+    twin if it ever outgrows one reduce)."""
+    sess = q37_sessionize(spark, sf_dir)
+    dps = F.percentile(
+        "dur_us", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        sess.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            dps.alias("dps"),
+            F.percentile("n_events", F.lit(0.50)).alias("ep"),
+            F.max("n_events").alias("max_events"),
+        )
+        .select(
+            "n_sessions",
+            "n_users",
+            *[
+                F.round(F.col("dps")[i], 4).alias(n)
+                for i, n in enumerate(
+                    ("p25_dur_us", "p50_dur_us", "p75_dur_us")
+                )
+            ],
+            F.round(F.col("ep"), 4).alias("p50_events"),
+            "max_events",
+        )
+    )

@@ -669,3 +669,153 @@ def q174_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "q179_sole_late_supplier",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    g AS (SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS ns,
+                 COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                   AS nlate
+          FROM j GROUP BY 1),
+    cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late = 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM cand c
+    JOIN g ON g.l_orderkey = c.l_orderkey AND g.ns >= 2 AND g.nlate = 1
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    GROUP BY 1, 2
+    """,
+    category="warehouse-join",
+)
+def q179_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who SOLELY held up a multi-supplier order (TPC-H Q21
+    shape over this catalog's columns: no commit/receipt dates, so
+    "late" is shipping >365 days after the order date): for each
+    supplier, the number of orders where it shipped late while every
+    other participating supplier shipped on time — the
+    who-do-we-fire-from-the-consortium report.
+
+    Exactness: lateness is a pure timestamp comparison (identical NTZ
+    interval arithmetic on both engines), everything after it is
+    integer counting over DISTINCT keys.  Shape: ONE fact-fact shuffle
+    keyed by orderkey feeds both the per-order supplier profile and the
+    late-candidate set (same partitioning, so AQE plans the profile
+    join co-partitioned without a second fact exchange); the Q21
+    EXISTS / NOT-EXISTS pair collapses into the (ns >= 2, nlate = 1)
+    integer test on the profile — no correlated re-scan of lineitem.
+    Supplier (|S| rows, key-bounded) broadcasts for the name stitch.
+    Output is supplier-bounded."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    g = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    cand = (
+        j.where(F.col("late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    blamed = cand.join(
+        g.where((F.col("ns") >= 2) & (F.col("nlate") == 1)).select(
+            "l_orderkey"
+        ),
+        "l_orderkey",
+    )
+    per = blamed.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return per.join(
+        F.broadcast(s), per.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+@query(
+    "q183_price_size_slope",
+    oracle="""
+    WITH b AS (SELECT p_brand,
+                      CAST(p_size AS BIGINT) AS x,
+                      CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+               FROM part),
+    m AS (SELECT p_brand,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM b GROUP BY 1)
+    SELECT p_brand, n AS n_parts,
+           ROUND(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                      AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                        AS DOUBLE), 6) AS slope_cents,
+           (sy * 20000 + 100 * n) // (200 * n) / 10000.0 AS avg_price
+    FROM m
+    WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+    """,
+    category="warehouse-trend",
+)
+def q183_price_size_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price/size elasticity: the OLS slope of retail price
+    (cents) on part size — the catalog-pricing sanity report ("does
+    this brand actually charge for size?"), q161's regression
+    discipline pointed at the product dimension instead of the tape.
+
+    Exactness: the five moments (n, Σx, Σy, Σxy, Σx²) aggregate as
+    exact BIGINTs; the cross-products are widened to DECIMAL(38,0) /
+    HUGEINT BEFORE multiplication (the q162 widening rule — n·Σxy
+    escapes int64 once brands hold ~1e9 parts), and the slope is ONE
+    float division on identical integers.  Degenerate brands (a single
+    distinct size) are excluded by the integer variance test, never by
+    a float epsilon.  Shape: one brand-keyed partial agg — map-side
+    combine reduces the scan to |brands| moment rows; no joins, no
+    windows.  25-row output at any scale."""
+    p = table(spark, sf_dir, "part")
+    b = p.select(
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+    )
+    m = b.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    den = dec("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    return (
+        m.where(den > 0)
+        .select(
+            "p_brand",
+            F.col("n").alias("n_parts"),
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("slope_cents"),
+            ratio_e4("sy", "100 * n").alias("avg_price"),
+        )
+    )
