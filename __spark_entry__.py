@@ -35,47 +35,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file caps at the first 50 dict entries, so
-# order the dict by verification PRIORITY.  Round-7 window (the
-# round-6 judge's item #1, VERDICT.md "Next round" list): the 18
-# round-6 additions q148-q165 — never inside a driver window, but
-# exact-audited (zero float tolerance) at sf0.01 and judge-audited
-# EXACT — plus q166 (the round-7 planted-containment variant, so the
-# q159 keep-predicate gets a NON-EMPTY official row) — followed by the
-# 31 lowest-numbered queries whose last official row dates to round 4
-# (q01..q38 block; their rows predate the round-5/6 read-path
-# changes), = exactly 50.  After this window every registry query
-# except the 16-query q39-q50/q74-q77 r4 tail has a driver row no
-# older than round 5; that tail rotates in round 8.  All 50 names
-# here are oracle-backed (none of the rows-only sketches are in the
-# window).  A driver that sorts keys or checks all queries is
-# unaffected — the key set is identical.
-_HEAD_R7 = [
-    "q148_nation_trade_matrix", "q149_market_share_trend",
-    "q150_brand_supplier_counts", "q151_large_orders",
-    "q152_dormant_rich_customers", "q153_part_revenue_abc",
-    "q154_amihud_illiquidity", "q155_order_flow_imbalance",
-    "q156_bollinger_breakouts", "q157_donchian_breakouts",
-    "q158_price_acf", "q159_containment_pairs",
-    "q160_simhash_wide_pairs", "q161_kyle_lambda",
-    "q162_variance_ratio", "q163_rsi_screen",
-    "q164_rare_token_ratio", "q165_volume_clock",
-    "q166_containment_planted",
-    "q01_scan_full", "q03_project", "q06_last_n", "q07_topk_value",
-    "q08_count", "q09_count_by_symbol", "q10_join_inner",
-    "q11_join_broadcast", "q12_join_outer", "q13_join_theta",
-    "q14_semi", "q15_anti", "q16_asof", "q17_interval_join",
-    "q18_multiway_join", "q19_above_group_avg", "q21_time_bucket",
-    "q22_ohlc", "q24_count_distinct", "q26_rollup", "q28_stats_agg",
-    "q29_deterministic_sample", "q30_moving_avg", "q31_rank",
-    "q32_lag_returns", "q33_cume_range_frame", "q34_sort_limit",
-    "q35_window_analytics", "q36_resample_locf", "q37_sessionize",
-    "q38_twap",
+# order the dict by verification PRIORITY.  Round-8 window (the
+# round-7 judge's items #3 and #6, VERDICT.md "Next round" list): the
+# 22 queries with no official hash row — the new sketch bound-checks
+# q185/q186 (turning the q25/q73 rows-only gap into 1-verdict-per-group
+# EXACT rows), q64/q65 (rows-only in their r5 window; promoted to
+# DuckDB oracles in round 7), and the 18 round-7 additions q167-q184
+# (all judge-audited EXACT at sf0.01) — then the 16-query r4-green
+# tail (q39-q50, q74-q77; the last rows that predate round 5), then
+# the 12 lowest-numbered stalest-r5 oracle-backed queries, = exactly
+# 50.  After this window every registry query's official row
+# post-dates round 4.  All 50 names are oracle-backed (the rows-only
+# sketches q25/q73 stay out — q185/q186 are their verdicts).  A driver
+# that sorts keys or checks all queries is unaffected — the key set is
+# identical.
+_HEAD_R8 = [
+    "q185_hll_bound", "q186_tdigest_bound",
+    "q64_ann_lsh_bucketed", "q65_ann_ivf",
+    "q167_top_supplier", "q168_small_qty_revenue",
+    "q169_customer_pareto", "q170_event_transitions",
+    "q171_user_paths", "q172_source_novelty",
+    "q173_forecast_revenue", "q174_order_aging",
+    "q175_user_burst_screen", "q176_minute_coverage",
+    "q177_vpin", "q178_first_touch",
+    "q179_sole_late_supplier", "q180_atr_daily",
+    "q181_signup_to_purchase", "q182_user_rfm",
+    "q183_price_size_slope", "q184_session_quartiles",
+    "q39_ewma", "q40_setops", "q41_string", "q42_datetime",
+    "q43_json", "q44_array", "q45_map_functions", "q46_pivot",
+    "q47_unpivot", "q48_conditional_agg", "q49_histogram",
+    "q50_dedup_exact", "q74_rolling_time_window", "q75_asof_forward",
+    "q76_max_drawdown", "q77_symbol_correlation",
+    "q20_agg_basic", "q23_vwap", "q27_percentiles",
+    "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
+    "q54_minhash_signature", "q55_lsh_buckets",
+    "q56_ngram_jaccard_pairs", "q57_simhash", "q58_lang_id",
+    "q59_quality_score",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = _HEAD_R7
+    head = [n for n in _HEAD_R8 if n in reg]
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 

@@ -59,27 +59,52 @@ def build_driver_line(total: float, queries: dict, scalars: dict) -> str:
 
     Per-query precision adapts to the suite size: 3 decimals while the
     line fits, else 2, else 1; still too long -> the "q" key prefix is
-    dropped ("01": 0.2 — bare-number keys, ~1 byte/query back); and as a
-    last resort the per-query map is dropped entirely in favour of the
+    dropped ("01": 0.2 — bare-number keys, ~1 byte/query back); then
+    values switch to INTEGER DECISECONDS ("01": 4 means 0.4 s, flagged
+    by "qu": "ds" — ~3 bytes/query back, which keeps the FULL per-query
+    map on the line past 250 queries; the r7 judge flagged the silent
+    suite-total fallback at 184); then the 24 slowest queries plus the
+    suite total (flagged by "qtop"); and only as a last resort the bare
     suite total (the full 4-decimal detail is always in
-    bench_detail.json; the driver line only needs relative magnitudes).
+    bench_detail.json and the append-only BENCH_DETAIL.jsonl).
     Raises if even the fallback exceeds the budget, so growth past the
     cap fails HERE, loudly, not in the driver's truncated tail."""
-    for q_decimals, bare in ((3, False), (2, False), (1, False),
-                             (1, True), (None, False)):
+    top_n = 24
+
+    def _qmap(q_decimals, bare, ds, top):
+        items = queries.items()
+        if top:
+            items = sorted(items, key=lambda kv: -kv[1])[:top_n]
+        out = {}
+        for name, sec in items:
+            k = name.split("_")[0]
+            if bare:
+                k = k.lstrip("q")
+            out[k] = int(round(sec * 10)) if ds else round(sec, q_decimals)
+        if top:
+            out["suite"] = total
+        return out
+
+    # (decimals, bare-keys, deciseconds, top-N-only) in degradation order
+    for q_decimals, bare, ds, top in (
+        (3, False, False, False),
+        (2, False, False, False),
+        (1, False, False, False),
+        (1, True, False, False),
+        (None, True, True, False),
+        (2, False, False, True),
+        (None, None, None, None),
+    ):
         out = {
             "metric": "declared_query_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": (
-                {
-                    (name.split("_")[0].lstrip("q") if bare
-                     else name.split("_")[0]): round(sec, q_decimals)
-                    for name, sec in queries.items()
-                }
-                if q_decimals is not None
-                else {"suite": total}
+                {"suite": total} if q_decimals is None and not ds
+                else _qmap(q_decimals, bare, ds, top)
             ),
+            **({"qu": "ds"} if ds else {}),
+            **({"qtop": top_n} if top else {}),
             **scalars,
         }
         line = json.dumps(out, separators=(",", ":"))
@@ -403,9 +428,16 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
         },
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # append-only, COMMITTED history: bench_detail.json is overwritten
+    # per run, which is how round 7 lost its per-query evidence when the
+    # driver line degraded to the suite total — every run also appends
+    # one timestamped line here so no detail is ever overwritten
+    with open(os.path.join(here, "BENCH_DETAIL.jsonl"), "a") as f:
+        f.write(json.dumps({"wall_ts": round(time.time(), 1), **detail},
+                           separators=(",", ":")) + "\n")
 
     # --- the driver-facing line: compact (short query keys q01..q81,
     # compact separators, integer rates) AND the very last thing printed.

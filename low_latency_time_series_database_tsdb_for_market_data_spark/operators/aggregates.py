@@ -333,3 +333,95 @@ def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
         ]
     )
+
+
+@query(
+    "q185_hll_bound",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(1 AS BIGINT) AS hll_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    category="agg-distinct",
+)
+def q185_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25's HLL sketch made driver-verifiable (the r7 judge's item #6):
+    one pass computes BOTH the exact distinct count and the HLL++
+    estimate per group, and emits an integer verdict hll_ok = (|approx -
+    exact| * 100 <= 10 * exact) — a 10% band, 5 sigma at rsd=0.02, so a
+    broken sketch fails the hash while a healthy one is EXACT.  The
+    oracle states the contract (exact count + verdict 1); the estimate
+    itself stays engine-private, which is what kept q25 rows-only.
+
+    Exactness: the verdict is pure integer arithmetic on two BIGINTs —
+    no float crosses the hash.  Shape: one hash agg over events (the
+    distinct expansion q24 already pays, plus a constant-memory sketch
+    partial); group-bounded output."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx") - F.col("n_users")) * 100
+            <= F.col("n_users") * 10
+        )
+        .cast("bigint")
+        .alias("hll_ok"),
+    )
+
+
+@query(
+    "q186_tdigest_bound",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(1 AS BIGINT) AS ok25,
+           CAST(1 AS BIGINT) AS ok50,
+           CAST(1 AS BIGINT) AS ok75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def q186_tdigest_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73's quantile sketch made driver-verifiable (the r7 judge's item
+    #6): one pass computes, per group, the approx percentile (accuracy
+    10000, rank error <= 1e-4) AND the exact percentiles at ranks p-2%
+    and p+2%; the verdict ok_p = (exact(p-2%) <= approx(p) <=
+    exact(p+2%)) holds for any sketch honouring its rank bound because
+    exact percentiles are monotone in rank.  A 2% band vs a 1e-4
+    guarantee leaves no room for merge-order jitter to flip a verdict.
+
+    Exactness: only BIGINT counts and boolean verdicts reach the hash;
+    the float percentile values stay inside the comparison.  Shape: ONE
+    hash agg over lineitem computes all seven order statistics together
+    (exact percentile sorts within the partial buffers, the sketch
+    merges map-side); group-bounded output."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p, name in ((0.25, "25"), (0.50, "50"), (0.75, "75")):
+        aggs += [
+            F.percentile_approx(x, F.lit(p), F.lit(10000)).alias(f"ap{name}"),
+            F.percentile(x, F.lit(p - 0.02)).alias(f"lo{name}"),
+            F.percentile(x, F.lit(p + 0.02)).alias(f"hi{name}"),
+        ]
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    return g.select(
+        "l_returnflag",
+        "n",
+        *[
+            (
+                (F.col(f"lo{name}") <= F.col(f"ap{name}"))
+                & (F.col(f"ap{name}") <= F.col(f"hi{name}"))
+            )
+            .cast("bigint")
+            .alias(f"ok{name}")
+            for name in ("25", "50", "75")
+        ],
+    )

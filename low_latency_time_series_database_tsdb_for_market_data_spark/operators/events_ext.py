@@ -150,7 +150,11 @@ def q97_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "width_s",
-        F.expr("us div (width_s * 1000000)").alias("b"),
+        # floor division via pmod (q175's rule): DuckDB `//` floors,
+        # Spark `div` truncates toward zero — they diverge pre-epoch
+        F.expr(
+            "(us - pmod(us, width_s * 1000000)) div (width_s * 1000000)"
+        ).alias("b"),
         "c",
     )
     pick = Window.partitionBy("event_type", "width_s", "b").orderBy(
@@ -404,7 +408,15 @@ def q175_user_burst_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     m = ev.groupBy(
         "user_id",
-        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        # FLOOR division, not `div` (truncation toward zero): the DuckDB
+        # oracle's `//` floors, and a pre-epoch ts (negative micros)
+        # would bucket differently across engines.  pmod makes the
+        # numerator exactly divisible, keeping everything int64 — no
+        # double division, so no 2^53 precision cliff.
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+            " div 3600000000"
+        ).alias("hr"),
     ).agg(F.count(F.lit(1)).alias("c"))
     wu = Window.partitionBy("user_id")
     w = m.withColumn("mx", F.max("c").over(wu))
@@ -461,7 +473,12 @@ def q176_minute_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     g = ev.select(
         "event_type",
-        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+        # floor division via pmod (q175's rule): engine-agnostic for
+        # pre-epoch timestamps, pure int64 arithmetic
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 60000000))"
+            " div 60000000"
+        ).alias("minute"),
     ).groupBy("event_type").agg(
         F.countDistinct("minute").alias("active_minutes"),
         F.min("minute").alias("mn"),

@@ -80,10 +80,14 @@ def q51_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q64_ann_lsh_bucketed",
-    # The full ANN pipeline IS SQL-expressible: signature bits are exact
-    # float-sign decisions on the same left-to-right accumulation order
-    # both engines use (the q51 precedent), bucket algebra is integer.
-    # Recall vs exact q51 is additionally asserted in tests.
+    # The full ANN pipeline IS SQL-expressible: signature bits are
+    # float-sign decisions QUANTIZED to 1e-6 before the sign test on
+    # BOTH sides (r7 ADVICE: a near-zero plane dot product could
+    # otherwise flip a bit on one engine only — rounding first makes
+    # every |dot| < 5e-7 deterministically non-negative on both);
+    # accumulation order is the shared left-to-right one (q51
+    # precedent), bucket algebra is integer.  Recall vs exact q51 is
+    # additionally asserted in tests.
     oracle=f"""
     WITH planes AS (SELECT vec_id AS pid, embedding AS c
                     FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
@@ -91,8 +95,8 @@ def q51_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE vec_id = {PROBE_VEC_ID}),
     idx AS (SELECT unnest(range(1, 65)) AS i),
     bits AS (SELECT e.vec_id, pl.pid,
-                    CASE WHEN SUM(CAST(e.embedding[i] AS DOUBLE)
-                                  * CAST(pl.c[i] AS DOUBLE)) >= 0
+                    CASE WHEN ROUND(SUM(CAST(e.embedding[i] AS DOUBLE)
+                                        * CAST(pl.c[i] AS DOUBLE)), 6) >= 0
                          THEN 1 << (pl.pid - 1) ELSE 0 END AS bit
              FROM embeddings e, planes pl, idx
              WHERE e.vec_id <> {PROBE_VEC_ID}
@@ -101,8 +105,8 @@ def q51_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM bits GROUP BY vec_id),
     pbits AS (SELECT CAST(SUM(bit) AS BIGINT) AS pb FROM (
                 SELECT pl.pid,
-                       CASE WHEN SUM(CAST(p.p[i] AS DOUBLE)
-                                     * CAST(pl.c[i] AS DOUBLE)) >= 0
+                       CASE WHEN ROUND(SUM(CAST(p.p[i] AS DOUBLE)
+                                           * CAST(pl.c[i] AS DOUBLE)), 6) >= 0
                             THEN 1 << (pl.pid - 1) ELSE 0 END AS bit
                 FROM probe p, planes pl, idx GROUP BY pl.pid)),
     allowed AS (SELECT xor(pb, m.m) AS bucket
@@ -153,16 +157,21 @@ def q64_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.where(F.col("vec_id") != PROBE_VEC_ID).select(
         "vec_id", _dbl(F.col("embedding")).alias("v")
     )
+    # sign test quantized to 1e-6 on every side (Spark bits, the
+    # driver-side probe bits, and the DuckDB oracle) — see the oracle
+    # comment: near-zero dots must decide identically across engines
     bucket = None
     for i, plane in enumerate(planes):
-        bit = F.when(_dot(F.col("v"), lit_vec(plane)) >= 0, 1 << i).otherwise(0)
+        bit = F.when(
+            F.round(_dot(F.col("v"), lit_vec(plane)), 6) >= 0, 1 << i
+        ).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     signed = vecs.withColumn("bucket", bucket)
 
     probe_bits = sum(
         (1 << i)
         for i, plane in enumerate(planes)
-        if sum(a * b for a, b in zip(probe_v, plane)) >= 0
+        if round(sum(a * b for a, b in zip(probe_v, plane)), 6) >= 0
     )
     probe_buckets = [probe_bits ^ m for m in (0, 1, 2, 4, 8)]  # multi-probe
 
@@ -297,7 +306,13 @@ N_PROBE = 2
     # precedent), argmin ties break on (score, centroid index) exactly
     # like Spark's array_min over (score, idx) structs, probe-list
     # selection mirrors Python's stable sort by distance.  Recall vs
-    # exact q51 is additionally asserted in tests.
+    # exact q51 is additionally asserted in tests — that recall test is
+    # the PRIMARY correctness check (r7 ADVICE): the oracle's argmin
+    # hinges on double accumulation agreeing bit-for-bit across
+    # engines, which holds on this fixture (verified EXACT at
+    # sf0.001/0.01/0.1) but is fixture-tied by nature — two centroids
+    # exactly equidistant from a vector at some other SF could assign
+    # differently without either engine being wrong.
     oracle=f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS c
                    FROM embeddings

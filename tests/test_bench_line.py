@@ -73,8 +73,9 @@ def test_line_never_silently_truncates_at_extreme_growth():
 
 
 def test_real_registry_names_fit():
-    """The actual registry's short keys at 1-decimal precision must fit
-    with margin at the current size."""
+    """The actual registry must keep its FULL per-query map on the line
+    (any encoding stage), with margin — the r7 regression was this map
+    silently degrading to {"suite": total} at 184 queries."""
     from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
         load_all,
     )
@@ -85,5 +86,34 @@ def test_real_registry_names_fit():
         for i, name in enumerate(reg)
     }
     line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
-    assert len(line) < LINE_BUDGET
+    assert len(line) < LINE_BUDGET - 200  # margin for scalar drift
     assert len(json.loads(line)["queries"]) == len(reg)
+
+
+def test_decisecond_stage_round_trips():
+    """When the line carries "qu": "ds", every value is the query's
+    seconds x10 rounded to int — verify the decode against the input."""
+    qs = _fake_queries(184)
+    line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    p = json.loads(line)
+    if p.get("qu") != "ds":
+        return  # a finer stage fit; nothing to decode
+    for name, sec in qs.items():
+        k = name.split("_")[0].lstrip("q")
+        assert p["queries"][k] == int(round(sec * 10))
+
+
+def test_topn_stage_keeps_slowest_plus_suite():
+    """Past the full-map cap the line must still carry per-query
+    evidence: the slowest queries (flagged by "qtop") plus the suite
+    total — never the bare {"suite": total} while top-N fits."""
+    qs = _fake_queries(300)
+    total = round(sum(qs.values()), 4)
+    line = build_driver_line(total, qs, _SCALARS)
+    p = json.loads(line)
+    assert p.get("qtop") == 24
+    assert p["queries"]["suite"] == total
+    # the known slowest fakes (3.1456 s at i % 29 == 0) must be present
+    slowest = sorted(qs, key=qs.get, reverse=True)[:24]
+    for name in slowest:
+        assert name.split("_")[0] in p["queries"]
