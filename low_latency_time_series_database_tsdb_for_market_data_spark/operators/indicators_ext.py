@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.deterministic import cents, ratio_e4
 from ..registry import query
+from .prefix import hour_bucket, keyed_prefix
 
 # Variance-ratio aggregation horizons (ticks).
 _VR_KS = (2, 4, 8)
@@ -292,16 +293,19 @@ def q165_volume_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the (symbol, bar) hash-agg rides the same symbol partitioning
     (subset clustering), so the whole query is ONE exchange."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = cents("value")
-    r = ev.select(
-        "event_type",
-        "user_id",
-        c.alias("c"),
-        F.row_number().over(w).alias("rn"),
-        F.sum("user_id").over(cum_w).alias("cum"),
-    )
+    # row number AND volume prefix from ONE keyed two-pass range sort
+    # (core-scaled parallelism — see ..prefix.keyed_prefix)
+    r = keyed_prefix(
+        ev.select(
+            "event_type", "ts", "event_id", "user_id", c.alias("c")
+        ),
+        ["event_type"],
+        ["ts", "event_id"],
+        bucket=hour_bucket("ts"),
+        cumsums={"cum": "user_id"},
+        row_number_col="rn",
+    ).select("event_type", "user_id", "c", "rn", "cum")
     b = r.select(
         "event_type",
         F.expr(f"(cum - user_id) div {_BAR_V}").alias("bar_id"),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.deterministic import cents, ratio_e4
 from ..registry import query
+from .prefix import hour_bucket, keyed_prefix
 
 # Shared oracle fragment: per-symbol lagged cents in (ts, event_id) order.
 _LAGC_SQL = """s AS (
@@ -35,16 +36,19 @@ _LAGC_SQL = """s AS (
 
 
 def _lagc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _LAGC_SQL: one symbol-keyed window pass."""
+    """Spark twin of _LAGC_SQL, routed through the keyed two-pass
+    prefix (:func:`..prefix.keyed_prefix`) so the lag parallelism
+    scales with cores, not min(#symbols, #cores) — the r7 tape-soak
+    finding (see tsdb_ext._lagged); results are bit-identical."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return ev.select(
-        "event_type",
-        "ts",
-        "user_id",
+    base = ev.select(
+        "event_type", "ts", "event_id", "user_id",
         cents("value").alias("c"),
-        F.lag(cents("value")).over(w).alias("pc"),
     )
+    return keyed_prefix(
+        base, ["event_type"], ["ts", "event_id"],
+        bucket=hour_bucket("ts"), lags={"pc": "c"},
+    ).select("event_type", "ts", "user_id", "c", "pc")
 
 
 @query(
@@ -501,16 +505,19 @@ def q177_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame family), both aggregates ride the same symbol
     partitioning — one exchange end to end, |symbols|-row output."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = cents("value")
-    s = ev.select(
-        "event_type",
-        "user_id",
-        c.alias("c"),
-        F.lag(c).over(w).alias("pc"),
-        F.sum("user_id").over(cum_w).alias("cum"),
-    )
+    # lag AND volume prefix from ONE keyed two-pass (shared range sort,
+    # core-scaled parallelism — see _lagc / ..prefix.keyed_prefix)
+    s = keyed_prefix(
+        ev.select(
+            "event_type", "ts", "event_id", "user_id", c.alias("c")
+        ),
+        ["event_type"],
+        ["ts", "event_id"],
+        bucket=hour_bucket("ts"),
+        lags={"pc": "c"},
+        cumsums={"cum": "user_id"},
+    ).select("event_type", "user_id", "c", "pc", "cum")
     sv = (
         F.when(F.col("c") > F.col("pc"), F.col("user_id"))
         .when(F.col("c") < F.col("pc"), -F.col("user_id"))

@@ -193,3 +193,131 @@ def ntile_expr(rn: Column, n_total: Column, buckets: int) -> Column:
         .otherwise(r + 1 + _idiv(rn - 1 - head, F.greatest(base, F.lit(1))))
         .cast("bigint")
     )
+
+
+def keyed_prefix(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    bucket: Column,
+    lags: dict[str, str] | None = None,
+    cumsums: dict[str, str] | None = None,
+    row_number_col: str | None = None,
+) -> DataFrame:
+    """Per-KEY order-dependent recurrences (lag-1, inclusive running
+    sum, row number) without ``Window.partitionBy(key)``'s
+    min(#keys, #cores) parallelism ceiling — the r7 verdict's tape
+    finding: a 5-symbol 30M-row tape ran the q86 family on 5 tasks
+    while scan-bound queries on the same tape used all 32.
+
+    Segmented-scan structure, TIME-BUCKETED: ``bucket`` is a
+    deterministic, order-monotone function of the order columns the
+    caller supplies (the tape operators pass the hour floor of ts), so
+    segment ids are DATA VALUES — no partitioner sampling, no pinned
+    checkpoint, no range-exchange nondeterminism (contrast the module
+    docstring's repartitionByRange lesson).  Two INDEPENDENT passes
+    over the source, joined at the end:
+
+    * Boundary pass: ONE aggregate straight off the scan computes, per
+      (key, bucket), the row count, per-cumsum partial sum, and — for
+      lags — the segment's last value (max_by over the (order) struct;
+      the struct ordering plans a SortAggregate whose partial sorts
+      are per-scan-partition and fully parallel).  Tiny per-key
+      windows over that |keys x buckets| frame yield each segment's
+      EXCLUSIVE carry-in (count/sum offsets, previous segment's last
+      value).
+    * Data pass: the classic window pass, but partitioned by
+      (key, bucket) instead of the bare key — same single data-sized
+      exchange, parallelism |keys x active buckets| instead of |keys|
+      — then a BROADCAST join on (key, bucket) adds the carry-ins:
+      integer adds for cumsum/row number, a first-row patch for lags.
+
+    Cost vs the classic window: one extra column-pruned scan +
+    partial-agg pass (measured ~30-40% at 30M x 5 symbols, where
+    classic doesn't bottleneck anyway); benefit: per-task sort work is
+    time-bounded, so a 5-symbol — or 1-symbol — tape sorts on every
+    core and nothing spills at any per-key volume.  Worst case (all
+    rows in one bucket) degrades exactly to the classic window.
+
+    ``lags`` / ``cumsums`` map output column -> source column;
+    ``row_number_col`` names a global 1-based per-key row number.
+    ``order_cols`` must totally order rows WITHIN a key (include a
+    unique tiebreaker); key, order, and bucket columns must be
+    non-null, ``bucket`` non-decreasing in the order, and lag source
+    columns non-null (so the first-row patch is unambiguous) — all
+    true for the tape: symbol, ts, event_id, cents.  The offsets
+    frame is |keys x active buckets| rows and rides a broadcast: pick
+    the bucket width so that stays dim-sized (hours for a tape of
+    thousands of symbols; widen to days/weeks at 10^5 keys x years).
+    """
+    lags = lags or {}
+    cumsums = cumsums or {}
+    d = df.withColumn("__b", bucket)
+    ords = [F.col(o) for o in order_cols]
+
+    # ---- boundary pass: straight off the source, no window ----
+    ostruct = F.struct(*ords)
+    grp = d.groupBy(*key_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[
+            F.max_by(F.col(src), ostruct).alias(f"__last_{out}")
+            for out, src in lags.items()
+        ],
+        *[F.sum(src).alias(f"__ps_{out}") for out, src in cumsums.items()],
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("__b")
+    excl = wk.rowsBetween(Window.unboundedPreceding, -1)
+    off = grp.select(
+        *key_cols,
+        "__b",
+        F.coalesce(F.sum("__cnt").over(excl), F.lit(0)).alias("__off_rn"),
+        *[
+            F.lag(f"__last_{out}").over(wk).alias(f"__prev_{out}")
+            for out in lags
+        ],
+        *[
+            F.coalesce(F.sum(f"__ps_{out}").over(excl), F.lit(0)).alias(
+                f"__off_{out}"
+            )
+            for out in cumsums
+        ],
+    )
+
+    # ---- data pass: the classic window, sliced by (key, bucket) ----
+    wloc = Window.partitionBy(*key_cols, "__b").orderBy(*ords)
+    cumw = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    proj = d.withColumn("__krn", F.row_number().over(wloc).cast("bigint"))
+    for out, src in lags.items():
+        proj = proj.withColumn(f"__l_{out}", F.lag(src).over(wloc))
+    for out, src in cumsums.items():
+        proj = proj.withColumn(f"__s_{out}", F.sum(src).over(cumw))
+
+    out_df = proj.join(F.broadcast(off), [*key_cols, "__b"])
+    for out in lags:
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col("__krn") == 1, F.col(f"__prev_{out}")
+            ).otherwise(F.col(f"__l_{out}")),
+        )
+    for out in cumsums:
+        out_df = out_df.withColumn(
+            out, F.col(f"__s_{out}") + F.col(f"__off_{out}")
+        )
+    if row_number_col is not None:
+        out_df = out_df.withColumn(
+            row_number_col, F.col("__krn") + F.col("__off_rn")
+        )
+    drops = ["__b", "__krn", "__off_rn"]
+    drops += [c for out in lags for c in (f"__l_{out}", f"__prev_{out}")]
+    drops += [c for out in cumsums for c in (f"__s_{out}", f"__off_{out}")]
+    return out_df.drop(*drops)
+
+
+def hour_bucket(ts_col: str) -> Column:
+    """Floor-division hour bucket of a timestamp column — pmod-exact
+    (engine-agnostic pre-epoch, pure int64; the q175 rule), monotone in
+    ts, so it satisfies keyed_prefix's bucket contract."""
+    us = F.unix_micros(F.col(ts_col))
+    w = F.lit(3_600_000_000).cast("bigint")
+    return ((us - F.pmod(us, w)) / w).cast("bigint")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.deterministic import cents, ratio_e4
 from ..registry import query
+from .prefix import hour_bucket, keyed_prefix
 
 # Shared lag CTE: per-symbol previous tick in (ts, event_id) order, prices
 # as exact integer cents.  The lag deliberately crosses day boundaries —
@@ -34,8 +35,14 @@ _LAG_SQL = """s AS (
 
 def _lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, d, c, pc): per-symbol lagged cents, Spark twin of
-    _LAG_SQL.  One shuffle keyed by symbol; the sort inside each symbol
-    partition is the same order the storage layout already clusters by.
+    _LAG_SQL — routed through the keyed two-pass prefix
+    (:func:`..prefix.keyed_prefix`) so parallelism scales with CORES,
+    not min(#symbols, #cores): the r7 tape soak showed the
+    ``Window.partitionBy(symbol)`` version running a 5-symbol 30M-row
+    tape on 5 tasks (0.57-0.85 M rows/s) while scan-bound queries on
+    the same tape used all 32.  Results are bit-identical (the lag is
+    the same recurrence, carried across range-partition boundaries by
+    the <=2N-row boundary frame).
 
     ``d`` is a DATE (4-byte int), computed AFTER the window pass, and
     consumers cast it to string only on the aggregated output: an
@@ -43,13 +50,14 @@ def _lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 30M-row tape soak showed the string alloc + sort payload + string
     group keys costing ~6x the arithmetically identical q87 shape."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return ev.select(
-        "event_type",
-        "ts",
-        cents("value").alias("c"),
-        F.lag(cents("value")).over(w).alias("pc"),
-    ).select(
+    base = ev.select(
+        "event_type", "ts", "event_id", cents("value").alias("c")
+    )
+    kp = keyed_prefix(
+        base, ["event_type"], ["ts", "event_id"],
+        bucket=hour_bucket("ts"), lags={"pc": "c"},
+    )
+    return kp.select(
         "event_type",
         F.to_date("ts").alias("d"),
         "c",

@@ -134,12 +134,14 @@ def test_q165_bar_volume_partitions_the_tape(reg, spark, tape):
 
 
 def test_indicator_queries_single_symbol_exchange(reg, spark, sf_dir):
-    # q162/q163/q165: window pass(es) + agg all share the symbol key —
-    # exactly ONE shuffle each, scan read once
+    # q162/q163: window pass(es) + agg all share the symbol key —
+    # exactly ONE shuffle each, scan read once.  (q165 moved to the
+    # keyed-prefix contract in test_plan_contracts.py in round 8 — its
+    # prefix sum now slices by (symbol, hour) with a second
+    # column-pruned boundary scan.)
     for name in (
         "q162_variance_ratio",
         "q163_rsi_screen",
-        "q165_volume_clock",
     ):
         df = reg[name].fn(spark, sf_dir)
         assert exchanges(df) == 1, name

@@ -224,18 +224,53 @@ def test_no_cartesian_or_row_python_any_query(reg, spark, sf_dir):
 
 
 def test_microstructure_ops_reuse_symbol_partitioning(reg, spark, sf_dir):
-    """q86/q87/q88/q93: the post-window hash-agg groups by (symbol, ...)
-    with the window already partitioned by symbol — a subset partitioning
+    """q87/q93: the post-window hash-agg groups by (symbol, ...) with
+    the window already partitioned by symbol — a subset partitioning
     satisfies the clustering, so each query is exactly ONE shuffle.  A
     second exchange here means the agg stopped riding the window's
-    partitioning (performance regression at any scale)."""
+    partitioning (performance regression at any scale).  (q86/q88 moved
+    to the keyed-prefix contract below in round 8.)"""
     for name in (
-        "q86_realized_variance",
         "q87_gap_report",
-        "q88_tick_direction",
         "q93_spike_mad",
     ):
         assert exchanges(q(reg, spark, sf_dir, name)) == 1, name
+
+
+def test_keyed_prefix_family_no_symbol_ceiling(reg, spark, sf_dir):
+    """The per-symbol order-dependent family (r7 verdict item #5) rides
+    operators/prefix.keyed_prefix: every DATA window must be sliced by
+    (symbol, __b hour bucket) — never the bare symbol, whose sort
+    parallelism caps at #symbols — and the only bare-symbol windows
+    left are the tiny per-bucket offset passes (ordered by __b over a
+    |symbols x buckets| frame).  The boundary pass is an independent
+    column-pruned aggregate straight off the scan (hence the second
+    FileScan, allowlisted below), joined back by broadcast: no
+    single-partition exchange anywhere, and the exchange budget =
+    keyed_prefix's two (data window + boundary partials' tiny offsets
+    exchange) + the query's own dim-sized aggs."""
+    import re
+
+    for name, budget in (
+        ("q86_realized_variance", 4),
+        ("q88_tick_direction", 4),
+        ("q154_amihud_illiquidity", 4),
+        ("q155_order_flow_imbalance", 4),
+        ("q161_kyle_lambda", 4),
+        ("q165_volume_clock", 4),
+        ("q177_vpin", 5),  # (symbol, bar) agg + symbol rollup
+    ):
+        df = q(reg, spark, sf_dir, name)
+        plan = physical_plan(df)
+        assert "Exchange SinglePartition" not in plan, name
+        assert exchanges(df) <= budget, (name, exchanges(df))
+        # every windowspec over the tape carries the __b bucket; the
+        # offsets windowspec orders BY __b — either way __b is present,
+        # and no spec may partition on event_type alone
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for s in specs:
+            assert "__b#" in s, (name, s)
 
 
 def test_resample_linear_two_shuffles_and_broadcast_bounds(reg, spark, sf_dir):
@@ -340,6 +375,14 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q53_doc_filter", "q92_token_df",
         # train-vs-test slices of the documents table
         "q83_contamination",
+        # keyed_prefix consumers (round 8): the segmented-scan boundary
+        # pass is an independent column-pruned aggregate off the SAME
+        # tape (|symbols x hour buckets| output, broadcast back) — the
+        # probe-plus-data-pass class, structurally required so the data
+        # window can slice by (symbol, bucket) instead of bare symbol
+        "q86_realized_variance", "q88_tick_direction",
+        "q154_amihud_illiquidity", "q155_order_flow_imbalance",
+        "q161_kyle_lambda", "q165_volume_clock", "q177_vpin",
     }
     offenders = []
     for name in reg:
@@ -400,10 +443,10 @@ def test_q137_disjunction_pushes_common_predicates(reg, spark, sf_dir):
 
 
 def test_round6_indicators_single_shuffle(reg, spark, sf_dir):
-    """q154/q156/q157: window + agg share the symbol key, so each plan
-    is exactly ONE exchange (the q86/q88 contract extended)."""
+    """q156/q157: window + agg share the symbol key, so each plan is
+    exactly ONE exchange.  (q154 moved to the keyed-prefix contract —
+    its lag now range-partitions instead of symbol-partitioning.)"""
     for name in (
-        "q154_amihud_illiquidity",
         "q156_bollinger_breakouts",
         "q157_donchian_breakouts",
     ):

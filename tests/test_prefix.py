@@ -119,3 +119,109 @@ def test_no_single_partition_window_in_plan(spark):
     plan = physical_plan(got)
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(__prefix_pid" in plan
+
+
+# ---------------------------------------------------------------------------
+# keyed_prefix (round 8): per-key lag / cumsum / row number without the
+# min(#keys, #cores) parallelism ceiling of Window.partitionBy(key)
+# ---------------------------------------------------------------------------
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
+    keyed_prefix,
+)
+
+
+def _bkt(width):
+    # deterministic int bucket of the order column (monotone in o)
+    return (F.col("o") - F.col("o") % width).cast("bigint")
+
+
+def _tape(spark, n=60_000, n_keys=5):
+    """Skewed multi-key tape: key cardinality far below the partition
+    count, so every key SPANS many range partitions (the regime the
+    operator exists for), plus one single-row key and one two-row key
+    (keys fully interior to one partition — the LEFT-join miss path)."""
+    big = spark.range(n).select(
+        F.concat(F.lit("K"), (F.col("id") % n_keys).cast("string")).alias("k"),
+        F.col("id").alias("o"),
+        ((F.col("id") * 37) % 1000).alias("x"),
+    )
+    tiny = spark.createDataFrame(
+        [("Zsolo", 10**9, 7), ("Zpair", 10**9, 1), ("Zpair", 10**9 + 1, 2)],
+        "k string, o long, x long",
+    )
+    return big.unionAll(tiny)
+
+
+def test_keyed_prefix_matches_classic_window(spark):
+    df = _tape(spark)
+    got = keyed_prefix(
+        df,
+        ["k"],
+        ["o"],
+        bucket=_bkt(1000),
+        lags={"px": "x"},
+        cumsums={"cx": "x"},
+        row_number_col="rn",
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select(
+        "k",
+        "o",
+        F.lag("x").over(w).alias("px"),
+        F.sum("x").over(cw).alias("cx"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    a = got.select("k", "o", "px", "cx", "rn").toPandas().sort_values(
+        ["k", "o"], ignore_index=True
+    )
+    b = ref.toPandas().sort_values(["k", "o"], ignore_index=True)
+    for col in ("px", "cx", "rn"):
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        assert ((av == bv) | (a[col].isna() & b[col].isna()).to_numpy()).all(), col
+
+
+def test_keyed_prefix_invariant_under_bucket_width(spark):
+    df = _tape(spark, 30_000, 3)
+    outs = []
+    for n in (300, 7000):
+        got = keyed_prefix(
+            df, ["k"], ["o"], bucket=_bkt(n), cumsums={"cx": "x"},
+            row_number_col="rn",
+        )
+        outs.append(
+            got.select("k", "o", "cx", "rn")
+            .toPandas()
+            .sort_values(["k", "o"], ignore_index=True)
+        )
+    assert outs[0].equals(outs[1])
+
+
+def test_keyed_prefix_first_rows_and_interior_keys(spark):
+    got = keyed_prefix(
+        _tape(spark), ["k"], ["o"], bucket=_bkt(500), lags={"px": "x"},
+        row_number_col="rn",
+    ).toPandas()
+    # every key's global first row has a NULL lag, exactly one rn == 1
+    for k, g in got.groupby("k"):
+        g = g.sort_values("o")
+        assert g.px.isna().iloc[0] and g.px.notna().iloc[1:].all()
+        assert (g.rn.to_numpy() == range(1, len(g) + 1)).all()
+    # the single-row key (never in the boundary frame's carry path)
+    solo = got[got.k == "Zsolo"]
+    assert len(solo) == 1 and solo.px.isna().all() and (solo.rn == 1).all()
+
+
+def test_keyed_prefix_plan_has_no_key_partitioned_data_sort(spark):
+    """The whole point: the data window must slice by (key, bucket),
+    never the bare key, and nothing may collapse to one partition."""
+    got = keyed_prefix(
+        _tape(spark), ["k"], ["o"], bucket=_bkt(750), cumsums={"cx": "x"}
+    )
+    plan = physical_plan(got)
+    assert "Exchange SinglePartition" not in plan
+    # the data window must be partitioned by (key, bucket) — never the
+    # bare key (parallelism = #keys); the offsets window over the tiny
+    # per-bucket frame is the only bare-key window allowed
+    assert "hashpartitioning(k#" in plan and "__b#" in plan

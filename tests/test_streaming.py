@@ -1232,3 +1232,145 @@ def test_volume_bar_stream_matches_batch_q165_closed_bars(
         assert (
             a[col].to_numpy() == b[col].to_numpy()
         ).all(), f"mismatch in {col}"
+
+
+def test_ofi_vbar_state_survives_mid_epoch_crash_restart(spark, sf_dir, tmp_path):
+    """Kill-recovery for the round-7 stateful monitors (r7 VERDICT item
+    #7): the sink CRASHES inside epoch 1 — after writing its output,
+    before the checkpoint commit — and the restarted query must retry
+    that epoch with the tick-rule lag / volume-prefix state recovered
+    from epoch 0's committed store.  The sink is epoch-keyed +
+    overwrite (idempotent), so at-least-once retries collapse to
+    exactly-once output; the accumulated end state must equal the
+    batch replay (q155 closed minutes column by column; an independent
+    pandas prefix-sum replay for the bars)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        ofi_stream,
+        volume_bar_stream,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (
+        open_tick_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    qs = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS p"
+    ).collect()[0][0]
+    us = F.unix_micros("ts")
+    bounds = [None, *[int(q) for q in qs], None]
+    splits = []
+    for i in range(4):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (us > bounds[i])
+        if bounds[i + 1] is not None:
+            cond = cond & (us <= bounds[i + 1])
+        splits.append(ev.where(cond))
+    sf = _write_ordered_files(tmp_path, splits, spark)
+
+    def tick_shaped():
+        return open_tick_stream(
+            spark, f"{sf}/events.parquet", max_files_per_trigger=1
+        ).select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts_event").alias("ts"),
+            F.col("value").alias("price"),
+            F.col("user_id").alias("volume"),
+            F.col("event_id").alias("seq"),
+        )
+
+    def run_with_crash(make_stream, name):
+        out = str(tmp_path / f"out_{name}")
+        ck = str(tmp_path / f"ck_{name}")
+
+        def crashing_sink(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+            if epoch_id == 1:
+                raise RuntimeError("injected crash: output written, commit lost")
+
+        q = (
+            make_stream()
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            raise AssertionError("crash was not injected")
+        except StreamingQueryException:
+            pass  # epoch 1 died uncommitted, epoch 0's state store stands
+
+        def clean_sink(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+        q2 = (
+            make_stream()
+            .writeStream.outputMode("append")
+            .foreachBatch(clean_sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        return spark.read.option("basePath", out).parquet(
+            f"{out}/epoch=*"
+        ).toPandas()
+
+    # --- OFI: accumulated closed minutes == q155 minus each symbol's
+    # final (still-open) minute ---
+    got_ofi = run_with_crash(lambda: ofi_stream(tick_shaped()), "ofi")
+    ofi_batch = load_all()["q155_order_flow_imbalance"].fn(spark, sf).toPandas()
+    ofi_batch["minute_us"] = (
+        ofi_batch["minute"].to_numpy().astype("datetime64[us]").astype("int64")
+    )
+    last_m = ofi_batch.groupby("event_type")["minute_us"].transform("max")
+    closed = ofi_batch[ofi_batch.minute_us < last_m].rename(
+        columns={"event_type": "symbol"}
+    )
+    cols = ["symbol", "minute_us", "ofi", "total_volume", "n_ticks"]
+    a = got_ofi.sort_values(["symbol", "minute_us"]).reset_index(drop=True)[cols]
+    b = closed.sort_values(["symbol", "minute_us"]).reset_index(drop=True)[cols]
+    assert len(a) == len(b) and len(a) > 0
+    for col in cols:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), f"ofi {col}"
+
+    # --- volume bars: accumulated closed bars == pandas prefix replay ---
+    # ~14 bars/symbol at the sf0.001 per-symbol volume of ~1.4k units
+    bar_v = 100
+    got_vb = run_with_crash(
+        lambda: volume_bar_stream(tick_shaped(), bar_v=bar_v), "vbar"
+    )
+    tape = (
+        ev.select(
+            "event_type", "ts", "event_id", "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    rows = []
+    for sym, g in tape.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        g = g.assign(bar=(g.user_id.cumsum() - g.user_id) // bar_v)
+        for bar, bdf in g.groupby("bar"):
+            rows.append(
+                (sym, bar, len(bdf), bdf.c.iloc[0], bdf.c.max(), bdf.c.min(),
+                 bdf.c.iloc[-1], int(bdf.user_id.sum()))
+            )
+    vb_cols = ["symbol", "bar_id", "n_ticks", "open_c", "high_c", "low_c",
+               "close_c", "bar_volume"]
+    vb = pd.DataFrame(rows, columns=vb_cols)
+    last_b = vb.groupby("symbol")["bar_id"].transform("max")
+    closed_vb = vb[vb.bar_id < last_b]
+    a = got_vb.sort_values(["symbol", "bar_id"]).reset_index(drop=True)[vb_cols]
+    b = closed_vb.sort_values(["symbol", "bar_id"]).reset_index(drop=True)[vb_cols]
+    assert len(a) == len(b) and len(a) > 0
+    for col in vb_cols:
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), f"vbar {col}"

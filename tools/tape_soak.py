@@ -100,10 +100,14 @@ def main() -> int:
         reg = load_all()
         per_q = {}
         for name in QUERIES:
-            t0 = time.perf_counter()
-            res = reg[name].fn(spark, tmp)
-            rows = res.count()
-            sec = time.perf_counter() - t0
+            # min-of-2: single-run numbers on this host swing 2-4x
+            # (JIT + GC + page-cache epochs); the min is the plan's cost
+            sec = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = reg[name].fn(spark, tmp)
+                rows = res.count()
+                sec = min(sec, time.perf_counter() - t0)
             per_q[name] = {
                 "sec": round(sec, 2),
                 "rows_per_sec": round(n / sec),
