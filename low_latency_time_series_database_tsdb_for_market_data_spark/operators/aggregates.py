@@ -391,10 +391,10 @@ def q185_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q186_tdigest_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q73's quantile sketch made driver-verifiable (the r7 judge's item
     #6): one pass computes, per group, the approx percentile (accuracy
-    10000, rank error <= 1e-4) AND the exact percentiles at ranks p-2%
+    1000, rank error <= 1e-3) AND the exact percentiles at ranks p-2%
     and p+2%; the verdict ok_p = (exact(p-2%) <= approx(p) <=
     exact(p+2%)) holds for any sketch honouring its rank bound because
-    exact percentiles are monotone in rank.  A 2% band vs a 1e-4
+    exact percentiles are monotone in rank.  A 2% band vs a 1e-3
     guarantee leaves no room for merge-order jitter to flip a verdict.
 
     Exactness: only BIGINT counts and boolean verdicts reach the hash;
@@ -404,14 +404,26 @@ def q186_tdigest_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges map-side); group-bounded output."""
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # ONE exact-percentile aggregate for all six band edges (a separate
+    # F.percentile per edge buffers the group's values six times over —
+    # measured 6.3 s vs <1 s at sf0.1); the approx sketches are cheap
+    ranks = [p + d for p in (0.25, 0.50, 0.75) for d in (-0.02, 0.02)]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(x, F.array(*[F.lit(r) for r in ranks])).alias("ex"),
+    ]
     for p, name in ((0.25, "25"), (0.50, "50"), (0.75, "75")):
-        aggs += [
-            F.percentile_approx(x, F.lit(p), F.lit(10000)).alias(f"ap{name}"),
-            F.percentile(x, F.lit(p - 0.02)).alias(f"lo{name}"),
-            F.percentile(x, F.lit(p + 0.02)).alias(f"hi{name}"),
-        ]
+        # accuracy 1000 (rank error 1e-3) is 20x inside the +-2% band
+        # and ~10x cheaper than q73's 10000 — this query verifies the
+        # SKETCH CLASS honours a rank bound, not the tightest sketch
+        aggs.append(
+            F.percentile_approx(x, F.lit(p), F.lit(1000)).alias(f"ap{name}")
+        )
     g = li.groupBy("l_returnflag").agg(*aggs)
+    for i, (_, name) in enumerate(((0.25, "25"), (0.50, "50"), (0.75, "75"))):
+        g = g.withColumn(f"lo{name}", F.col("ex")[2 * i]).withColumn(
+            f"hi{name}", F.col("ex")[2 * i + 1]
+        )
     return g.select(
         "l_returnflag",
         "n",

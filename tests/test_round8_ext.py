@@ -233,3 +233,123 @@ def test_q179_plan_shares_single_fact_pass(reg, spark):
 
     plan = physical_plan(reg["q179_sole_late_supplier"].fn(spark, SF))
     assert plan.count("Scan parquet") <= 1
+
+
+# ---------------------------------------------------------------------------
+# q187-q192 (round-8 additions): python replays
+# ---------------------------------------------------------------------------
+
+
+def test_q187_ship_latency_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q187_ship_latency").set_index("o_orderpriority")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lat = (
+        pd.to_datetime(j.l_shipdate) - pd.to_datetime(j.o_orderdate)
+    ).dt.days.astype("int64")
+    j = j.assign(lat=lat)
+    for pri, g in j.groupby("o_orderpriority"):
+        r = got.loc[pri]
+        assert r.n_items == len(g)
+        for p, col in ((25, "p25_days"), (50, "p50_days"), (75, "p75_days")):
+            assert r[col] == round(
+                float(np.percentile(g.lat, p, method="linear")), 4
+            )
+        assert r.max_days == int(g.lat.max())
+
+
+def test_q188_hhi_matches_python_replay_and_bounds(reg, spark):
+    got = _pdf(reg, spark, "q188_supplier_hhi").set_index("n_name")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    j["rev"] = (j.l_extendedprice * (1 - j.l_discount) * 10000).round().astype(
+        "int64"
+    )
+    per = j.groupby(["s_nationkey", "l_suppkey"]).rev.sum()
+    names = nat.set_index("n_nationkey").n_name
+    for nk, g in per.groupby(level=0):
+        tot = int(g.sum())
+        if tot <= 0:
+            continue
+        sq = sum(int(v) ** 2 for v in g)  # python ints: exact
+        hhi = ((sq * 20000 + tot * tot) // (2 * tot * tot)) / 10000.0
+        r = got.loc[names.loc[nk]]
+        assert r.n_suppliers == len(g)
+        assert r.hhi_e4 == hhi
+        # HHI bounds: 1/n <= HHI <= 1
+        assert 1.0 / len(g) - 1e-4 <= r.hhi_e4 <= 1.0
+
+
+def test_q189_profile_shares_sum_to_one_and_replay(reg, spark):
+    got = _pdf(reg, spark, "q189_intraday_volume_profile")
+    ev = _events()
+    ev["hr"] = ev.ts.dt.hour.astype("int64")
+    g = ev.groupby(["event_type", "hr"]).agg(
+        n=("us", "size"), vol=("user_id", "sum")
+    )
+    tot = g.vol.groupby(level=0).sum()
+    assert len(got) == len(g)
+    for _, r in got.iterrows():
+        w = g.loc[(r.event_type, r.hr)]
+        t = int(tot.loc[r.event_type])
+        assert r.n_ticks == w.n and r.vol == w.vol
+        assert r.vol_share == ((int(w.vol) * 20000 + t) // (2 * t)) / 10000.0
+    # shares per symbol sum to ~1 (each share rounds half-up to 1e-4)
+    s = got.groupby("event_type").vol_share.sum()
+    assert ((s - 1.0).abs() < 0.01).all()
+
+
+def test_q190_dup_multiplicity_matches_python_replay(reg, spark):
+    import hashlib
+
+    got = _pdf(reg, spark, "q190_dup_multiplicity").set_index("group_size")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    sizes = d.text.map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    ).value_counts()
+    hist = sizes.value_counts()
+    assert len(got) == len(hist)
+    for sz, ng in hist.items():
+        assert got.loc[sz, "n_groups"] == ng
+        assert got.loc[sz, "n_docs"] == sz * ng
+    # conservation: every document lands in exactly one group
+    assert int(got.n_docs.sum()) == len(d)
+
+
+def test_q191_corr_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q191_length_word_corr").set_index("source")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["x"] = d.text.str.len().astype("int64")
+    d["y"] = d.text.map(lambda t: t.count(" ")).astype("int64")
+    for src, g in d.groupby("source"):
+        n = len(g)
+        sx, sy = int(g.x.sum()), int(g.y.sum())
+        sxy = int((g.x * g.y).sum())
+        sxx, syy = int((g.x * g.x).sum()), int((g.y * g.y).sum())
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            assert src not in got.index
+            continue
+        r = got.loc[src]
+        assert r.n_docs == n
+        want = round((n * sxy - sx * sy) / ((vx * vy) ** 0.5), 6)
+        assert abs(r.corr_len_words - want) < 2e-6
+        assert -1.0 <= r.corr_len_words <= 1.0
+
+
+def test_q192_weekday_matrix_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q192_weekday_priority_matrix")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["iso"] = pd.to_datetime(o.o_orderdate).dt.dayofweek + 1  # Mon=1
+    o["c"] = (o.o_totalprice * 100).round().astype("int64")
+    want = o.groupby(["iso", "o_orderpriority"]).agg(
+        n=("c", "size"), tot=("c", "sum")
+    )
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        w = want.loc[(r.iso_dow, r.o_orderpriority)]
+        assert r.n_orders == w.n
+        assert r.total == round(int(w.tot) / 100.0, 2)

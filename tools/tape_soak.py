@@ -4,7 +4,11 @@ operators (not just raw ingest/scan) keep their per-row cost as the
 tape grows 100-1000x past the shipped fixtures.
 
 Usage:
-    python tools/tape_soak.py [n_millions]     # default 10 -> 10M rows
+    python tools/tape_soak.py [n_millions] [n_symbols]
+    # defaults: 10 -> 10M rows, 5 symbols.  Round-8 cardinality points:
+    # 30M x 5 (the low-cardinality floor keyed_prefix removes) and
+    # 100M x 500 (realistic cardinality — min(#symbols, #cores) no
+    # longer binds, so this pins the family's scan-bound ceiling).
 
 The tape is written as a fixture-schema events.parquet directory
 (5 symbols, monotone ts, random-walk cents prices, uniform sizes), so
@@ -49,15 +53,16 @@ QUERIES = (
 )
 
 
-def gen_tape(spark: SparkSession, n: int, out: str) -> None:
-    """Fixture-schema events table: 5 symbols round-robin, 100ms spacing
-    per symbol, prices a bounded random walk in exact cents, sizes
-    1..150 (the fixture's user_id-as-volume convention)."""
-    sym = F.concat(F.lit("SYM_"), (F.col("id") % 5).cast("string"))
-    # per-symbol monotone ts: symbol s sees ids s, s+5, s+10...
+def gen_tape(spark: SparkSession, n: int, out: str, n_sym: int = 5) -> None:
+    """Fixture-schema events table: n_sym symbols round-robin, 100ms
+    spacing per symbol slot, prices a bounded random walk in exact
+    cents, sizes 1..150 (the fixture's user_id-as-volume convention)."""
+    sym = F.concat(F.lit("SYM_"), (F.col("id") % n_sym).cast("string"))
+    # per-symbol monotone ts: symbol s sees ids s, s+n_sym, s+2*n_sym...
     ts = F.timestamp_micros(
-        F.lit(1_600_000_000_000_000) + (F.col("id") / 5).cast("bigint") * 100_000
-        + (F.col("id") % 5)
+        F.lit(1_600_000_000_000_000)
+        + (F.col("id") / n_sym).cast("bigint") * 100_000
+        + (F.col("id") % n_sym)
     )
     # bounded walk: cents = 10000 + sum of +-{0..99} steps folded via
     # xxhash; a pure per-row function (no window) so generation stays
@@ -79,6 +84,7 @@ def gen_tape(spark: SparkSession, n: int, out: str) -> None:
 
 def main() -> int:
     n = int(float(sys.argv[1]) * 1_000_000) if len(sys.argv) > 1 else 10_000_000
+    n_sym = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("tape-soak")
@@ -91,10 +97,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="tsdb_tape_soak_")
-    out: dict[str, object] = {"rows": n}
+    out: dict[str, object] = {"rows": n, "symbols": n_sym}
     try:
         t0 = time.perf_counter()
-        gen_tape(spark, n, tmp)
+        gen_tape(spark, n, tmp, n_sym)
         out["gen_write_sec"] = round(time.perf_counter() - t0, 1)
 
         reg = load_all()
