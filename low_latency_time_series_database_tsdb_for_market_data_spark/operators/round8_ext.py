@@ -351,3 +351,394 @@ def q192_weekday_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents("o_totalprice")) / 100.0, 2).alias("total"),
         )
     )
+
+
+@query(
+    "q193_customer_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                            lag(CAST(o_orderdate AS DATE)) OVER w,
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    m AS (SELECT o_custkey, quantile_cont(gap_d, 0.5) AS med_gap
+          FROM g WHERE gap_d IS NOT NULL GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+           ROUND(quantile_cont(med_gap, 0.25), 4) AS p25_med_gap_days,
+           ROUND(quantile_cont(med_gap, 0.50), 4) AS p50_med_gap_days,
+           ROUND(quantile_cont(med_gap, 0.75), 4) AS p75_med_gap_days
+    FROM m
+    """,
+    category="warehouse-datetime",
+)
+def q193_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence: the distribution (quartiles) of each repeat
+    customer's MEDIAN inter-order gap — the replenishment-cycle metric
+    behind reorder reminders and churn windows (q125 counts cohort
+    retention; this measures the rhythm of the retained).
+
+    Exactness: gaps are integer day diffs over the (o_orderdate,
+    o_orderkey) total order; both percentile levels are exact
+    interpolated percentiles (inner one on integers, outer on the
+    exact half-integer medians — q27/q143 precedent).  Shape: one
+    customer-keyed window (cardinality ~ |customers|, far above core
+    count — no keyed-prefix need), one customer-grain agg, one 1-row
+    agg over the |customers| frame."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        )
+        .cast("bigint")
+        .alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    m = g.groupBy("o_custkey").agg(
+        F.percentile("gap_d", F.lit(0.5)).alias("med_gap")
+    )
+    ps = F.percentile(
+        "med_gap", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_repeat_customers"), ps.alias("ps")
+    ).select(
+        "n_repeat_customers",
+        *[
+            F.round(F.col("ps")[i], 4).alias(n)
+            for i, n in enumerate(
+                ("p25_med_gap_days", "p50_med_gap_days", "p75_med_gap_days")
+            )
+        ],
+    )
+
+
+@query(
+    "q194_unigram_surprisal",
+    oracle="""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+    v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS T FROM v),
+    q AS (SELECT token,
+                 CAST(ROUND((ln(CAST(T AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS q_nats
+          FROM v, tot),
+    st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM t GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(occ) AS BIGINT) AS n_tokens,
+           (SUM(occ * q.q_nats) * 20000 + 1000000 * SUM(occ))
+             // (2 * 1000000 * SUM(occ)) / 10000.0 AS avg_surprisal_nats
+    FROM st JOIN q USING (token)
+    GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q194_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average unigram surprisal (nats/token) under the
+    corpus's own unigram model — the cheapest perplexity proxy: a
+    source full of rare tokens (code, jargon, noise) scores high, a
+    boilerplate source low.  The curation companion to q164 (rare-token
+    RATIO thresholds; this integrates the whole distribution).
+
+    Exactness: surprisal per token is ln(T) - ln(cf) on two INTEGER
+    counts — both engines evaluate the identical float expression on
+    identical integers — QUANTIZED to integer micro-nats before any
+    accumulation, so sum order cannot drift the hash; the per-source
+    average is then an integer ratio (ratio_e4 identity).  Shape:
+    explode -> vocabulary-scale cf agg, a (source, token) occurrence
+    agg, one vocab-keyed join (both sides vocabulary-scale — the
+    corpus itself never reshuffles), one |sources|-row agg."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    v = t.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    tot = v.agg(F.sum("cf").alias("T"))
+    q = v.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            (
+                F.log(F.col("T").cast("double"))
+                - F.log(F.col("cf").cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("q_nats"),
+    )
+    st = t.groupBy("source", "token").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        st.join(q, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("q_nats")).alias("sq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            ratio_e4("sq", "1000000 * n_tokens").alias(
+                "avg_surprisal_nats"
+            ),
+        )
+    )
+
+
+@query(
+    "q195_vwap_deviation",
+    oracle="""
+    WITH b AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c,
+                      CAST(user_id AS BIGINT) AS v
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type, d
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM b),
+    day AS (SELECT event_type, d,
+                   CAST(SUM(c * v) AS HUGEINT) AS scv,
+                   CAST(SUM(v) AS HUGEINT) AS sv,
+                   MAX(CASE WHEN rn = 1 THEN c END) AS cl,
+                   CAST(COUNT(*) AS BIGINT) AS n_ticks
+            FROM r GROUP BY 1, 2)
+    SELECT event_type, CAST(d AS VARCHAR) AS d, n_ticks,
+           (scv * 20000 + 100 * sv) // (200 * sv) / 10000.0 AS vwap,
+           CASE WHEN (CAST(cl AS HUGEINT) * sv - scv) < 0
+                THEN -((-(CAST(cl AS HUGEINT) * sv - scv) * 10000 * 20000
+                        + scv) // (2 * scv))
+                ELSE (((CAST(cl AS HUGEINT) * sv - scv) * 10000 * 20000
+                        + scv) // (2 * scv)) END / 10000.0
+             AS close_dev_bps
+    FROM day WHERE sv > 0
+    """,
+    category="timeseries-microstructure",
+)
+def q195_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily close-to-VWAP deviation in basis points per symbol-day —
+    the execution-quality benchmark (did the close print above or
+    below the day's volume-weighted average?), q23's VWAP discipline
+    at the (symbol, day) grain with a signed integer-decided deviation.
+
+    Exactness: VWAP enters as the exact integer pair (Σc·v, Σv) —
+    never a float division mid-stream; the deviation
+    (close·Σv - Σc·v)/Σc·v scales to bps and rounds half-away-from-
+    zero via the signed integer identity (ratio_e4_signed), with the
+    cross-products widened to DECIMAL(38,0)/HUGEINT (q162 rule).  The
+    day close is rn = 1 over the (ts, event_id) DESC total order
+    (q180's rule).  Shape: one (symbol, day) exchange carries the
+    close pick AND the VWAP sums; output is symbol x days."""
+    from pyspark.sql import Window
+    from ..functions.deterministic import ratio_e4_signed
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "ts",
+        "event_id",
+        cents("value").alias("c"),
+        F.col("user_id").cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    day = (
+        b.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias("scv"),
+            F.sum("v").cast("decimal(38,0)").alias("sv"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("cl"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .where(F.col("sv") > 0)
+    )
+    return day.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "n_ticks",
+        ratio_e4("scv", "100 * sv").alias("vwap"),
+        ratio_e4_signed(
+            "(CAST(cl AS DECIMAL(38,0)) * sv - scv) * 10000", "scv"
+        ).alias("close_dev_bps"),
+    )
+
+
+@query(
+    "q196_round_price_bias",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS whole_dollar,
+           CAST(SUM(CASE WHEN c % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS quarter,
+           (SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS whole_share,
+           (SUM(CASE WHEN c % 25 = 0 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS quarter_share
+    FROM c GROUP BY 1
+    """,
+    category="timeseries-microstructure",
+)
+def q196_round_price_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price clustering screen: the share of ticks printing on whole-
+    dollar and quarter-dollar levels per symbol — the classic round-
+    number bias diagnostic (human flow clusters on round levels;
+    uniform algos don't), q119's digit test specialized to the levels
+    traders actually anchor on.
+
+    Exactness: cents are exact integers (non-negative, so % agrees
+    across engines), shares integer-decided.  Shape: one narrow map +
+    one symbol hash-agg with map-side partials; |symbols|-row output."""
+    ev = table(spark, sf_dir, "events")
+    c = cents("value")
+    whole = F.when(c % 100 == 0, 1).otherwise(0)
+    quarter = F.when(c % 25 == 0, 1).otherwise(0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(whole).cast("bigint").alias("whole_dollar"),
+            F.sum(quarter).cast("bigint").alias("quarter"),
+        )
+        .select(
+            "event_type",
+            "n_ticks",
+            "whole_dollar",
+            "quarter",
+            ratio_e4("whole_dollar", "n_ticks").alias("whole_share"),
+            ratio_e4("quarter", "n_ticks").alias("quarter_share"),
+        )
+    )
+
+
+@query(
+    "q197_copurchase_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    category="warehouse-join",
+)
+def q197_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs (market-basket lift's numerator):
+    pairs of distinct parts appearing on the same order, ranked by
+    co-order count with full deterministic tie-break — the
+    recommendation-candidate generator.
+
+    Exactness: pure integer counting over DISTINCT (order, part); the
+    top-20 order is total (n DESC, part_a, part_b).  Shape: in-order
+    pair generation via a SELF-JOIN keyed by orderkey — per-order cost
+    is |lines|^2 with TPC-H's ~7-line orders (bounded fan-out, the
+    q56-class in-bucket pair rule; an order cap would go here if a
+    catalog allowed thousand-line orders), then a pair hash-agg and a
+    TakeOrdered top-20 (per-partition heaps, no global sort)."""
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+from .tsdb_ext import _LAG_SQL as _R8_LAG_SQL  # noqa: E402
+
+
+@query(
+    "q198_weekend_effect",
+    oracle=f"""
+    WITH {_R8_LAG_SQL}
+    SELECT event_type,
+           CAST(SUM(CASE WHEN isodow(CAST(d AS DATE)) >= 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           CAST(SUM(CASE WHEN isodow(CAST(d AS DATE)) <= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday,
+           (SUM(CASE WHEN isodow(CAST(d AS DATE)) >= 6
+                     THEN abs(c - pc) ELSE 0 END) * 20000
+            + GREATEST(SUM(CASE WHEN isodow(CAST(d AS DATE)) >= 6
+                                THEN 1 ELSE 0 END), 1))
+             // (2 * GREATEST(SUM(CASE WHEN isodow(CAST(d AS DATE)) >= 6
+                                       THEN 1 ELSE 0 END), 1)) / 10000.0
+             AS weekend_mean_absmove,
+           (SUM(CASE WHEN isodow(CAST(d AS DATE)) <= 5
+                     THEN abs(c - pc) ELSE 0 END) * 20000
+            + GREATEST(SUM(CASE WHEN isodow(CAST(d AS DATE)) <= 5
+                                THEN 1 ELSE 0 END), 1))
+             // (2 * GREATEST(SUM(CASE WHEN isodow(CAST(d AS DATE)) <= 5
+                                       THEN 1 ELSE 0 END), 1)) / 10000.0
+             AS weekday_mean_absmove
+    FROM s WHERE pc IS NOT NULL
+    GROUP BY 1
+    """,
+    category="timeseries-microstructure",
+)
+def q198_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday volatility split per symbol: mean absolute
+    tick move (cents) on ISO weekend days vs weekdays — the calendar-
+    anomaly screen (q146 splits VOLUME by weekday; this splits price
+    ENERGY), riding the shared keyed-prefix lag so the comparison adds
+    zero new window passes.
+
+    Exactness: the lag is the shared _lagged recurrence (exact cents,
+    keyed segmented prefix), day-class is ISO weekday on a DATE, both
+    means integer-decided with a GREATEST(n,1) guard so a symbol with
+    zero rows in one class publishes 0.0 rather than dividing by zero
+    (identically in both engines).  Shape: the q86 template — the
+    keyed lag pass, then ONE symbol hash-agg."""
+    from .tsdb_ext import _lagged
+
+    lag = _lagged(spark, sf_dir)
+    dow = F.weekday("d") + 1  # ISO: Mon=1..Sun=7
+    we = F.when(dow >= 6, 1).otherwise(0)
+    wd = F.when(dow <= 5, 1).otherwise(0)
+    mv = F.abs(F.col("c") - F.col("pc"))
+    g = (
+        lag.where(F.col("pc").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(we).cast("bigint").alias("n_weekend"),
+            F.sum(wd).cast("bigint").alias("n_weekday"),
+            F.sum(F.when(dow >= 6, mv).otherwise(0)).alias("s_we"),
+            F.sum(F.when(dow <= 5, mv).otherwise(0)).alias("s_wd"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        ratio_e4("s_we", "GREATEST(n_weekend, CAST(1 AS BIGINT))").alias(
+            "weekend_mean_absmove"
+        ),
+        ratio_e4("s_wd", "GREATEST(n_weekday, CAST(1 AS BIGINT))").alias(
+            "weekday_mean_absmove"
+        ),
+    )

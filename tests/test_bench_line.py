@@ -45,7 +45,7 @@ def test_line_fits_and_parses_at_current_registry_size():
     line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
     assert len(line) < LINE_BUDGET
     parsed = json.loads(line)
-    assert parsed["metric"] == "declared_query_suite_seconds"
+    assert parsed["metric"] == "suite_sec"
     assert len(parsed["queries"]) == 147
 
 

@@ -353,3 +353,123 @@ def test_q192_weekday_matrix_matches_python_replay(reg, spark):
         w = want.loc[(r.iso_dow, r.o_orderpriority)]
         assert r.n_orders == w.n
         assert r.total == round(int(w.tot) / 100.0, 2)
+
+
+# ---------------------------------------------------------------------------
+# q193-q198 (round-8 batch 2): python replays
+# ---------------------------------------------------------------------------
+
+
+def test_q193_order_gaps_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q193_customer_order_gaps").iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    gaps = (
+        pd.to_datetime(o.o_orderdate).groupby(o.o_custkey).diff().dt.days
+    )
+    meds = gaps.dropna().groupby(o.o_custkey).median()
+    assert got.n_repeat_customers == len(meds)
+    for p, col in (
+        (25, "p25_med_gap_days"),
+        (50, "p50_med_gap_days"),
+        (75, "p75_med_gap_days"),
+    ):
+        assert got[col] == round(
+            float(np.percentile(meds, p, method="linear")), 4
+        )
+
+
+def test_q194_surprisal_matches_python_replay(reg, spark):
+    import math
+    from collections import Counter
+
+    got = _pdf(reg, spark, "q194_unigram_surprisal").set_index("source")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    cf = Counter()
+    for t in d.text:
+        cf.update(t.split(" "))
+    T = sum(cf.values())
+    q = {tok: round((math.log(T) - math.log(c)) * 1_000_000) for tok, c in cf.items()}
+    for src, g in d.groupby("source"):
+        toks = [tok for t in g.text for tok in t.split(" ")]
+        sq = sum(q[tok] for tok in toks)
+        n = len(toks)
+        r = got.loc[src]
+        assert r.n_tokens == n
+        assert r.avg_surprisal_nats == _ratio_e4(sq, 1_000_000 * n)
+        # sanity: a unigram model's average surprisal is positive and
+        # below ln(T) (the rarest possible token)
+        assert 0 < r.avg_surprisal_nats < math.log(T)
+
+
+def test_q195_vwap_deviation_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q195_vwap_deviation")
+    got = got.set_index(["event_type", "d"])
+    ev = _events().sort_values(["ts", "event_id"])
+    ev["day"] = ev.ts.dt.date.astype(str)
+    for (sym, day), g in ev.groupby(["event_type", "day"]):
+        scv = int((g.c * g.user_id).sum())
+        sv = int(g.user_id.sum())
+        if sv <= 0:
+            continue
+        cl = int(g.c.iloc[-1])
+        r = got.loc[(sym, day)]
+        assert r.n_ticks == len(g)
+        assert r.vwap == _ratio_e4(scv, 100 * sv)
+        num = (cl * sv - scv) * 10000
+        want = (
+            -(((-num) * 20000 + scv) // (2 * scv)) if num < 0
+            else ((num * 20000 + scv) // (2 * scv))
+        ) / 10000.0
+        assert r.close_dev_bps == want
+
+
+def test_q196_round_bias_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q196_round_price_bias").set_index("event_type")
+    ev = _events()
+    for sym, g in ev.groupby("event_type"):
+        r = got.loc[sym]
+        wd = int((g.c % 100 == 0).sum())
+        qt = int((g.c % 25 == 0).sum())
+        assert r.n_ticks == len(g)
+        assert r.whole_dollar == wd and r.quarter == qt
+        assert r.whole_share == _ratio_e4(wd, len(g))
+        assert r.quarter_share == _ratio_e4(qt, len(g))
+        assert r.quarter >= r.whole_dollar  # whole-dollar ⊂ quarter levels
+
+
+def test_q197_copurchase_matches_python_replay(reg, spark):
+    from collections import Counter
+    from itertools import combinations
+
+    got = _pdf(reg, spark, "q197_copurchase_pairs")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pairs = Counter()
+    for _, g in li.drop_duplicates(["l_orderkey", "l_partkey"]).groupby(
+        "l_orderkey"
+    ):
+        for a, b in combinations(sorted(g.l_partkey), 2):
+            pairs[(a, b)] += 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == len(want)
+    for row, ((a, b), n) in zip(got.itertuples(), want):
+        assert (row.part_a, row.part_b, row.n_orders) == (a, b, n)
+
+
+def test_q198_weekend_effect_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q198_weekend_effect").set_index("event_type")
+    ev = _events().sort_values(["event_type", "ts", "event_id"])
+    ev["pc"] = ev.groupby("event_type").c.shift(1)
+    ev = ev[ev.pc.notna()]
+    ev["iso"] = ev.ts.dt.dayofweek + 1
+    ev["mv"] = (ev.c - ev.pc).abs().astype("int64")
+    for sym, g in ev.groupby("event_type"):
+        we, wd = g[g.iso >= 6], g[g.iso <= 5]
+        r = got.loc[sym]
+        assert r.n_weekend == len(we) and r.n_weekday == len(wd)
+        assert r.weekend_mean_absmove == _ratio_e4(
+            int(we.mv.sum()), max(len(we), 1)
+        )
+        assert r.weekday_mean_absmove == _ratio_e4(
+            int(wd.mv.sum()), max(len(wd), 1)
+        )
