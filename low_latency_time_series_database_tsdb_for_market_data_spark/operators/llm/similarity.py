@@ -484,3 +484,186 @@ def ivf_search(
         .limit(topk)
         .select("vec_id", F.round("cos_raw", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8): the memory side of the ANN scale story.
+# IVF (above) prunes WHICH vectors a probe scans; PQ compresses WHAT is
+# scanned — m sub-codebooks of k centroids turn a 64-dim float vector
+# (256 B) into m small codes (m bytes at k <= 256), a 16-32x reduction
+# that decides whether a 100 TB embedding corpus fits the cluster's RAM.
+# Public-knowledge design (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", PAMI 2011): split dims into m subspaces,
+# k-means each, encode = per-subspace argmin, search = asymmetric
+# distance (ADC) via a per-probe lookup table.  No reference analogue
+# (the reference has no vector surface); extends SURVEY §2.4's
+# ivf_index/ivf_search scale path.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    iters: int = 10,
+    sample: int = 65_536,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each.
+
+    Deterministic end to end: the training sample is the `sample`
+    smallest vec_ids (no RNG), init is the first k rows of each
+    subspace, and Lloyd's runs a fixed `iters` rounds in numpy on the
+    driver — model fitting happens on a bounded sample (KBs-MBs)
+    exactly like train_centroids' driver-side means; only ENCODING
+    (below) touches the full corpus.  Empty clusters keep their old
+    position (the train_centroids rule).
+
+    Returns codebooks[m][k][dim/m]."""
+    import numpy as np
+
+    rows = (
+        vecs.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        c = xs[:k].copy()
+        for _ in range(iters):
+            # matmul form of ||x-c||^2 (argmin-invariant): n x k, never
+            # the n x k x sub broadcast cube — k=256 training at 65k
+            # samples stays in MBs
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (xs @ c.T)
+            a = d.argmin(axis=1)
+            for ci in range(k):
+                mask = a == ci
+                if mask.any():
+                    c[ci] = xs[mask].mean(axis=0)
+        books.append(c.tolist())
+    return books
+
+
+def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode every (vec_id, embedding) row to its m-byte PQ code —
+    Arrow-batched, one numpy distance matrix per (batch, subspace), no
+    shuffle (a pure narrow map like ivf_index; at 100 TB this is the
+    one full pass that writes the compressed copy).
+
+    Returns (vec_id, code array<smallint>) — smallint holds k <= 256
+    with headroom; the storage story is bytes-per-code, metered in
+    tests via the m x log2(k) arithmetic, not the test-side dtype."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((x.shape[0], m), dtype=np.int16)
+            for j, c in enumerate(books):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (xs @ c.T)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            out = pdf[["vec_id"]].copy()
+            out["code"] = list(codes)
+            yield out
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, code array<smallint>"
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    topk: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k nearest neighbours (squared-L2) of `probe`
+    over a pq_encode'd table via asymmetric distance (ADC): the
+    per-subspace lookup table ||p_j - c_jk||^2 is built ONCE on the
+    driver (m x k floats), broadcast in the closure, and each Arrow
+    batch scores rows with numpy fancy-indexing — the scan reads only
+    the m-byte codes, never the original vectors.  Approximate by
+    design; recall vs exact search is asserted in tests.
+
+    Returns (vec_id, adist) rows, ascending approximate distance with
+    vec_id tie-break via TakeOrdered (per-partition heaps)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    p = np.asarray(probe, dtype=np.float64)
+    lut = np.stack(
+        [
+            ((books[j] - p[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+
+    def score(batches):
+        for pdf in batches:
+            c = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            d = lut[np.arange(m)[None, :], c].sum(axis=1)
+            out = pdf[["vec_id"]].copy()
+            out["adist"] = d
+            yield out
+
+    scored = codes.mapInPandas(score, "vec_id bigint, adist double")
+    if exclude_vec_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        scored.orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("adist", 6).alias("adist"))
+    )
+
+
+def pq_search_rerank(
+    codes: DataFrame,
+    vecs: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    topk: int = TOP_K,
+    shortlist: int = 100,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """The deployed PQ pipeline: ADC over the compressed codes produces
+    a `shortlist` of candidates (reading m bytes/vector), then ONLY
+    those rows' original vectors are fetched and re-ranked by exact
+    squared L2 — recall approaches exact search while the full-corpus
+    scan still never touches a float vector.  The candidate set is a
+    driver-side list of <= `shortlist` ids (KBs), pushed into the
+    vector fetch as an isin filter — at 100 TB that fetch is an
+    id-pruned point lookup, not a scan."""
+    cand = pq_search(
+        codes, codebooks, probe, topk=shortlist, exclude_vec_id=exclude_vec_id
+    )
+    ids = [r["vec_id"] for r in cand.collect()]
+    import numpy as np  # noqa: F401  (parity with the other PQ stages)
+
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    v = _dbl(F.col("embedding"))
+    d2 = F.aggregate(
+        F.zip_with(v, p, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.where(F.col("vec_id").isin(ids))
+        .withColumn("dist", d2)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("dist", 6).alias("dist"))
+    )

@@ -739,3 +739,109 @@ def test_ivf_index_and_search_recall_vs_exact(spark, sf_dir):
     ).collect()
     got = {r["vec_id"] for r in approx}
     assert len(got & set(exact_ids)) / len(exact_ids) >= 0.5
+
+
+def test_pq_encode_search_recall_and_compression(spark, sf_dir):
+    """Product quantization (round 8): codes must be within range (m
+    codes of k levels = the 16x memory story), encoding deterministic,
+    and ADC top-10 recall vs exact numpy L2 high on the separable
+    fixture — the honest ANN check (exact ranking is NOT expected)."""
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m, k = 16, 16
+    books = pq_train(e, m=m, k=k, iters=5)
+    assert len(books) == m and all(len(b) == k for b in books)
+
+    codes = pq_encode(e, books)
+    pdf = codes.toPandas()
+    assert len(pdf) == e.count()
+    arr = np.stack(pdf["code"].to_numpy())
+    assert arr.shape[1] == m
+    assert arr.min() >= 0 and arr.max() < k
+    # compression arithmetic: m * log2(k) bits vs 64 float32 dims
+    assert (m * 4) / (64 * 32) <= 1 / 16
+
+    # determinism: re-train + re-encode gives identical codes
+    books2 = pq_train(e, m=m, k=k, iters=5)
+    assert books == books2
+    pdf2 = pq_encode(e, books2).toPandas().sort_values("vec_id")
+    a = np.stack(pdf.sort_values("vec_id")["code"].to_numpy())
+    b = np.stack(pdf2["code"].to_numpy())
+    assert (a == b).all()
+
+    # recall@10 vs exact L2 (numpy ground truth over all vectors)
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    probe = x[ids == 0][0]
+    d = ((x - probe[None, :]) ** 2).sum(axis=1)
+    mask = ids != 0
+    order = np.lexsort((ids[mask], d[mask]))
+    exact10 = set(ids[mask][order][:10].tolist())
+
+    got = pq_search(codes, books, list(probe), topk=10, exclude_vec_id=0)
+    hits = {r.vec_id for r in got.collect()}
+    assert len(hits) == 10
+    # raw ADC recall on a tight fixture is modest — the deployed
+    # pipeline reranks a shortlist (below); raw just needs signal
+    assert len(hits & exact10) >= 2, (hits, exact10)
+
+    # shortlist + exact rerank: the deployed PQ pipeline — near-exact
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (
+        pq_search_rerank,
+    )
+
+    rr = pq_search_rerank(
+        codes, e, books, list(probe), topk=10, shortlist=100,
+        exclude_vec_id=0,
+    )
+    rr_hits = [r.vec_id for r in rr.collect()]
+    assert len(rr_hits) == 10
+    assert len(set(rr_hits) & exact10) >= 9, (rr_hits, exact10)
+    # rerank distances are EXACT L2 — must match numpy for the overlap
+    dmap = {int(i): float(di) for i, di in zip(ids, d)}
+    for r in rr.collect():
+        assert abs(r.dist - dmap[r.vec_id]) < 1e-4
+
+    # ADC distances are non-negative and sorted ascending
+    dists = [r.adist for r in got.collect()]
+    assert all(di >= 0 for di in dists)
+    assert dists == sorted(dists)
+
+
+def test_pq_reconstructs_codebook_vectors_exactly(spark):
+    """A vector assembled FROM codebook centroids must encode to those
+    exact centroid ids and ADC-score ~0 against itself — the round-trip
+    identity that pins subspace slicing and lookup-table indexing."""
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(128, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(128)],
+        "vec_id bigint, embedding array<float>",
+    )
+    books = pq_train(df, m=4, k=8, iters=8)
+    picked = [books[j][j % 8] for j in range(4)]
+    synth = [x for sub in picked for x in sub]
+    sdf = spark.createDataFrame(
+        [(999, [float(x) for x in synth])],
+        "vec_id bigint, embedding array<float>",
+    )
+    code = pq_encode(sdf, books).collect()[0]["code"]
+    assert list(code) == [0 % 8, 1 % 8, 2 % 8, 3 % 8]
+    hit = pq_search(pq_encode(sdf, books), books, synth, topk=1).collect()[0]
+    assert hit["vec_id"] == 999 and abs(hit["adist"]) < 1e-9

@@ -33,6 +33,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (  # noqa: E402,E501
     ivf_index,
     ivf_search,
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    pq_train,
 )
 
 DIM = 64
@@ -151,12 +155,64 @@ def main() -> int:
     got_ids = {r["vec_id"] for r in got}
     recall = len(exact_ids & got_ids) / TOPK
 
+    # --- PQ leg (round 8): train on a 64k sample, encode the corpus
+    # (the 16x-compression write pass: 16 bytes/code vs 256-byte float
+    # vectors), ADC-scan probe + exact rerank.  k=256 per 4-dim
+    # subspace: this corpus has 64 lattice modes per subspace, so k=16
+    # would merge ~4 clusters per cell and the quantization error would
+    # swamp ranking entirely (observed: noise-only shortlists) ---
+    t0 = time.perf_counter()
+    books = pq_train(vecs, m=16, k=256, iters=5)
+    pq_train_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    codes = pq_encode(vecs, books).persist()
+    n_codes = codes.count()
+    pq_encode_sec = time.perf_counter() - t0
+    assert n_codes == n_vec
+    pq_probe_sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pq_search(codes, books, probe, topk=TOPK).collect()
+        pq_probe_sec = min(pq_probe_sec, time.perf_counter() - t0)
+    rr = pq_search_rerank(codes, vecs, books, probe, topk=TOPK,
+                          shortlist=100)
+    # exact L2 ground truth for the PQ legs (ivf/exact above are cosine;
+    # on this corpus the probe IS a cluster center so both agree)
+    pq_ids = {r["vec_id"] for r in rr.collect()}
+    l2 = F.aggregate(
+        F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact_l2 = (
+        vecs.select("vec_id", l2.alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(TOPK)
+        .collect()
+    )
+    exact_l2_ids = {r["vec_id"] for r in exact_l2}
+    pq_recall = len(pq_ids & exact_l2_ids) / TOPK
+    # NOTE the probe is NOT a member cluster's center: xxhash64(lit(7))
+    # hashes an INT where the generator hashes the BIGINT cl column, so
+    # cents[] are independent Voronoi seeds.  That makes this the HARD
+    # variant of the test — the probe's true neighbours are isolated
+    # noise vectors at individually distinguishable distances, so
+    # recall@10 here is a fine-grained id-level check (k=256 subspace
+    # codebooks resolve it; k=16 demonstrably did not — shortlists came
+    # back neighbour-free).  IVF recall above is self-consistent for
+    # the same reason (assignment and ground truth share the probe).
+
     out = {
         "vectors": n_vec,
         "build_sec": round(build_sec, 1),
         "build_vec_per_sec": round(n_vec / build_sec),
         "probe_ms_min5": round(probe_sec * 1000, 1),
         "probe_ms_first": round(first_probe_sec * 1000, 1),
+        "pq_train_sec": round(pq_train_sec, 1),
+        "pq_encode_sec": round(pq_encode_sec, 1),
+        "pq_encode_vec_per_sec": round(n_vec / pq_encode_sec),
+        "pq_probe_ms_min3": round(pq_probe_sec * 1000, 1),
+        "pq_rerank_recall_at_10": pq_recall,
         "recall_at_10": recall,
         "list_skew_max_over_mean": round(skew, 2),
         "nprobe": NPROBE,
@@ -164,6 +220,7 @@ def main() -> int:
     }
     print(json.dumps(out))
     assert recall >= 0.9, out  # separable corpus: near-perfect expected
+    assert pq_recall >= 0.9, out  # shortlist+rerank: near-exact expected
     # lists are NOT balanced by construction: the 10% noise splits by the
     # Voronoi volumes of random lattice centers, which vary several-fold
     # (observed max/mean ~4 at 1M).  That is exactly the skew a real
