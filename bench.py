@@ -85,16 +85,28 @@ def build_driver_line(total: float, queries: dict, scalars: dict) -> str:
             out["suite"] = total
         return out
 
-    # (decimals, bare-keys, deciseconds, top-N-only) in degradation order
-    for q_decimals, bare, ds, top in (
-        (3, False, False, False),
-        (2, False, False, False),
-        (1, False, False, False),
-        (1, True, False, False),
-        (None, True, True, False),
-        (2, False, False, True),
-        (None, None, None, None),
+    # stages in degradation order: (decimals, bare-keys, deciseconds,
+    # top-N-only, positional-array).  The "arr" stage drops keys
+    # entirely — deciseconds in SORTED-NAME order under queries["v"]
+    # (flagged "qu": "ds-arr"); names are reconstructable from the
+    # registry and the full map is always in bench_detail.json.
+    for q_decimals, bare, ds, top, arr in (
+        (3, False, False, False, False),
+        (2, False, False, False, False),
+        (1, False, False, False, False),
+        (1, True, False, False, False),
+        (None, True, True, False, False),
+        (None, None, True, False, True),
+        (2, False, False, True, False),
+        (None, None, None, None, None),
     ):
+        if arr:
+            qv = [int(round(queries[n] * 10)) for n in sorted(queries)]
+            qblock = {"v": qv, "n": len(qv)}
+        elif q_decimals is None and not ds:
+            qblock = {"suite": total}
+        else:
+            qblock = _qmap(q_decimals, bare, ds, top)
         out = {
             # short metric name from round 8 (198 queries): the long
             # "declared_query_suite_seconds" cost 19 chars of the
@@ -102,11 +114,8 @@ def build_driver_line(total: float, queries: dict, scalars: dict) -> str:
             "metric": "suite_sec",
             "value": total,
             "unit": "sec",
-            "queries": (
-                {"suite": total} if q_decimals is None and not ds
-                else _qmap(q_decimals, bare, ds, top)
-            ),
-            **({"qu": "ds"} if ds else {}),
+            "queries": qblock,
+            **({"qu": ("ds-arr" if arr else "ds")} if ds else {}),
             **({"qtop": top_n} if top else {}),
             **scalars,
         }

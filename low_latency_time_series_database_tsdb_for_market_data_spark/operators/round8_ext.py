@@ -742,3 +742,124 @@ def q198_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weekday_mean_absmove"
         ),
     )
+
+
+@query(
+    "q199_dedup_savings",
+    oracle="""
+    WITH g AS (
+      SELECT source, md5(text) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(LENGTH(text)) AS BIGINT) AS sz
+      FROM documents GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(n - 1) AS BIGINT) AS n_dups,
+             CAST(SUM(n * sz) AS BIGINT) AS total_bytes,
+             CAST(SUM((n - 1) * sz) AS BIGINT) AS dup_bytes
+      FROM g GROUP BY 1)
+    SELECT source, n_docs, n_dups, total_bytes, dup_bytes,
+           (dup_bytes * 20000 + GREATEST(total_bytes, 1))
+             // (2 * GREATEST(total_bytes, 1)) / 10000.0 AS savings_share
+    FROM s
+    """,
+    category="llm-dedup",
+)
+def q199_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage savings from exact dedup: how many bytes
+    disappear if each identical-text group keeps one survivor — the
+    budget line that justifies running the q50/q66 pipeline at all
+    (q190 sizes multiplicity; this prices it, per source).  Grouping is
+    per (source, digest): a text duplicated across sources still costs
+    each source its own copies, matching per-source storage accounting.
+
+    Exactness: md5 is bit-identical, LENGTH counts the same characters
+    in both engines (fixture text is single-byte), everything else is
+    integer counting with a GREATEST(.,1) guard on the share.  Shape:
+    one (source, digest) hash-agg (digests move, never text), then a
+    |sources|-row rollup."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.length("text")).cast("bigint").alias("sz"),
+    )
+    s = g.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_dups"),
+        F.sum(F.col("n") * F.col("sz")).alias("total_bytes"),
+        F.sum((F.col("n") - 1) * F.col("sz")).alias("dup_bytes"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        "total_bytes",
+        "dup_bytes",
+        ratio_e4(
+            "dup_bytes", "GREATEST(total_bytes, CAST(1 AS BIGINT))"
+        ).alias("savings_share"),
+    )
+
+
+@query(
+    "q200_priority_mix_shift",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT month, CAST(SUM(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+    sh AS (
+      SELECT m.month, m.o_orderpriority, m.n,
+             (m.n * 20000 + t.tot) // (2 * t.tot) / 10000.0 AS share
+      FROM m JOIN t ON m.month = t.month),
+    lagged AS (
+      SELECT *, lag(share) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY month) AS prev_share
+      FROM sh)
+    SELECT CAST(CAST(month AS DATE) AS VARCHAR) AS month,
+           o_orderpriority, n, share,
+           ROUND(share - prev_share, 4) AS share_delta
+    FROM lagged WHERE prev_share IS NOT NULL
+    """,
+    category="warehouse-trend",
+)
+def q200_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month priority mix drift: each priority class's share
+    of the month's orders and its delta vs the previous month — the
+    early-warning panel for demand-mix shifts (q140 tracks revenue
+    GROWTH; this tracks composition).
+
+    Exactness: shares are integer-decided per month (ratio_e4), and the
+    delta subtracts two exact 4-decimal values (scaled integers over
+    10^4 — the difference is again exact at 4 decimals, so round(.,4)
+    is an identity in both engines).  Shape: one (month, priority)
+    hash-agg, month totals via a window on that grid, the MoM lag on
+    the |priorities| x |months| frame — everything after the first agg
+    is grid-sized."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("mo"))
+    sh = m.withColumn("tot", tot).select(
+        "mo", "o_orderpriority", "n", ratio_e4("n", "tot").alias("share")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("mo")
+    lagged = sh.withColumn("prev_share", F.lag("share").over(w)).where(
+        F.col("prev_share").isNotNull()
+    )
+    return lagged.select(
+        F.col("mo").cast("date").cast("string").alias("month"),
+        "o_orderpriority",
+        "n",
+        "share",
+        F.round(F.col("share") - F.col("prev_share"), 4).alias(
+            "share_delta"
+        ),
+    )

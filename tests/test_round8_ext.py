@@ -473,3 +473,47 @@ def test_q198_weekend_effect_matches_python_replay(reg, spark):
         assert r.weekday_mean_absmove == _ratio_e4(
             int(wd.mv.sum()), max(len(wd), 1)
         )
+
+
+def test_q199_dedup_savings_matches_python_replay(reg, spark):
+    import hashlib
+
+    got = _pdf(reg, spark, "q199_dedup_savings").set_index("source")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    d["h"] = d.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    d["sz"] = d.text.str.len().astype("int64")
+    g = d.groupby(["source", "h"]).agg(n=("sz", "size"), sz=("sz", "min"))
+    for src, gg in g.groupby(level=0):
+        r = got.loc[src]
+        n_docs = int(gg.n.sum())
+        dup_b = int(((gg.n - 1) * gg.sz).sum())
+        tot_b = int((gg.n * gg.sz).sum())
+        assert r.n_docs == n_docs
+        assert r.n_dups == int((gg.n - 1).sum())
+        assert (r.total_bytes, r.dup_bytes) == (tot_b, dup_b)
+        assert r.savings_share == _ratio_e4(dup_b, max(tot_b, 1))
+        assert 0.0 <= r.savings_share < 1.0
+
+
+def test_q200_mix_shift_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q200_priority_mix_shift")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["mo"] = pd.to_datetime(o.o_orderdate).dt.to_period("M").astype(str)
+    m = o.groupby(["mo", "o_orderpriority"]).size().rename("n").reset_index()
+    tot = m.groupby("mo").n.transform("sum")
+    m["share"] = [
+        _ratio_e4(int(n), int(t)) for n, t in zip(m.n, tot)
+    ]
+    m = m.sort_values(["o_orderpriority", "mo"])
+    m["prev"] = m.groupby("o_orderpriority").share.shift(1)
+    m = m[m.prev.notna()]
+    assert len(got) == len(m)
+    gm = got.assign(mo=got.month.str[:7].str.replace("-", "-")).set_index(
+        ["o_orderpriority", "mo"]
+    )
+    for r in m.itertuples():
+        key = (r.o_orderpriority, r.mo[:7])
+        w = gm.loc[key]
+        assert w.n == r.n
+        assert w.share == r.share
+        assert abs(w.share_delta - round(r.share - r.prev, 4)) < 1e-9
