@@ -863,3 +863,143 @@ def q200_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_delta"
         ),
     )
+
+
+@query(
+    "q201_temperature_mix",
+    oracle="""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs,
+                 CAST(ROUND(pow(CAST(n_docs AS DOUBLE), 0.7) * 1000000)
+                      AS BIGINT) AS w_u
+          FROM s),
+    t AS (SELECT CAST(SUM(w_u) AS BIGINT) AS tot FROM w)
+    SELECT source, n_docs,
+           (w_u * 20000 + tot) // (2 * tot) / 10000.0 AS mix_share,
+           CAST((w_u * 200000 + tot) // (2 * tot) AS BIGINT)
+             AS draws_per_100k
+    FROM w, t
+    """,
+    category="llm-curation",
+)
+def q201_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the standard training-mixture
+    rule: weight ∝ size^alpha with alpha = 0.7, the up-sample-the-tail
+    compromise between proportional and uniform): each source's
+    normalized mixture share and its expected draw count for a 100k
+    sample budget — the table a data-loading sampler is configured
+    from (q85 reports the raw mix; this prescribes the tempered one).
+
+    Exactness: pow(n, 0.7) is ONE float expression on an integer count,
+    QUANTIZED to integer micro-units before any normalization (the q194
+    rule — a 1-ulp libm divergence is 7 orders below the quantum), so
+    shares and draw counts are integer-decided end to end.  Shape: one
+    source hash-agg, a broadcast 1-row total, in-row publishes;
+    |sources|-row output."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = s.select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs").cast("double"), 0.7) * 1_000_000)
+        .cast("bigint")
+        .alias("w_u"),
+    )
+    # the grand total rides a global window over the ALREADY-AGGREGATED
+    # |sources| frame — a single-partition pass over dim-sized rows (the
+    # "1-row agg over partials" class the repo allows), never a second
+    # scan of the corpus
+    from pyspark.sql import Window
+
+    w = w.withColumn(
+        "tot", F.sum("w_u").over(Window.partitionBy(F.lit(1)))
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        ratio_e4("w_u", "tot").alias("mix_share"),
+        F.expr(
+            "CAST((CAST(w_u AS DECIMAL(38,0)) * 200000 + tot)"
+            " div (2 * CAST(tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("draws_per_100k"),
+    )
+
+
+@query(
+    "q202_surprisal_percentiles",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+    v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS T FROM v),
+    q AS (SELECT token,
+                 CAST(ROUND((ln(CAST(T AS DOUBLE)) - ln(CAST(cf AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS q_nats
+          FROM v, tot),
+    docs AS (SELECT doc_id,
+                    CAST(SUM(q.q_nats) AS BIGINT)
+                      // CAST(COUNT(*) AS BIGINT) AS mean_unats
+             FROM t JOIN q USING (token) GROUP BY doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(mean_unats, 0.10), 4) AS p10_unats,
+           ROUND(quantile_cont(mean_unats, 0.25), 4) AS p25_unats,
+           ROUND(quantile_cont(mean_unats, 0.50), 4) AS p50_unats,
+           ROUND(quantile_cont(mean_unats, 0.75), 4) AS p75_unats,
+           ROUND(quantile_cont(mean_unats, 0.90), 4) AS p90_unats
+    FROM docs
+    """,
+    category="llm-curation",
+)
+def q202_surprisal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide distribution of per-document mean unigram surprisal
+    (micro-nats): the p10-p90 band a perplexity-based quality filter
+    cuts against — q194 averages per SOURCE (where does odd text come
+    from); this is the per-DOCUMENT distribution (what threshold keeps
+    the middle of the corpus).
+
+    Exactness: per-token surprisal is the q194 quantized integer; the
+    per-doc mean is INTEGER floor division (sq, n both non-negative
+    BIGINTs — Spark div == DuckDB //), and the percentiles are exact
+    interpolated percentiles over those integers.  Shape: the q194
+    vocab join keyed by token, then a doc-grain agg and a 1-row
+    percentile rollup over the |docs| frame."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    v = t.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    tot = v.agg(F.sum("cf").alias("T"))
+    q = v.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            (
+                F.log(F.col("T").cast("double"))
+                - F.log(F.col("cf").cast("double"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("q_nats"),
+    )
+    docs = (
+        t.join(q, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(q_nats) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+            ).alias("mean_unats")
+        )
+    )
+    ps = F.percentile(
+        "mean_unats",
+        F.array(*[F.lit(x) for x in (0.10, 0.25, 0.50, 0.75, 0.90)]),
+    )
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"), ps.alias("ps")).select(
+        "n_docs",
+        *[
+            F.round(F.col("ps")[i], 4).alias(n)
+            for i, n in enumerate(
+                ("p10_unats", "p25_unats", "p50_unats", "p75_unats",
+                 "p90_unats")
+            )
+        ],
+    )

@@ -386,10 +386,11 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q198_weekend_effect",  # rides the same keyed _lagged pass
         # round-8 multi-table joins (each FileScan a different table)
         "q187_ship_latency", "q188_supplier_hhi",
-        # vocabulary pass + (source, token) pass over the same corpus —
-        # the q92 class: checkpointing the exploded token stream would
-        # materialize MORE than the corpus, so two pruned scans win
-        "q194_unigram_surprisal",
+        # vocabulary pass + (source / doc, token) pass over the same
+        # corpus — the q92 class: checkpointing the exploded token
+        # stream would materialize MORE than the corpus, so two pruned
+        # scans win
+        "q194_unigram_surprisal", "q202_surprisal_percentiles",
         # orderkey self-join pair generation: two declared slices of
         # lineitem (the q40 set-algebra class)
         "q197_copurchase_pairs",

@@ -517,3 +517,49 @@ def test_q200_mix_shift_matches_python_replay(reg, spark):
         assert w.n == r.n
         assert w.share == r.share
         assert abs(w.share_delta - round(r.share - r.prev, 4)) < 1e-9
+
+
+def test_q201_temperature_mix_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q201_temperature_mix").set_index("source")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    n = d.groupby("source").size()
+    w = {s: round((c ** 0.7) * 1_000_000) for s, c in n.items()}
+    tot = sum(w.values())
+    for s_, c in n.items():
+        r = got.loc[s_]
+        assert r.n_docs == c
+        assert r.mix_share == _ratio_e4(w[s_], tot)
+        assert r.draws_per_100k == (w[s_] * 200000 + tot) // (2 * tot)
+    # tempering: shares strictly between uniform and proportional for
+    # any non-uniform pair (bigger source gets LESS than proportional)
+    big, small = n.idxmax(), n.idxmin()
+    if n[big] > n[small]:
+        assert got.loc[big].mix_share < n[big] / n.sum() + 1e-9
+        assert got.loc[small].mix_share > n[small] / n.sum() - 1e-9
+    # draws approximately conserve the budget (rounding per source)
+    assert abs(int(got.draws_per_100k.sum()) - 100_000) <= len(n)
+
+
+def test_q202_surprisal_percentiles_matches_python_replay(reg, spark):
+    import math
+    from collections import Counter
+
+    got = _pdf(reg, spark, "q202_surprisal_percentiles").iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    cf = Counter()
+    for t in d.text:
+        cf.update(t.split(" "))
+    T = sum(cf.values())
+    q = {tok: round((math.log(T) - math.log(c)) * 1_000_000)
+         for tok, c in cf.items()}
+    means = []
+    for t in d.text:
+        toks = t.split(" ")
+        means.append(sum(q[tok] for tok in toks) // len(toks))
+    assert got.n_docs == len(means)
+    for p, col in ((10, "p10_unats"), (25, "p25_unats"), (50, "p50_unats"),
+                   (75, "p75_unats"), (90, "p90_unats")):
+        assert got[col] == round(
+            float(np.percentile(means, p, method="linear")), 4
+        )
+    assert got.p10_unats <= got.p50_unats <= got.p90_unats
