@@ -1003,3 +1003,122 @@ def q202_surprisal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+@query(
+    "q203_peak_concurrency",
+    oracle="""
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid,
+                    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+             FROM s GROUP BY user_id, sid),
+    b AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS delta, user_id, sid
+          FROM sess
+          UNION ALL
+          SELECT e_us + 1 AS us, CAST(-1 AS BIGINT) AS delta, user_id, sid
+          FROM sess),
+    c AS (SELECT us, delta,
+                 SUM(delta) OVER (ORDER BY us, delta, user_id, sid
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+          FROM b)
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM c)
+                         THEN us END) AS BIGINT) AS first_peak_us
+    FROM c
+    """,
+    category="timeseries-session",
+)
+def q203_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (sweep line over q37's gaps-and-islands
+    session intervals): the capacity-planning number a serving fleet is
+    sized by, plus the first instant it was reached — the interval
+    family's missing aggregate (q17 JOINS intervals; this integrates
+    their overlap).
+
+    Boundary convention: a session [s, e] occupies (s, e] closed at
+    both tick instants; its -1 boundary is stamped e+1 microsecond so a
+    session ending exactly when another starts still overlaps it —
+    and at EQUAL boundary timestamps the -1 sorts before the +1
+    (delta ASC), the conservative tie rule, pinned identically in both
+    engines by the (us, delta, user_id, sid) total order.
+
+    Exactness: boundaries are integer micros, the running concurrency
+    is an integer prefix sum over the boundary stream — computed by the
+    two-pass range prefix (:func:`..prefix.global_cumsum`, N-way
+    parallel, no single-partition window over the 2x|sessions| frame) —
+    and the peak/first-instant pair is one integer agg.  Shape: the
+    q37 session pass collapses the tape to |sessions| rows; everything
+    after runs on the boundary dim.  1-row output."""
+    from .sessions import q37_sessionize
+    from ..catalog import table as _table  # noqa: F401  (style parity)
+    from .prefix import global_cumsum
+
+    sess = q37_sessionize(spark, sf_dir)
+    # q37 publishes (user_id, session_id, n_events, dur_us); recover the
+    # start/end instants from the same exact session pass
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.sum(new_s).over(run).cast("bigint").alias("sid"),
+    )
+    spans = s.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    b = spans.select(
+        F.col("s_us").alias("us"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "user_id",
+        "sid",
+    ).unionAll(
+        spans.select(
+            (F.col("e_us") + 1).alias("us"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            "user_id",
+            "sid",
+        )
+    )
+    # 8 range partitions: the boundary frame is 2x|sessions| (dim-
+    # sized) — default 32 would spend more on task scheduling than on
+    # the prefix itself at bench SF, and 8 slices of a dim frame keep
+    # full parallelism headroom at any realistic session count
+    c = global_cumsum(
+        b,
+        [F.col("us"), F.col("delta"), F.col("user_id"), F.col("sid")],
+        "delta",
+        "conc",
+        count_total_col="n_bounds",
+        num_partitions=8,
+    )
+    # global max via a window over the dim-sized boundary frame (the
+    # q201 class), THEN one 1-row agg — Spark forbids windows inside
+    # aggregates
+    c = c.withColumn(
+        "mx", F.max("conc").over(W.partitionBy(F.lit(1)))
+    )
+    return c.agg(
+        (F.max("n_bounds") / 2).cast("bigint").alias("n_sessions"),
+        F.max("conc").alias("peak_concurrency"),
+        F.min(
+            F.when(F.col("conc") == F.col("mx"), F.col("us"))
+        ).alias("first_peak_us"),
+    )

@@ -563,3 +563,29 @@ def test_q202_surprisal_percentiles_matches_python_replay(reg, spark):
             float(np.percentile(means, p, method="linear")), 4
         )
     assert got.p10_unats <= got.p50_unats <= got.p90_unats
+
+
+def test_q203_peak_concurrency_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q203_peak_concurrency").iloc[0]
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    gap = ev.groupby("user_id").us.diff()
+    ev["sid"] = (gap.isna() | (gap > 1800 * 1_000_000)).groupby(
+        ev.user_id
+    ).cumsum()
+    spans = ev.groupby(["user_id", "sid"]).us.agg(["min", "max"])
+    bounds = []
+    for (u, sid), r in spans.iterrows():
+        bounds.append((int(r["min"]), 1, u, sid))
+        bounds.append((int(r["max"]) + 1, -1, u, sid))
+    bounds.sort()
+    conc = peak = 0
+    first_peak = None
+    for us, delta, _, _ in bounds:
+        conc += delta
+        if conc > peak:
+            peak, first_peak = conc, us
+    assert got.n_sessions == len(spans)
+    assert got.peak_concurrency == peak
+    assert got.first_peak_us == first_peak
+    # sanity: peak is bounded by the number of users
+    assert 1 <= peak <= ev.user_id.nunique()
