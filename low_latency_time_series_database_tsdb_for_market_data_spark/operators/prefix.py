@@ -172,10 +172,14 @@ def global_row_number(
 
 
 def _idiv(a: Column, b: Column) -> Column:
-    """Exact floor division for non-negative BIGINT columns: subtracting
-    the modulus first makes the double division an exact multiple, so
-    the cast never crosses an integer boundary."""
-    return ((a - a % b) / b).cast("bigint")
+    """Exact floor division for non-negative BIGINT columns.  Subtracting
+    the modulus first makes the numerator an exact multiple of ``b``;
+    dividing in DECIMAL(38,0) (not DOUBLE, which is exact only below
+    2^53) keeps the quotient exact over the full int64 range — a 19-digit
+    integer quotient plus the default 6-digit division scale fits well
+    inside 38 digits of precision."""
+    exact = (a - a % b).cast("decimal(38,0)")
+    return (exact / b.cast("decimal(38,0)")).cast("bigint")
 
 
 def ntile_expr(rn: Column, n_total: Column, buckets: int) -> Column:
@@ -320,4 +324,8 @@ def hour_bucket(ts_col: str) -> Column:
     ts, so it satisfies keyed_prefix's bucket contract."""
     us = F.unix_micros(F.col(ts_col))
     w = F.lit(3_600_000_000).cast("bigint")
-    return ((us - F.pmod(us, w)) / w).cast("bigint")
+    # pmod (not %) keeps pre-epoch buckets floor-consistent; the division
+    # runs in DECIMAL(38,0) (via _idiv's numerator trick) because DOUBLE
+    # division is exact only while |unix_micros| < 2^53 (~year 2255).
+    exact = (us - F.pmod(us, w)).cast("decimal(38,0)")
+    return (exact / w.cast("decimal(38,0)")).cast("bigint")

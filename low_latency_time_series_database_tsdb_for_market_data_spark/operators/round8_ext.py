@@ -432,8 +432,10 @@ def q193_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM t GROUP BY 1, 2)
     SELECT source,
            CAST(SUM(occ) AS BIGINT) AS n_tokens,
-           (SUM(occ * q.q_nats) * 20000 + 1000000 * SUM(occ))
-             // (2 * 1000000 * SUM(occ)) / 10000.0 AS avg_surprisal_nats
+           (SUM(CAST(occ AS HUGEINT) * q.q_nats) * 20000
+              + 1000000 * CAST(SUM(occ) AS HUGEINT))
+             // (2 * 1000000 * CAST(SUM(occ) AS HUGEINT)) / 10000.0
+             AS avg_surprisal_nats
     FROM st JOIN q USING (token)
     GROUP BY 1
     """,
@@ -450,7 +452,11 @@ def q194_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — both engines evaluate the identical float expression on
     identical integers — QUANTIZED to integer micro-nats before any
     accumulation, so sum order cannot drift the hash; the per-source
-    average is then an integer ratio (ratio_e4 identity).  Shape:
+    average is then an integer ratio (ratio_e4 identity).  The occ *
+    q_nats cross-product and the 1e6 * n_tokens denominator are widened
+    to DECIMAL(38,0)/HUGEINT BEFORE multiplying (q162 rule) — at 100 TB
+    (~1e13 tokens x ~3e7 micro-nats) the BIGINT products would wrap
+    silently under ANSI-off.  Shape:
     explode -> vocabulary-scale cf agg, a (source, token) occurrence
     agg, one vocab-keyed join (both sides vocabulary-scale — the
     corpus itself never reshuffles), one |sources|-row agg."""
@@ -478,14 +484,16 @@ def q194_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("occ").alias("n_tokens"),
-            F.sum(F.col("occ") * F.col("q_nats")).alias("sq"),
+            F.sum(
+                F.col("occ").cast("decimal(38,0)") * F.col("q_nats")
+            ).alias("sq"),
         )
         .select(
             "source",
             "n_tokens",
-            ratio_e4("sq", "1000000 * n_tokens").alias(
-                "avg_surprisal_nats"
-            ),
+            ratio_e4(
+                "sq", "1000000 * CAST(n_tokens AS DECIMAL(38,0))"
+            ).alias("avg_surprisal_nats"),
         )
     )
 
@@ -959,8 +967,10 @@ def q202_surprisal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the middle of the corpus).
 
     Exactness: per-token surprisal is the q194 quantized integer; the
-    per-doc mean is INTEGER floor division (sq, n both non-negative
-    BIGINTs — Spark div == DuckDB //), and the percentiles are exact
+    per-doc mean is INTEGER floor division (sq, n both non-negative —
+    Spark div == DuckDB //; the Spark sum is widened to DECIMAL(38,0)
+    so a pathological 1e11-token document cannot wrap it, matching
+    DuckDB's HUGEINT SUM), and the percentiles are exact
     interpolated percentiles over those integers.  Shape: the q194
     vocab join keyed by token, then a doc-grain agg and a 1-row
     percentile rollup over the |docs| frame."""
@@ -985,7 +995,8 @@ def q202_surprisal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "CAST(SUM(q_nats) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+                "CAST(SUM(CAST(q_nats AS DECIMAL(38,0)))"
+                " div CAST(COUNT(*) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("mean_unats")
         )
     )

