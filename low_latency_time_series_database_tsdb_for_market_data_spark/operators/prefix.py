@@ -199,6 +199,58 @@ def ntile_expr(rn: Column, n_total: Column, buckets: int) -> Column:
     )
 
 
+# keyed_prefix's small-input dispatch (r8 verdict item #3): below the
+# measured ~1-10M-row crossover (BASELINE.md "keyed-prefix crossover"),
+# the boundary pass is a fixed ~0.4 s cost the classic window doesn't
+# pay, so small inputs route through Window.partitionBy(key) — the two
+# paths are value-identical (test_keyed_prefix_matches_classic_window
+# is literally this equivalence), only the physical plan differs.  The
+# threshold is Catalyst's optimizedPlan sizeInBytes estimate (file size
+# x selectivity — no job is run to decide); 64 MiB sits inside the
+# measured crossover band, biased toward the keyed path (the scale-safe
+# side).  Set the conf to 0 to force the keyed path everywhere.
+CLASSIC_MAX_BYTES_CONF = "spark.graft.prefix.classicMaxBytes"
+CLASSIC_MAX_BYTES_DEFAULT = 64 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan, in bytes —
+    driver-side metadata only (parquet footers / file lengths), no job.
+    Returns None where the JVM plan is unreachable (Spark Connect), in
+    which case the caller keeps the scale-safe keyed path."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def classic_keyed_window(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    lags: dict[str, str] | None = None,
+    cumsums: dict[str, str] | None = None,
+    row_number_col: str | None = None,
+) -> DataFrame:
+    """The textbook ``Window.partitionBy(key)`` form of keyed_prefix —
+    value-identical output, min(#keys, #cores) parallelism.  The right
+    plan BELOW the boundary-pass crossover; keyed_prefix dispatches
+    here automatically (see CLASSIC_MAX_BYTES_CONF)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(o) for o in order_cols])
+    cumw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df
+    for out_col, src in (lags or {}).items():
+        out = out.withColumn(out_col, F.lag(src).over(w))
+    for out_col, src in (cumsums or {}).items():
+        out = out.withColumn(out_col, F.sum(src).over(cumw))
+    if row_number_col is not None:
+        out = out.withColumn(
+            row_number_col, F.row_number().over(w).cast("bigint")
+        )
+    return out
+
+
 def keyed_prefix(
     df: DataFrame,
     key_cols: list[str],
@@ -207,6 +259,7 @@ def keyed_prefix(
     lags: dict[str, str] | None = None,
     cumsums: dict[str, str] | None = None,
     row_number_col: str | None = None,
+    classic_max_bytes: int | None = None,
 ) -> DataFrame:
     """Per-KEY order-dependent recurrences (lag-1, inclusive running
     sum, row number) without ``Window.partitionBy(key)``'s
@@ -253,7 +306,27 @@ def keyed_prefix(
     frame is |keys x active buckets| rows and rides a broadcast: pick
     the bucket width so that stays dim-sized (hours for a tape of
     thousands of symbols; widen to days/weeks at 10^5 keys x years).
+
+    Small inputs (Catalyst size estimate <= ``classic_max_bytes``,
+    default the ``spark.graft.prefix.classicMaxBytes`` conf, 64 MiB)
+    dispatch to :func:`classic_keyed_window` — value-identical, and it
+    skips the boundary pass's fixed cost, which dominates below the
+    ~1-10M-row crossover recorded in BASELINE.md.  Pass 0 (or set the
+    conf to 0) to force the keyed path.
     """
+    limit = classic_max_bytes
+    if limit is None:
+        limit = int(
+            df.sparkSession.conf.get(
+                CLASSIC_MAX_BYTES_CONF, str(CLASSIC_MAX_BYTES_DEFAULT)
+            )
+        )
+    if limit > 0:
+        est = _plan_size_bytes(df)
+        if est is not None and est <= limit:
+            return classic_keyed_window(
+                df, key_cols, order_cols, lags, cumsums, row_number_col
+            )
     lags = lags or {}
     cumsums = cumsums or {}
     d = df.withColumn("__b", bucket)

@@ -248,10 +248,21 @@ def test_keyed_prefix_family_no_symbol_ceiling(reg, spark, sf_dir):
     FileScan, allowlisted below), joined back by broadcast: no
     single-partition exchange anywhere, and the exchange budget =
     keyed_prefix's two (data window + boundary partials' tiny offsets
-    exchange) + the query's own dim-sized aggs."""
+    exchange) + the query's own dim-sized aggs.
+
+    Round 9 added the small-input dispatch (r8 verdict item #3): below
+    the crossover keyed_prefix routes through the classic symbol
+    window.  The contract now covers BOTH paths — at the toy sf_dir
+    the default conf must pick classic (no __b machinery, no
+    boundary-pass broadcast, one exchange fewer), and with the conf
+    forced to 0 the keyed shape above must come back."""
     import re
 
-    for name, budget in (
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (
+        CLASSIC_MAX_BYTES_CONF,
+    )
+
+    family = (
         ("q86_realized_variance", 4),
         ("q88_tick_direction", 4),
         ("q154_amihud_illiquidity", 4),
@@ -259,18 +270,31 @@ def test_keyed_prefix_family_no_symbol_ceiling(reg, spark, sf_dir):
         ("q161_kyle_lambda", 4),
         ("q165_volume_clock", 4),
         ("q177_vpin", 5),  # (symbol, bar) agg + symbol rollup
-    ):
+    )
+    # --- classic leg: the default dispatch at toy scale ---
+    for name, budget in family:
         df = q(reg, spark, sf_dir, name)
         plan = physical_plan(df)
         assert "Exchange SinglePartition" not in plan, name
-        assert exchanges(df) <= budget, (name, exchanges(df))
-        # every windowspec over the tape carries the __b bucket; the
-        # offsets windowspec orders BY __b — either way __b is present,
-        # and no spec may partition on event_type alone
-        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-        assert specs, name
-        for s in specs:
-            assert "__b#" in s, (name, s)
+        assert "__b#" not in plan, (name, "expected classic path at toy SF")
+        assert exchanges(df) <= budget - 1, (name, exchanges(df))
+    # --- keyed leg: conf=0 forces the scale path; full keyed contract ---
+    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    try:
+        for name, budget in family:
+            df = q(reg, spark, sf_dir, name)
+            plan = physical_plan(df)
+            assert "Exchange SinglePartition" not in plan, name
+            assert exchanges(df) <= budget, (name, exchanges(df))
+            # every windowspec over the tape carries the __b bucket; the
+            # offsets windowspec orders BY __b — either way __b is
+            # present, and no spec may partition on event_type alone
+            specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+            assert specs, name
+            for s in specs:
+                assert "__b#" in s, (name, s)
+    finally:
+        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
 
 
 def test_resample_linear_two_shuffles_and_broadcast_bounds(reg, spark, sf_dir):
@@ -363,6 +387,11 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # (its lineitem scan is single — the per-part average is a
         # WINDOW, not a second scan)
         "q167_top_supplier", "q168_small_qty_revenue",
+        # r9 rewrite: 3 scans = 3 DIFFERENT tables (lineitem/orders/
+        # supplier), each read exactly once — the r8 localCheckpoint
+        # hid the lineage; test_q179_plan_shares_single_fact_pass pins
+        # the one-scan-per-table property explicitly
+        "q179_sole_late_supplier",
         # scalar-subquery decorrelation demo (broadcast group-avg side)
         "q19_above_group_avg",
         # dense-grid resamplers: bounds probe + symbol list + data pass

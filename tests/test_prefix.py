@@ -163,6 +163,7 @@ def test_keyed_prefix_matches_classic_window(spark):
         lags={"px": "x"},
         cumsums={"cx": "x"},
         row_number_col="rn",
+        classic_max_bytes=0,  # force the keyed machinery under test
     )
     w = Window.partitionBy("k").orderBy("o")
     cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -188,7 +189,7 @@ def test_keyed_prefix_invariant_under_bucket_width(spark):
     for n in (300, 7000):
         got = keyed_prefix(
             df, ["k"], ["o"], bucket=_bkt(n), cumsums={"cx": "x"},
-            row_number_col="rn",
+            row_number_col="rn", classic_max_bytes=0,
         )
         outs.append(
             got.select("k", "o", "cx", "rn")
@@ -201,7 +202,7 @@ def test_keyed_prefix_invariant_under_bucket_width(spark):
 def test_keyed_prefix_first_rows_and_interior_keys(spark):
     got = keyed_prefix(
         _tape(spark), ["k"], ["o"], bucket=_bkt(500), lags={"px": "x"},
-        row_number_col="rn",
+        row_number_col="rn", classic_max_bytes=0,
     ).toPandas()
     # every key's global first row has a NULL lag, exactly one rn == 1
     for k, g in got.groupby("k"):
@@ -217,7 +218,8 @@ def test_keyed_prefix_plan_has_no_key_partitioned_data_sort(spark):
     """The whole point: the data window must slice by (key, bucket),
     never the bare key, and nothing may collapse to one partition."""
     got = keyed_prefix(
-        _tape(spark), ["k"], ["o"], bucket=_bkt(750), cumsums={"cx": "x"}
+        _tape(spark), ["k"], ["o"], bucket=_bkt(750), cumsums={"cx": "x"},
+        classic_max_bytes=0,
     )
     plan = physical_plan(got)
     assert "Exchange SinglePartition" not in plan
@@ -225,3 +227,68 @@ def test_keyed_prefix_plan_has_no_key_partitioned_data_sort(spark):
     # bare key (parallelism = #keys); the offsets window over the tiny
     # per-bucket frame is the only bare-key window allowed
     assert "hashpartitioning(k#" in plan and "__b#" in plan
+
+
+# ---------------------------------------------------------------------------
+# small-input dispatch (round 9, r8 verdict item #3): below the measured
+# crossover keyed_prefix routes through the classic key window — same
+# values, no boundary-pass fixed cost
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_prefix_dispatches_classic_below_threshold(spark, tmp_path):
+    """A toy PARQUET input (Catalyst estimate well under 64 MiB — the
+    estimate is file-size-based, so only file sources ever qualify;
+    in-memory relations report Long.Max and stay keyed) must take the
+    classic path: no bucket column, no boundary-frame broadcast join in
+    the plan — and still no Exchange SinglePartition."""
+    path = str(tmp_path / "tape.parquet")
+    _tape(spark, 5_000, 3).write.parquet(path)
+    got = keyed_prefix(
+        spark.read.parquet(path), ["k"], ["o"], bucket=_bkt(500),
+        lags={"px": "x"}, cumsums={"cx": "x"}, row_number_col="rn",
+    )
+    plan = physical_plan(got)
+    assert "__b#" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_keyed_prefix_dispatch_paths_agree(spark):
+    """The dispatch is a pure physical-plan choice: forcing each side
+    of the threshold yields identical values (the value-equivalence the
+    dispatch's correctness rests on, exercised end to end)."""
+    df = _tape(spark, 8_000, 4)
+    kw = dict(
+        bucket=_bkt(750), lags={"px": "x"}, cumsums={"cx": "x"},
+        row_number_col="rn",
+    )
+    a = (
+        keyed_prefix(df, ["k"], ["o"], classic_max_bytes=0, **kw)
+        .toPandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    b = (
+        keyed_prefix(df, ["k"], ["o"], classic_max_bytes=1 << 60, **kw)
+        .toPandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_keyed_prefix_conf_zero_forces_keyed_path(spark):
+    """Setting spark.graft.prefix.classicMaxBytes=0 keeps the keyed
+    machinery on toy inputs (what the keyed unit tests above rely on,
+    via the explicit kwarg; this pins the conf spelling)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (
+        CLASSIC_MAX_BYTES_CONF,
+    )
+
+    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    try:
+        got = keyed_prefix(
+            _tape(spark, 5_000, 3), ["k"], ["o"], bucket=_bkt(500),
+            cumsums={"cx": "x"},
+        )
+        assert "__b#" in physical_plan(got)
+    finally:
+        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
