@@ -667,3 +667,81 @@ def pq_search_rerank(
         .limit(topk)
         .select("vec_id", F.round("dist", 6).alias("dist"))
     )
+
+
+@query(
+    "q204_pq_recall_verdict",
+    # The q185/q166 verdict pattern for the PQ pipeline (r8 verdict
+    # item #2): the oracle states the contract — the corpus size, the
+    # EXACT nearest neighbour (recomputed by brute force in SQL, the
+    # q51 unnest trick), and pq_ok = 1.  Spark runs the real
+    # train -> encode -> ADC -> exact-rerank pipeline and emits
+    # pq_ok = (recall@10 >= 0.9); a broken codebook, encoder, LUT, or
+    # rerank drops the overlap and fails the driver hash.  The recall
+    # number itself stays engine-private (DuckDB cannot run PQ).
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings
+                   WHERE vec_id = {PROBE_VEC_ID}),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    d AS (SELECT e.vec_id,
+                 SUM((CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))) AS d2
+          FROM embeddings e, probe p, idx
+          WHERE e.vec_id <> {PROBE_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS top1_exact,
+           CAST(1 AS BIGINT) AS pq_ok
+    """,
+    category="llm-similarity",
+)
+def q204_pq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization made driver-visible: train 16x16 codebooks
+    on the (deterministic, RNG-free) id-ordered sample, encode the
+    whole embeddings table to 16-byte codes, ADC-score a 100-candidate
+    shortlist for the q51 probe, exact-rerank it, and emit the 1-row
+    verdict (n_vectors, exact top-1 id, recall@10 >= 0.9).  Everything
+    in the output row is integer, and the exact top-1 is independently
+    recomputed by the DuckDB oracle — the PQ stages can only influence
+    the row through pq_ok, which is precisely the claim under test.
+
+    Scale: the pipeline is the soaked 10M-vector one (BASELINE.md "PQ
+    at 10M"): training is a bounded driver-side sample, encoding the
+    one full Arrow-batched pass, search reads 16 bytes/vector, rerank
+    fetches <= 100 original vectors by id."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in e.where(F.col("vec_id") == PROBE_VEC_ID)
+        .select("embedding")
+        .head()["embedding"]
+    ]
+    books = pq_train(e, m=16, k=16, iters=4, sample=4096)
+    codes = pq_encode(e, books)
+    approx = pq_search_rerank(
+        codes, e, books, probe,
+        topk=TOP_K, shortlist=100, exclude_vec_id=PROBE_VEC_ID,
+    )
+    pq_ids = {r["vec_id"] for r in approx.collect()}
+    pcol = F.array(*[F.lit(x) for x in probe])
+    d2 = F.aggregate(
+        F.zip_with(_dbl(F.col("embedding")), pcol, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    )
+    exact_ids = [r["vec_id"] for r in exact]
+    overlap = len(set(exact_ids) & pq_ids)
+    ok = 1 if overlap * 10 >= 9 * TOP_K else 0
+    return spark.createDataFrame(
+        [(e.count(), exact_ids[0], ok)],
+        "n_vectors bigint, top1_exact bigint, pq_ok bigint",
+    )

@@ -357,6 +357,23 @@ def q131_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, x, c_custkey): per-customer lifetime spend in exact
+    integer cents, stitched to the nation dim — the shared input of the
+    exact (q132) and binned (q205) Gini forms."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    return (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+        .select("n_name", "x", "c_custkey")
+    )
+
+
 @query(
     "q132_spend_gini",
     oracle="""
@@ -395,19 +412,13 @@ def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation window rank + one agg to 25 rows.  The rank needs a
     per-nation total order — fine while group cardinality bounds the
     sort (nations here); an unbounded-group Gini at 100 TB switches to
-    the binned/histogram estimator instead (q49's bins feed it)."""
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    spend = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
-    )
+    the binned/histogram estimator instead —
+    :func:`spend_gini_binned` / q205, which replaces the per-member
+    rank with a |groups x bins| Lorenz trapezoid (q49's fixed-width
+    binning) and is equivalence-tested against this exact form."""
     w = Window.partitionBy("n_name").orderBy("x", "c_custkey")
-    byn = (
-        spend.join(c, spend.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == F.col("n_nationkey"))
-        .select("n_name", "x", "c_custkey")
-        .withColumn("i", F.row_number().over(w))
+    byn = _nation_spend(spark, sf_dir).withColumn(
+        "i", F.row_number().over(w)
     )
     return (
         byn.groupBy("n_name")
@@ -422,6 +433,119 @@ def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_e4("2*six - (n+1)*sx", "n*sx").alias("gini_e4"),
         )
     )
+
+
+GINI_BINS = 256
+
+
+def spend_gini_binned(
+    spark: SparkSession, sf_dir: str, bins: int = GINI_BINS
+) -> DataFrame:
+    """Binned (Lorenz-trapezoid) Gini of customer lifetime spend — the
+    100 TB form q132's docstring promises: the exact form ranks every
+    member inside its group (a per-group total order, fine for 25
+    nations, a scale-killer for unbounded groups); this one replaces
+    the rank with q49's fixed-width binning, so the only data-sized
+    work is ONE hash-agg to |groups x bins| rows — no per-member sort
+    at any group cardinality.
+
+    Estimator: with per-bin counts n_b and sums s_b in ascending-bin
+    order, G = 1 - Σ p_b (L_{b-1} + L_b)  (trapezoid area under the
+    binned Lorenz curve) = (N·S - Σ n_b (2·cumS_b - s_b)) / (N·S).
+    Within-bin inequality is ignored, so it under-estimates exact Gini
+    by O(1/bins) for smooth spend distributions — the equivalence test
+    pins |binned - exact| at sf0.1 (BASELINE.md records the measured
+    delta at 256 bins).
+
+    Exactness (vs the q205 DuckDB oracle, not vs exact Gini): bin ids
+    are integer floor division in DECIMAL(38,0)/HUGEINT, counts and
+    sums stay integral, and the final ratio is the integer-decided
+    ratio_e4 — hash-identical across engines.  Degenerate groups
+    (hi == lo) land entirely in bin 0 and yield exactly 0.
+
+    Shape: spend agg -> customer join + nation broadcast -> 25-row
+    min/max agg broadcast back -> one (group, bin) hash-agg (map-side
+    partial, key space |groups| x bins) -> dim-sized window + final
+    agg.  The min/max and offsets frames are |groups| and
+    |groups x bins| rows — broadcastable up to ~10^5 groups at 256
+    bins; past that, widen bins or hash-join the offsets."""
+    sp = _nation_spend(spark, sf_dir).select("n_name", "x")
+    mm = sp.groupBy("n_name").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    num = (F.col("x") - F.col("lo")).cast("decimal(38,0)") * bins
+    den = (F.col("hi") - F.col("lo") + 1).cast("decimal(38,0)")
+    bid = ((num - num % den) / den).cast("bigint")
+    g = (
+        sp.join(F.broadcast(mm), "n_name")
+        .select("n_name", bid.alias("bid"), "x")
+        .groupBy("n_name", "bid")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("nb"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sb"),
+        )
+    )
+    wb = (
+        Window.partitionBy("n_name")
+        .orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = (
+        g.withColumn("cums", F.sum("sb").over(wb))
+        .groupBy("n_name")
+        .agg(
+            F.sum("nb").alias("n"),
+            F.sum("sb").alias("s"),
+            F.sum(
+                F.col("nb") * (2 * F.col("cums") - F.col("sb"))
+            ).alias("t"),
+        )
+    )
+    return a.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        ratio_e4("n*s - t", "n*s").alias("gini_e4"),
+    )
+
+
+@query(
+    "q205_spend_gini_binned",
+    oracle=f"""
+    WITH spend AS (SELECT o_custkey,
+                          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x
+                   FROM orders GROUP BY 1),
+    byn AS (SELECT n.n_name, s.x
+            FROM spend s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    mm AS (SELECT n_name, MIN(x) AS lo, MAX(x) AS hi FROM byn GROUP BY 1),
+    bb AS (SELECT b.n_name,
+                  (CAST(b.x - m.lo AS HUGEINT) * {GINI_BINS})
+                    // (m.hi - m.lo + 1) AS bid,
+                  b.x
+           FROM byn b JOIN mm m USING (n_name)),
+    g AS (SELECT n_name, bid,
+                 CAST(COUNT(*) AS HUGEINT) AS nb,
+                 CAST(SUM(x) AS HUGEINT) AS sb
+          FROM bb GROUP BY 1, 2),
+    l AS (SELECT n_name, nb, sb,
+                 SUM(sb) OVER (PARTITION BY n_name ORDER BY bid) AS cums
+          FROM g),
+    a AS (SELECT n_name, SUM(nb) AS n, SUM(sb) AS s,
+                 SUM(nb * (2*cums - sb)) AS t
+          FROM l GROUP BY 1)
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           ((n*s - t) * 20000 + (n*s)) // (2*(n*s)) / 10000.0 AS gini_e4
+    FROM a
+    """,
+    category="warehouse-join",
+)
+def q205_spend_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper over :func:`spend_gini_binned` at the default
+    {GINI_BINS} bins — the unbounded-group Gini path, driver-checked
+    hash-EXACT against the same estimator in DuckDB (the equivalence
+    to EXACT Gini is a separate pinned-tolerance test)."""
+    return spend_gini_binned(spark, sf_dir)
 
 
 # q137's three disjunctive shipping profiles (TPC-H Q19 shape): brand

