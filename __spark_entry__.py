@@ -35,48 +35,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file caps at the first 50 dict entries, so
-# order the dict by verification PRIORITY.  Round-8 window (the
-# round-7 judge's items #3 and #6, VERDICT.md "Next round" list): the
-# 22 queries with no official hash row — the new sketch bound-checks
-# q185/q186 (turning the q25/q73 rows-only gap into 1-verdict-per-group
-# EXACT rows), q64/q65 (rows-only in their r5 window; promoted to
-# DuckDB oracles in round 7), and the 18 round-7 additions q167-q184
-# (all judge-audited EXACT at sf0.01) — then the 16-query r4-green
-# tail (q39-q50, q74-q77; the last rows that predate round 5), then
-# the 12 lowest-numbered stalest-r5 oracle-backed queries, = exactly
-# 50.  After this window every registry query's official row
-# post-dates round 4.  All 50 names are oracle-backed (the rows-only
-# sketches q25/q73 stay out — q185/q186 are their verdicts).  A driver
-# that sorts keys or checks all queries is unaffected — the key set is
-# identical.
-_HEAD_R8 = [
-    "q185_hll_bound", "q186_tdigest_bound",
-    "q64_ann_lsh_bucketed", "q65_ann_ivf",
-    "q167_top_supplier", "q168_small_qty_revenue",
-    "q169_customer_pareto", "q170_event_transitions",
-    "q171_user_paths", "q172_source_novelty",
-    "q173_forecast_revenue", "q174_order_aging",
-    "q175_user_burst_screen", "q176_minute_coverage",
-    "q177_vpin", "q178_first_touch",
-    "q179_sole_late_supplier", "q180_atr_daily",
-    "q181_signup_to_purchase", "q182_user_rfm",
-    "q183_price_size_slope", "q184_session_quartiles",
-    "q39_ewma", "q40_setops", "q41_string", "q42_datetime",
-    "q43_json", "q44_array", "q45_map_functions", "q46_pivot",
-    "q47_unpivot", "q48_conditional_agg", "q49_histogram",
-    "q50_dedup_exact", "q74_rolling_time_window", "q75_asof_forward",
-    "q76_max_drawdown", "q77_symbol_correlation",
-    "q20_agg_basic", "q23_vwap", "q27_percentiles",
-    "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
-    "q54_minhash_signature", "q55_lsh_buckets",
-    "q56_ngram_jaccard_pairs", "q57_simhash", "q58_lang_id",
-    "q59_quality_score",
+# order the dict by verification PRIORITY.  Round-9 window (the
+# round-8 judge's item #1): the 19 queries with no driver-official
+# hash row — the 17 round-8 additions q187-q203 (all judge-audited
+# EXACT at sf0.01 in the r8 verdict) plus the round-9 additions q204
+# (PQ planted-recall verdict) and q205 (binned Gini) — then the 31
+# lowest-numbered stalest rows (r5-era official rows, q60-q97 block),
+# = exactly 50.  After this window EVERY registry query has been
+# driver-official at least once, and nothing's official row predates
+# round 5 except q98/q99/q100 (r5-green, first in line for round 10).
+# All 50 names are oracle-backed (the rows-only sketches q25/q73 stay
+# out by design — q185/q186 are their hash-checked verdicts).  A
+# driver that sorts keys or checks all queries is unaffected — the
+# key set is identical.
+_HEAD_R9 = [
+    "q187_ship_latency", "q188_supplier_hhi",
+    "q189_intraday_volume_profile", "q190_dup_multiplicity",
+    "q191_length_word_corr", "q192_weekday_priority_matrix",
+    "q193_customer_order_gaps", "q194_unigram_surprisal",
+    "q195_vwap_deviation", "q196_round_price_bias",
+    "q197_copurchase_pairs", "q198_weekend_effect",
+    "q199_dedup_savings", "q200_priority_mix_shift",
+    "q201_temperature_mix", "q202_surprisal_percentiles",
+    "q203_peak_concurrency",
+    "q204_pq_recall_verdict", "q205_spend_gini_binned",
+    "q60_token_count", "q61_fingerprint", "q62_embedding_neardup",
+    "q63_multimodal_meta", "q66_dedup_clusters", "q67_embed_quantize",
+    "q68_topn_per_group", "q69_bigram_topk", "q70_dedup_survivors",
+    "q71_cube", "q72_grouping_sets",
+    "q78_string_agg", "q79_regex_groups", "q80_date_arithmetic",
+    "q81_stop_shingles", "q82_repetition_filter", "q83_contamination",
+    "q84_pii_scan", "q85_corpus_mix",
+    "q86_realized_variance", "q87_gap_report", "q88_tick_direction",
+    "q89_resample_linear", "q90_hash_split", "q91_source_overlap",
+    "q92_token_df", "q93_spike_mad", "q94_stratified_sample",
+    "q95_simhash_pairs", "q96_intraday_profile", "q97_vol_signature",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = [n for n in _HEAD_R8 if n in reg]
+    head = [n for n in _HEAD_R9 if n in reg]
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 

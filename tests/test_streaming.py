@@ -1374,3 +1374,85 @@ def test_ofi_vbar_state_survives_mid_epoch_crash_restart(spark, sf_dir, tmp_path
     assert len(a) == len(b) and len(a) > 0
     for col in vb_cols:
         assert (a[col].to_numpy() == b[col].to_numpy()).all(), f"vbar {col}"
+
+
+def test_windowed_stream_drops_rows_beyond_watermark(spark, tmp_path):
+    """The late-data contract, executable (r8 verdict item #7): rows
+    older than the 2-hour watermark are DROPPED — the docstring's
+    policy, previously proven only by equivalence on on-time data.
+
+    Three availableNow runs over one checkpoint (watermark persists in
+    the offset log): run 1 establishes watermark 10:00 from a 12:00
+    max event; run 2 feeds one LATE row (08:30 — inside an
+    already-finalized window, beyond the watermark) and one on-time
+    row (12:30); run 3 advances the watermark past the on-time row's
+    window.  Append mode emits each finalized window exactly once, so
+    the output stream itself is the verdict: the 08:00 window holds
+    only the run-1 row, the late row appears nowhere, the on-time row
+    emits normally."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.ingest import (  # noqa: E501
+        windowed_counts_stream,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    t0 = dt.datetime(2024, 3, 1)
+
+    def feed(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    emitted = []
+
+    def run():
+        agg = windowed_counts_stream(spark, f"{src}/*")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda b, _e: emitted.extend(
+                    (r["window"].start, r["event_type"], r["n"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: one row in the 08:00 window; max event 12:00 -> wm 10:00
+    feed("a", [(1, t0 + dt.timedelta(hours=8, minutes=5), 1, "S", 1.0),
+               (2, t0 + dt.timedelta(hours=12), 1, "S", 1.0)])
+    run()
+    assert (t0 + dt.timedelta(hours=8), "S", 1) in emitted
+    n_after_run1 = len(emitted)
+
+    # run 2: a LATE row (08:30 < wm 10:00) + an on-time row (12:30)
+    feed("b", [(3, t0 + dt.timedelta(hours=8, minutes=30), 1, "S", 1.0),
+               (4, t0 + dt.timedelta(hours=12, minutes=30), 1, "S", 1.0)])
+    run()
+    # the late row must not resurrect or re-emit its finalized window
+    assert len([e for e in emitted
+                if e[0] == t0 + dt.timedelta(hours=8)]) == 1
+    assert (t0 + dt.timedelta(hours=8), "S", 2) not in emitted
+
+    # run 3: advance the watermark past 13:00 -> the ON-TIME run-2 row
+    # emits (n=1 with the 12:00 run-1 row? no - 12:00 and 12:30 share
+    # the 12:00 window, so n=2), proving drops are selective
+    feed("c", [(5, t0 + dt.timedelta(hours=16), 1, "S", 1.0)])
+    run()
+    assert (t0 + dt.timedelta(hours=12), "S", 2) in emitted
+    # the late 08:30 row appeared in NO emitted window, ever
+    total_emitted = sum(n for _, _, n in emitted)
+    assert total_emitted == 3  # rows 1, 2(12:00), 4(12:30); 3 dropped, 5 pending
+    assert n_after_run1 >= 1
