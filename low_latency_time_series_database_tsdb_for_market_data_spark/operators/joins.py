@@ -235,11 +235,16 @@ def q17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is expanded to its bucket and the two neighbours, so every |dt|<=60s
     pair meets in exactly one equi-bucket — an equi-join with fan-out 3
     instead of an O(n^2) range condition."""
+    from .prefix import floor_div_exact
+
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.unix_micros("ts").alias("us"),
-        (F.unix_micros("ts") / F.lit(60_000_000)).cast("bigint").alias("bucket"),
+        # exact integer bucket (q175 rule): a DOUBLE-division misfloor
+        # past 2^53 us could put a row one bucket off and silently DROP
+        # a true pair from the candidate equi-join
+        floor_div_exact(F.unix_micros("ts"), 60_000_000).alias("bucket"),
     )
     right = ev.select(
         F.col("event_type").alias("event_type_b"),

@@ -391,14 +391,20 @@ def keyed_prefix(
     return out_df.drop(*drops)
 
 
+def floor_div_exact(a: Column, width: int) -> Column:
+    """FLOOR(a / width) for a BIGINT column of either sign, exact over
+    the full int64 range: pmod (not %) keeps pre-epoch values
+    floor-consistent, and the division runs in DECIMAL(38,0) because
+    DOUBLE division is exact only while |a| < 2^53 (~year 2255 for
+    microsecond timestamps) — the q175 integer-bucket rule as a
+    reusable expression."""
+    w = F.lit(width).cast("bigint")
+    exact = (a - F.pmod(a, w)).cast("decimal(38,0)")
+    return (exact / w.cast("decimal(38,0)")).cast("bigint")
+
+
 def hour_bucket(ts_col: str) -> Column:
     """Floor-division hour bucket of a timestamp column — pmod-exact
     (engine-agnostic pre-epoch, pure int64; the q175 rule), monotone in
     ts, so it satisfies keyed_prefix's bucket contract."""
-    us = F.unix_micros(F.col(ts_col))
-    w = F.lit(3_600_000_000).cast("bigint")
-    # pmod (not %) keeps pre-epoch buckets floor-consistent; the division
-    # runs in DECIMAL(38,0) (via _idiv's numerator trick) because DOUBLE
-    # division is exact only while |unix_micros| < 2^53 (~year 2255).
-    exact = (us - F.pmod(us, w)).cast("decimal(38,0)")
-    return (exact / w.cast("decimal(38,0)")).cast("bigint")
+    return floor_div_exact(F.unix_micros(F.col(ts_col)), 3_600_000_000)
