@@ -19,11 +19,14 @@ Replication semantics (keys stay join-consistent, dims stay dims):
                        (ts, event_id) total order stays dense but
                        collision-free; user_id unchanged (10x rows per
                        user — the skew direction that stresses windows)
-  documents            doc_id shifts; copies i>0 append a ' v{i}' token
-                       so near-dup structure (pairs WITHIN a copy) is
-                       preserved without manufacturing a 10x exact-dup
-                       corpus that would swamp the CC/dedup queries
-                       with one artifact cluster per template
+  documents            doc_id shifts; copies i>0 rewrite every 3rd
+                       token with a copy-specific suffix, so cross-copy
+                       Jaccard/SimHash similarity collapses below every
+                       near-dup threshold (an append-only ' v{i}' tag
+                       left the copies near-identical and a 10-way
+                       near-dup cluster per template blew q95's strict
+                       per-bucket cap — correctly, loudly); near-dup
+                       structure WITHIN each copy is preserved intact
   embeddings           vec_id shifts, vectors unchanged (10 exact
                        duplicates per point: ties break on vec_id,
                        recall math unchanged)
@@ -108,7 +111,22 @@ def replicate(
                     )
                 if t == "documents" and i:
                     d = d.withColumn(
-                        "text", F.concat("text", F.lit(f" v{i}"))
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda w, ix: F.when(
+                                    ix % 3 == i % 3,
+                                    F.concat(w, F.lit(f"_{i}")),
+                                ).otherwise(w),
+                            ),
+                            " ",
+                        ),
+                    ).withColumn(
+                        # keep the derived-metadata invariant the
+                        # curation queries rely on
+                        "n_chars",
+                        F.length("text").cast("bigint"),
                     )
                 parts.append(d)
             out = parts[0]
