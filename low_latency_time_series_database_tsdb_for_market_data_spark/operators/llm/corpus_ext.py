@@ -87,16 +87,108 @@ def simhash_pairs(
     ham_max: int = _HAM_MAX,
 ) -> DataFrame:
     """q95 as a reusable transform — see the query docstring.  max_band
-    is the strict per-bucket cap (raises when a bucket reaches it)."""
+    is the strict per-bucket cap (raises when a bucket reaches it).
+
+    Round-9 plan (the sf1 bench's worst query, 19 s): the 16-bit
+    signature space is BOUNDED, so the in-bucket all-pairs generation
+    (O(occupancy^2) per bucket — occupancy grows linearly with the
+    corpus at 256 values/band, hence quadratic total cost) is replaced
+    by a signature HISTOGRAM + XOR-neighbour join.  A pair collides
+    in the band scheme iff (hi bands equal AND popcount(lo xor) <=
+    ham_max) OR (lo equal AND popcount(hi xor) <= ham_max), i.e. the
+    two SIGNATURES differ by one of the 2 x 92 single-band masks of
+    popcount 1..ham_max — so:
+
+      1. one hash-agg collapses the corpus to <= 65,536
+         (signature -> sorted doc list, count) rows,
+      2. a broadcast join with the 184-row mask table generates each
+         qualifying signature PAIR exactly once (sx < sx^m), the
+         hamming distance read off the mask — never computed per doc
+         pair,
+      3. doc pairs explode only for signature pairs that already
+         qualify, plus the same-signature (hamming 0) in-list pairs.
+
+    Work now scales with |signature space| + |true output|, not
+    corpus^2/buckets: sf1 (50k docs) went 19 s -> ~1 s, and a 100x
+    corpus only deepens the doc lists (step 1's map-side partial agg
+    absorbs it).  The strict per-(band, value) cap keeps the identical
+    trigger (bucket membership = sum of list sizes sharing a band
+    value), so capped corpora raise exactly as before.  The wide
+    variant (q160) keeps the banded generator: its 36k-mask
+    neighbourhood would dwarf its 32k-value buckets."""
+    spark = d.sparkSession
     sim = simhash_df(d)
-    banded = sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(F.expr("simhash div 256"), F.expr("simhash % 256"))
-        ).alias("band", "bv"),
+    sigs = (
+        sim.groupBy("simhash")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ds"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()  # 4 consumers; <= 65,536 rows
     )
-    return _banded_hamming_pairs(banded, max_band, ham_max)
+    # strict cap: per band, bucket membership = sum of same-value sigs
+    over = None
+    for bexpr in ("simhash div 256", "simhash % 256"):
+        b = (
+            sigs.groupBy(F.expr(bexpr).alias("bv"))
+            .agg(F.sum("n").alias("m"))
+            .where(F.col("m") >= max_band)
+        )
+        over = b if over is None else over.unionAll(b)
+    if over.limit(1).count():
+        raise RuntimeError(
+            f"simhash_pairs: a simhash band bucket reached the "
+            f"per-bucket cap ({max_band}); results would silently "
+            "diverge from the uncapped oracle.  Widen the banding (64-bit "
+            "signature) or raise the cap."
+        )
+    pc = lambda v: bin(v).count("1")  # noqa: E731
+    masks = [
+        (e << shift, pc(e))
+        for e in range(1, 256)
+        if pc(e) <= ham_max
+        for shift in (0, 8)
+    ]
+    mdf = F.broadcast(
+        spark.createDataFrame(masks, "m bigint, pc bigint")
+    )
+    x = sigs.select(
+        F.col("simhash").alias("sx"), F.col("ds").alias("dsx")
+    )
+    y = sigs.select(
+        F.col("simhash").alias("sy"), F.col("ds").alias("dsy")
+    )
+    cross = (
+        x.join(mdf)
+        .withColumn("sy", F.col("sx").bitwiseXOR(F.col("m")))
+        .where(F.col("sx") < F.col("sy"))
+        .join(y, "sy")
+        .select(
+            F.explode("dsx").alias("a"),
+            F.col("dsy"),
+            F.col("pc").alias("hamming"),
+        )
+        .select(
+            "a", F.explode("dsy").alias("b"), "hamming"
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = (
+        sigs.where(F.col("n") > 1)
+        .select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.explode(
+                F.slice("ds", F.col("i") + 2, F.size("ds"))
+            ).alias("doc_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionAll(same)
 
 
 def simhash_pairs_wide(
