@@ -435,50 +435,51 @@ def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GINI_BINS = 256
-
-
-def spend_gini_binned(
-    spark: SparkSession, sf_dir: str, bins: int = GINI_BINS
-) -> DataFrame:
+def spend_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned (Lorenz-trapezoid) Gini of customer lifetime spend — the
     100 TB form q132's docstring promises: the exact form ranks every
     member inside its group (a per-group total order, fine for 25
     nations, a scale-killer for unbounded groups); this one replaces
-    the rank with q49's fixed-width binning, so the only data-sized
-    work is ONE hash-agg to |groups x bins| rows — no per-member sort
-    at any group cardinality.
+    the rank with DATA-INDEPENDENT digit binning, so the only
+    data-sized work is ONE hash-agg to |groups x occupied bins| rows —
+    no per-member sort at any group cardinality, and (unlike the
+    earlier fixed-width form) no per-group min/max pre-pass either:
+    the bin id is a pure function of the value, so the whole estimator
+    is a single fact scan.
+
+    Bin rule: for integer cents x >= 1 with decimal string s,
+    bid = LENGTH(s)*1000 + first-3-digits(s).  Bins are
+    value-contiguous and bid is monotone in x (digit-count blocks are
+    disjoint and ordered; within a block the 3-digit prefix orders the
+    value range), so within-bin relative spread is <= 1% (log-uniform
+    resolution) at <= ~900 occupied bins per digit count — finer where
+    it matters than 256 fixed-width bins, with zero distribution
+    knowledge needed.
 
     Estimator: with per-bin counts n_b and sums s_b in ascending-bin
     order, G = 1 - Σ p_b (L_{b-1} + L_b)  (trapezoid area under the
     binned Lorenz curve) = (N·S - Σ n_b (2·cumS_b - s_b)) / (N·S).
     Within-bin inequality is ignored, so it under-estimates exact Gini
-    by O(1/bins) for smooth spend distributions — the equivalence test
-    pins |binned - exact| at sf0.1 (BASELINE.md records the measured
-    delta at 256 bins).
+    (bins are value-contiguous, so the chord sits on or above the
+    convex Lorenz curve) — the equivalence test pins |binned - exact|
+    at sf0.1 (BASELINE.md records the measured delta).
 
-    Exactness (vs the q205 DuckDB oracle, not vs exact Gini): bin ids
-    are integer floor division in DECIMAL(38,0)/HUGEINT, counts and
-    sums stay integral, and the final ratio is the integer-decided
-    ratio_e4 — hash-identical across engines.  Degenerate groups
-    (hi == lo) land entirely in bin 0 and yield exactly 0.
+    Exactness (vs the q205 DuckDB oracle, not vs exact Gini): the bin
+    id is integer string-prefix arithmetic, counts and sums stay
+    integral in DECIMAL(38,0)/HUGEINT, and the final ratio is the
+    integer-decided ratio_e4 — hash-identical across engines.
+    Degenerate groups (all members equal) occupy one bin and yield
+    exactly 0.
 
-    Shape: spend agg -> customer join + nation broadcast -> 25-row
-    min/max agg broadcast back -> one (group, bin) hash-agg (map-side
-    partial, key space |groups| x bins) -> dim-sized window + final
-    agg.  The min/max and offsets frames are |groups| and
-    |groups x bins| rows — broadcastable up to ~10^5 groups at 256
-    bins; past that, widen bins or hash-join the offsets."""
+    Shape: spend agg -> customer join + nation broadcast -> one
+    (group, bin) hash-agg (map-side partial, key space |groups| x
+    <= ~17k occupied bins) -> dim-sized window + final agg.  One fact
+    scan total — enforced by the single-scan plan contract."""
     sp = _nation_spend(spark, sf_dir).select("n_name", "x")
-    mm = sp.groupBy("n_name").agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi")
-    )
-    num = (F.col("x") - F.col("lo")).cast("decimal(38,0)") * bins
-    den = (F.col("hi") - F.col("lo") + 1).cast("decimal(38,0)")
-    bid = ((num - num % den) / den).cast("bigint")
+    s = F.col("x").cast("string")
+    bid = F.length(s) * 1000 + F.substring(s, 1, 3).cast("bigint")
     g = (
-        sp.join(F.broadcast(mm), "n_name")
-        .select("n_name", bid.alias("bid"), "x")
+        sp.select("n_name", bid.alias("bid"), "x")
         .groupBy("n_name", "bid")
         .agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("nb"),
@@ -518,12 +519,12 @@ def spend_gini_binned(
             FROM spend s
             JOIN customer c ON s.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey),
-    mm AS (SELECT n_name, MIN(x) AS lo, MAX(x) AS hi FROM byn GROUP BY 1),
-    bb AS (SELECT b.n_name,
-                  (CAST(b.x - m.lo AS HUGEINT) * {GINI_BINS})
-                    // (m.hi - m.lo + 1) AS bid,
-                  b.x
-           FROM byn b JOIN mm m USING (n_name)),
+    bb AS (SELECT n_name,
+                  LENGTH(CAST(x AS VARCHAR)) * 1000
+                    + CAST(substr(CAST(x AS VARCHAR), 1, 3) AS BIGINT)
+                    AS bid,
+                  x
+           FROM byn),
     g AS (SELECT n_name, bid,
                  CAST(COUNT(*) AS HUGEINT) AS nb,
                  CAST(SUM(x) AS HUGEINT) AS sb
@@ -541,10 +542,11 @@ def spend_gini_binned(
     category="warehouse-join",
 )
 def q205_spend_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry wrapper over :func:`spend_gini_binned` at the default
-    {GINI_BINS} bins — the unbounded-group Gini path, driver-checked
-    hash-EXACT against the same estimator in DuckDB (the equivalence
-    to EXACT Gini is a separate pinned-tolerance test)."""
+    """Registry wrapper over :func:`spend_gini_binned` (digit bins —
+    data-independent, single fact scan) — the unbounded-group Gini
+    path, driver-checked hash-EXACT against the same estimator in
+    DuckDB (the equivalence to EXACT Gini is a separate
+    pinned-tolerance test)."""
     return spend_gini_binned(spark, sf_dir)
 
 

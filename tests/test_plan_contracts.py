@@ -374,6 +374,11 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q127_brand_revenue_share", "q131_late_ship_priority",
         "q137_disjunctive_revenue",
         "q132_spend_gini", "q138_segment_activity",
+        # q205 digit-binned Gini: 3 scans = 3 DIFFERENT tables
+        # (orders/customer/nation), each read exactly once — the r9
+        # rewrite removed the min/max pre-pass (data-independent digit
+        # bins), so the fact side is a genuine single pass
+        "q205_spend_gini_binned",
         "q139_promo_share_monthly",
         # round-6 warehouse shapes: multi-table joins (q148/q149 read the
         # 25-row nation dim twice — one broadcast per role, KB-scale);

@@ -437,10 +437,10 @@ def test_q132_gini_matches_python(reg, spark):
 
 def test_q205_binned_gini_tracks_exact_within_tolerance(reg, spark):
     """The q132 docstring's promised 100 TB fallback, executable: the
-    256-bin Lorenz-trapezoid estimator must sit within 5 e4-ticks of
-    the exact rank-formula Gini per nation (measured max delta is ONE
-    tick at sf0.01 AND sf0.1 — see BASELINE.md "binned Gini"), and
-    must never exceed the exact value (the trapezoid ignores
+    digit-binned Lorenz-trapezoid estimator must sit within 5 e4-ticks
+    of the exact rank-formula Gini per nation (measured: ONE tick at
+    sf0.01, exactly 0 at sf0.1 — see BASELINE.md "binned Gini"), and
+    must never exceed the exact value (value-contiguous bins ignore
     within-bin inequality, so it under-estimates by construction)."""
     sf = "/root/testdata/sf0.01"
     exact = _pdf(reg, spark, sf, "q132_spend_gini").set_index("n_name")
@@ -453,6 +453,24 @@ def test_q205_binned_gini_tracks_exact_within_tolerance(reg, spark):
         assert b.n_customers == e.n_customers
         assert abs(b.gini_e4 - e.gini_e4) <= 0.0005, name
         assert b.gini_e4 <= e.gini_e4 + 1e-12, name
+
+
+def test_q205_plan_single_fact_pass(reg, spark):
+    """The digit-bin rewrite's point: bin ids are a pure function of
+    the value (no per-group min/max pre-pass), so the FULL plan holds
+    exactly one scan per table — orders, customer, nation — with no
+    checkpoint truncating the lineage."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+        physical_plan,
+    )
+
+    plan = physical_plan(
+        reg["q205_spend_gini_binned"].fn(spark, SF_SMALL)
+    )
+    assert plan.count("Scan parquet") == 3
+    for tbl in ("orders", "customer", "nation"):
+        assert plan.count(f"{tbl}.parquet") == 1, tbl
+    assert "Checkpoint" not in plan
 
 
 def test_q205_binned_gini_planted_distributions(reg, spark, tmp_path):
