@@ -1,0 +1,793 @@
+"""Round-9 depth additions (q206-q215): product margin by nation-year
+(TPC-H Q9 shape), suppliers-per-order distribution, prospect segments
+(TPC-H Q22 shape), moving-average crossover screen, DAU/MAU stickiness
+(interval sweep), L28 activity histogram, engulfing-candle screen,
+prefix-collision dedup groups, monotone tick runs, session bounce rate.
+
+Same discipline as every extension block: exact integer arithmetic for
+every published number (cents BIGINT, ratios via the deterministic
+round-half-up identity), per-key windows only on keys whose cardinality
+scales with the data (user_id, not symbol — the 5-symbol tape ops route
+through the q156-precedent bounded frames), and shuffle shapes that stay
+key-bounded at 100 TB.  Reference parity: the reference stops at
+scan/count (`timeseries_db.cpp:29-233`); these extend SURVEY §2.2's
+warehouse / engagement / tape / curation rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents, ratio_e4
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# q206: product margin by supplier nation x ship year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+_MARGIN_U_SQL = """
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+    - CAST(ROUND(p_retailprice * 100) AS BIGINT) * 100
+      * CAST(l_quantity AS BIGINT)
+"""
+
+
+@query(
+    "q206_product_margin",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM({_MARGIN_U_SQL}) / 1000000.0 AS margin
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    category="warehouse-join",
+)
+def q206_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product margin (discounted revenue minus retail cost of goods)
+    per supplier nation per ship year — the TPC-H Q9 profit shape on
+    this schema (no partsupp, so p_retailprice*quantity stands in for
+    supplycost*quantity).
+
+    Exactness: revenue in e4-cents and cost in e4-cents are both exact
+    BIGINTs (quantity is integral, retailprice 2-decimal), the signed
+    margin sums order-independently, and the single /1e6 at the end is
+    one IEEE division of identical integers on both engines — the
+    money_sum rule.
+
+    Shape: the fact shuffles twice (partkey, then suppkey — the
+    canonical Q9 join order; each probe side projects 2 columns),
+    nation broadcasts, and the final agg is |nations x years| — dim-
+    sized.  No window, no sort, every join key is data-uniform."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    rev_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    cost_u = (
+        cents("p_retailprice") * 100 * F.col("l_quantity").cast("bigint")
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            (rev_u - cost_u).alias("margin_u"),
+        )
+    )
+    return j.groupBy("n_name", "ship_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("margin_u") / 1000000.0).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207: suppliers-per-order distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_supplier_span",
+    oracle="""
+    WITH o AS (SELECT l_orderkey,
+                      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+                      CAST(COUNT(*) AS BIGINT) AS n_lines
+               FROM lineitem GROUP BY 1)
+    SELECT n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines
+    FROM o GROUP BY 1
+    """,
+    category="warehouse-agg",
+)
+def q207_supplier_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers an order draws from — the
+    fulfilment-complexity distribution (1-supplier orders ship in one
+    box; 4-supplier orders are the consolidation workload).
+
+    Exactness: pure integer counts.  Shape: one orderkey-keyed hash-agg
+    (COUNT DISTINCT over the order's handful of suppliers — partials
+    merge map-side), then a histogram agg over the tiny distinct-count
+    domain.  Two shuffles, both key-bounded; no window."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return per_order.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: prospect segments (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_prospect_segments",
+    oracle="""
+    WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+                FROM orders GROUP BY 1),
+    pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_pos
+            FROM customer WHERE c_acctbal > 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer),
+    ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders),
+    c2 AS (SELECT c.c_mktsegment,
+                  CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+                  COALESCE(oc.n_ord, 0) AS n_ord
+           FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_prospects,
+           SUM(bal_c) / 100.0 AS total_bal,
+           CAST(SUM(n_ord) AS BIGINT) AS orders_held
+    FROM c2, pos, tot, ot
+    WHERE bal_c * pos.n_pos > pos.sum_pos
+      AND n_ord * 2 * tot.n_cust < ot.n_orders
+    GROUP BY 1
+    """,
+    category="warehouse-join",
+)
+def q208_prospect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-wallet prospects (TPC-H Q22 shape, de-degenerated for
+    this data where every customer has ordered): customers holding an
+    above-average positive balance whose order count is below HALF the
+    average orders-per-customer, per market segment — big wallet,
+    small share; where the sales team should dial.
+
+    Exactness: neither threshold ever divides — above-average is
+    bal_cents * n_pos > sum_pos_cents and low-engagement is
+    n_ord * 2 * n_cust < n_orders, all exact integers on both engines;
+    segment totals are exact cents sums divided once by 100.
+
+    Shape: one custkey-keyed order count joined LEFT onto customers
+    (zero-order customers keep n_ord=0 — the Q22 anti-join is the
+    degenerate case of this), the two scalar probes broadcast into the
+    filter (the q53 class), and the output agg is |segments|-sized."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal_c")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    pos = c.where(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("bal_c").alias("sum_pos")
+    )
+    tots = c.agg(F.count(F.lit(1)).alias("n_cust")).crossJoin(
+        o.agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c2 = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        "c_mktsegment",
+        "bal_c",
+        F.coalesce(F.col("n_ord"), F.lit(0)).alias("n_ord"),
+    )
+    prospects = (
+        c2.crossJoin(F.broadcast(pos))
+        .crossJoin(F.broadcast(tots))
+        .where(
+            (F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+            & (F.col("n_ord") * 2 * F.col("n_cust") < F.col("n_orders"))
+        )
+    )
+    return prospects.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_prospects"),
+        (F.sum("bal_c") / 100.0).alias("total_bal"),
+        F.sum("n_ord").alias("orders_held"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209: moving-average crossover screen
+# ---------------------------------------------------------------------------
+
+_MA_FAST, _MA_SLOW = 5, 20
+
+
+@query(
+    "q209_ma_crossover",
+    oracle=f"""
+    WITH c AS (SELECT event_type, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    w AS (SELECT event_type, ts, event_id,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN {_MA_FAST - 1} PRECEDING
+                              AND CURRENT ROW) AS s5,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN {_MA_SLOW - 1} PRECEDING
+                              AND CURRENT ROW) AS s20,
+                 COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS BETWEEN {_MA_SLOW - 1} PRECEDING
+                                AND CURRENT ROW) AS n
+          FROM c),
+    st AS (SELECT event_type, ts, event_id,
+                  CASE WHEN n < {_MA_SLOW} THEN NULL
+                       WHEN {_MA_SLOW // _MA_FAST} * s5 > s20 THEN 1
+                       WHEN {_MA_SLOW // _MA_FAST} * s5 < s20 THEN -1
+                       ELSE 0 END AS state
+           FROM w),
+    lg AS (SELECT event_type, state,
+                  lag(state) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS prev
+           FROM st)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CASE WHEN state = 1 AND prev IS NOT NULL AND prev <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cross_up,
+           CAST(SUM(CASE WHEN state = -1 AND prev IS NOT NULL AND prev >= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cross_down
+    FROM lg GROUP BY 1
+    """,
+    category="timeseries-indicator",
+)
+def q209_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover screen: per symbol, how many times the
+    fast SMA(5) crossed the slow SMA(20) upward (golden cross) and
+    downward (death cross) — the canonical trend-following signal
+    counter over the whole tape.
+
+    Exactness: SMA5 > SMA20 is decided as 4*s5 > s20 in exact BIGINT
+    cents sums (the q156 cross-multiplication rule — no float mean
+    ever exists); the state is a 3-way integer sign and a cross is an
+    integer state transition, so the counts cannot drift.
+
+    Shape: two bounded trailing frames + one lag inside the SAME
+    per-symbol sort (one exchange, O(1) amortized per row — the q156
+    streaming-frame class), then a symbol-bounded agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = cents("value")
+    s5 = F.sum(c).over(w.rowsBetween(-(_MA_FAST - 1), Window.currentRow))
+    s20 = F.sum(c).over(w.rowsBetween(-(_MA_SLOW - 1), Window.currentRow))
+    n = F.count(F.lit(1)).over(
+        w.rowsBetween(-(_MA_SLOW - 1), Window.currentRow)
+    )
+    k = _MA_SLOW // _MA_FAST
+    state = (
+        F.when(n < _MA_SLOW, F.lit(None).cast("int"))
+        .when(k * s5 > s20, F.lit(1))
+        .when(k * s5 < s20, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    st = ev.select("event_type", "ts", "event_id", state.alias("state"))
+    lg = st.select(
+        "event_type",
+        "state",
+        F.lag("state").over(w).alias("prev"),
+    )
+    up = (F.col("state") == 1) & F.col("prev").isNotNull() & (
+        F.col("prev") <= 0
+    )
+    dn = (F.col("state") == -1) & F.col("prev").isNotNull() & (
+        F.col("prev") >= 0
+    )
+    return lg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.when(up, 1).otherwise(0)).cast("bigint").alias("cross_up"),
+        F.sum(F.when(dn, 1).otherwise(0)).cast("bigint").alias("cross_down"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210: DAU/MAU stickiness via interval sweep
+# ---------------------------------------------------------------------------
+
+_MAU_DAYS = 28
+
+
+@query(
+    "q210_stickiness",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS dno
+                FROM events),
+    days AS (SELECT DISTINCT dno FROM ud),
+    mau AS (SELECT d.dno, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d JOIN ud u
+              ON u.dno BETWEEN d.dno - {_MAU_DAYS - 1} AND d.dno
+            GROUP BY 1),
+    dau AS (SELECT dno, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+    SELECT d.dno, dau.dau, mau.mau,
+           (dau.dau * 20000 + mau.mau) // (2 * mau.mau) / 10000.0
+             AS stickiness_e4
+    FROM days d JOIN dau USING (dno) JOIN mau USING (dno)
+    """,
+    category="engagement",
+)
+def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-quality ratio
+    (1/28 = every user shows once a month; 1.0 = everyone, daily),
+    with MAU the trailing-{_MAU_DAYS}-day distinct-user count.
+
+    The naive MAU (28-way explode or a distinct-over-range window)
+    multiplies the activity table or serializes on a global window.
+    This runs the q203 sweep instead: per user, distinct activity days
+    merge into coverage islands (a new island only when the gap to the
+    previous activity day exceeds {_MAU_DAYS - 1} days — overlapping
+    [d, d+{_MAU_DAYS - 1}] cover intervals merge, so no user is ever
+    counted twice), each island emits one +1/-1 boundary pair, and the
+    trailing distinct count at every observed day reads off an integer
+    prefix sum over the boundary stream — computed by the two-pass
+    range prefix (:func:`..prefix.global_cumsum`, N-way parallel).
+
+    Exactness: day numbers, boundaries, and the running count are all
+    integers; query rows sort AFTER the day's boundaries (isq breaks
+    the tie), so the count at a query row is order-invariant; the
+    stickiness ratio is the integer-decided ratio_e4.  Shape: the only
+    data-sized work is the distinct (user, day) agg; islands/boundaries
+    are user-keyed windows over that frame, and the sweep runs on the
+    boundary dim (2x|islands| + |days| rows)."""
+    from .prefix import global_cumsum
+
+    ev = table(spark, sf_dir, "events")
+    dno = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("bigint")
+    ud = ev.select("user_id", dno.alias("dno")).distinct()
+
+    w = Window.partitionBy("user_id").orderBy("dno")
+    gap_new = F.when(
+        F.lag("dno").over(w).isNull()
+        | (F.col("dno") > F.lag("dno").over(w) + (_MAU_DAYS - 1)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        ud.withColumn("iid", F.sum(gap_new).over(run))
+        .groupBy("user_id", "iid")
+        .agg(F.min("dno").alias("s"), F.max("dno").alias("e"))
+    )
+    bounds = isl.select(
+        F.col("s").alias("dno"),
+        F.lit(0).alias("isq"),
+        "user_id",
+        F.lit(1).cast("bigint").alias("delta"),
+        F.lit(None).cast("bigint").alias("dau"),
+    ).unionAll(
+        isl.select(
+            (F.col("e") + _MAU_DAYS).alias("dno"),
+            F.lit(0).alias("isq"),
+            "user_id",
+            F.lit(-1).cast("bigint").alias("delta"),
+            F.lit(None).cast("bigint").alias("dau"),
+        )
+    )
+    queries_ = ud.groupBy("dno").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    ).select(
+        "dno",
+        F.lit(1).alias("isq"),
+        F.lit(-1).cast(ud.schema["user_id"].dataType).alias("user_id"),
+        F.lit(0).cast("bigint").alias("delta"),
+        "dau",
+    )
+    swept = global_cumsum(
+        bounds.unionAll(queries_),
+        [F.col("dno"), F.col("isq"), F.col("user_id"), F.col("delta")],
+        "delta",
+        "mau",
+        num_partitions=8,
+    )
+    out = swept.where(F.col("isq") == 1).select(
+        "dno", "dau", F.col("mau").cast("bigint").alias("mau")
+    )
+    return out.select(
+        "dno", "dau", "mau", ratio_e4("dau", "mau").alias("stickiness_e4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211: L28 activity histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_l28_histogram",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS dno
+                FROM events),
+    anchor AS (SELECT MAX(dno) AS amax FROM ud),
+    l AS (SELECT u.user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+          FROM ud u, anchor a
+          WHERE u.dno BETWEEN a.amax - {_MAU_DAYS - 1} AND a.amax
+          GROUP BY 1)
+    SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM l GROUP BY 1
+    """,
+    category="engagement",
+)
+def q211_l28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L28 curve: how many of the trailing 28 days (anchored at the
+    dataset's last active day) each user was active, histogrammed — the
+    canonical power-user / casual-user split (a healthy product shows a
+    smile: mass at 1-2 and at 27-28).
+
+    Exactness: integer day numbers and counts throughout.  Shape: the
+    anchor is a 1-row max probe broadcast into the filter (the q53
+    scalar-probe class — events scans twice, both 2-column pruned),
+    then one distinct (user, day) agg within the window and a
+    |users|-keyed count rolled into a <=28-row histogram."""
+    ev = table(spark, sf_dir, "events")
+    dno = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("bigint")
+    ud = ev.select("user_id", dno.alias("dno")).distinct()
+    anchor = ud.agg(F.max("dno").alias("amax"))
+    l28 = (
+        ud.crossJoin(F.broadcast(anchor))
+        .where(F.col("dno") >= F.col("amax") - (_MAU_DAYS - 1))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("active_days"))
+    )
+    return l28.groupBy("active_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212: engulfing-candle screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_engulfing_candles",
+    oracle="""
+    WITH t AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, day, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_o,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_c
+          FROM t),
+    d AS (SELECT event_type, day,
+                 MAX(CASE WHEN rn_o = 1 THEN c END) AS o,
+                 MAX(CASE WHEN rn_c = 1 THEN c END) AS cl
+          FROM r GROUP BY 1, 2),
+    lg AS (SELECT event_type, o, cl,
+                  lag(o)  OVER (PARTITION BY event_type ORDER BY day) AS po,
+                  lag(cl) OVER (PARTITION BY event_type ORDER BY day) AS pc
+           FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN pc < po AND cl > o AND o <= pc AND cl >= po
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bullish,
+           CAST(SUM(CASE WHEN pc > po AND cl < o AND o >= pc AND cl <= po
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bearish
+    FROM lg GROUP BY 1
+    """,
+    category="timeseries-indicator",
+)
+def q212_engulfing_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engulfing-candle screen over daily bars: per symbol, count the
+    bullish engulfing days (yesterday red, today green, today's body
+    spans yesterday's) and their bearish mirror — the classic two-bar
+    reversal pattern.
+
+    Exactness: open/close are original cent values picked by the
+    deterministic (ts, event_id) total order (the q22 OHLC rule), and
+    the pattern test is four integer comparisons — nothing can drift.
+
+    Shape: the bar pass is two row_number windows + one hash-agg inside
+    the SAME (symbol, day) partitioning — parallelism |symbols x days|,
+    no symbol ceiling; the pattern lag runs on the |symbols x days| bar
+    dim, and the output agg is symbol-bounded."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    t = ev.select(
+        "event_type", day, "ts", "event_id", cents("value").alias("c")
+    )
+    by_bar = Window.partitionBy("event_type", "day")
+    r = t.withColumn(
+        "rn_o",
+        F.row_number().over(by_bar.orderBy(F.asc("ts"), F.asc("event_id"))),
+    ).withColumn(
+        "rn_c",
+        F.row_number().over(
+            by_bar.orderBy(F.desc("ts"), F.desc("event_id"))
+        ),
+    )
+    d = r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_o") == 1, F.col("c"))).alias("o"),
+        F.max(F.when(F.col("rn_c") == 1, F.col("c"))).alias("cl"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lg = d.select(
+        "event_type",
+        "o",
+        "cl",
+        F.lag("o").over(w).alias("po"),
+        F.lag("cl").over(w).alias("pc"),
+    )
+    bull = (
+        (F.col("pc") < F.col("po"))
+        & (F.col("cl") > F.col("o"))
+        & (F.col("o") <= F.col("pc"))
+        & (F.col("cl") >= F.col("po"))
+    )
+    bear = (
+        (F.col("pc") > F.col("po"))
+        & (F.col("cl") < F.col("o"))
+        & (F.col("o") >= F.col("pc"))
+        & (F.col("cl") <= F.col("po"))
+    )
+    return lg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(bull, 1).otherwise(0)).cast("bigint").alias("n_bullish"),
+        F.sum(F.when(bear, 1).otherwise(0)).cast("bigint").alias("n_bearish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213: prefix-collision dedup groups
+# ---------------------------------------------------------------------------
+
+_PFX_CHARS = 64
+
+
+@query(
+    "q213_prefix_collisions",
+    oracle=f"""
+    WITH g AS (SELECT substr(text, 1, {_PFX_CHARS}) AS pfx,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts
+               FROM documents GROUP BY 1)
+    SELECT n_docs AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_texts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_divergent
+    FROM g WHERE n_docs > 1 GROUP BY 1
+    """,
+    category="llm-dedup",
+)
+def q213_prefix_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-collision groups: documents sharing their first
+    {_PFX_CHARS} characters, histogrammed by group size and split into
+    exact-duplicate groups vs DIVERGENT groups (same opening,
+    different continuation — the truncation / boilerplate-header
+    signature that pure exact-hash dedup misses and near-dup passes
+    pay full price to find).
+
+    Exactness: the prefix is a plain character substring and text
+    identity is md5 (identical hex on both engines) — integer counts
+    all the way out.  Shape: one corpus scan; the group agg shuffles
+    (prefix, md5) digests — 48 bytes/doc, the text never moves (the
+    q50 digest rule); the histogram agg is output-bounded."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            F.substring("text", 1, _PFX_CHARS).alias("pfx"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("pfx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_texts"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return g.groupBy(F.col("n_docs").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_texts") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_divergent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: monotone tick runs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_tick_runs",
+    oracle="""
+    WITH c AS (SELECT event_type, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    d AS (SELECT event_type, ts, event_id,
+                 CASE WHEN c > lag(c) OVER w THEN 1
+                      WHEN c < lag(c) OVER w THEN -1
+                      WHEN lag(c) OVER w IS NULL THEN NULL
+                      ELSE 0 END AS dir
+          FROM c
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    ch AS (SELECT event_type, ts, event_id, dir,
+                  CASE WHEN dir IS DISTINCT FROM lag(dir) OVER w
+                       THEN 1 ELSE 0 END AS chg
+           FROM d
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    s AS (SELECT event_type, dir,
+                 SUM(chg) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS rid
+          FROM ch),
+    r AS (SELECT event_type, rid, MAX(dir) AS dir,
+                 CAST(COUNT(*) AS BIGINT) AS len
+          FROM s GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COALESCE(SUM(CASE WHEN dir = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_up_runs,
+           CAST(COALESCE(SUM(CASE WHEN dir = -1 THEN 1 END), 0) AS BIGINT)
+             AS n_down_runs,
+           CAST(COALESCE(MAX(CASE WHEN dir = 1 THEN len END), 0) AS BIGINT)
+             AS max_up_run,
+           CAST(COALESCE(MAX(CASE WHEN dir = -1 THEN len END), 0) AS BIGINT)
+             AS max_down_run
+    FROM r GROUP BY 1
+    """,
+    category="timeseries-indicator",
+)
+def q214_tick_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone tick runs per symbol: counts and maximum lengths of
+    strictly-rising and strictly-falling tick streaks — the runs-test
+    ingredient (a random walk's longest run grows ~log n; momentum and
+    stale feeds both distort it).
+
+    Exactness: the tick direction is a 3-way integer sign on exact
+    cents, run ids are an integer prefix sum over direction changes
+    (IS DISTINCT FROM handles the first-row NULL identically on both
+    engines), and run stats are integer aggs.  Equal ticks (dir 0) and
+    the first tick (dir NULL) form their own runs and are excluded by
+    the dir filter in the final agg.
+
+    Shape: a lag + a running sum inside ONE per-symbol sort (one
+    exchange — the q37 gaps-and-islands shape on the tape), one
+    (symbol, run) hash-agg, one symbol-bounded agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = cents("value")
+    lagc = F.lag(c).over(w)
+    d = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(lagc.isNull(), F.lit(None).cast("int"))
+        .when(c > lagc, F.lit(1))
+        .when(c < lagc, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("dir"),
+    )
+    ch = d.withColumn(
+        "chg",
+        F.when(
+            ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ch.withColumn("rid", F.sum("chg").over(run))
+    r = s.groupBy("event_type", "rid").agg(
+        F.max("dir").alias("dir"), F.count(F.lit(1)).alias("len")
+    )
+    return r.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dir") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_up_runs"),
+        F.coalesce(
+            F.sum(F.when(F.col("dir") == -1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_down_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("dir") == 1, F.col("len"))), F.lit(0)
+        ).cast("bigint").alias("max_up_run"),
+        F.coalesce(
+            F.max(F.when(F.col("dir") == -1, F.col("len"))), F.lit(0)
+        ).cast("bigint").alias("max_down_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215: session bounce rate by entry type
+# ---------------------------------------------------------------------------
+
+_GAP_S = 1800  # the q37 session gap
+
+
+@query(
+    "q215_bounce_rate",
+    oracle=f"""
+    WITH g AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_GAP_S} * 1000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_type, new_s,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    MAX(CASE WHEN new_s = 1 THEN event_type END) AS entry
+             FROM s GROUP BY 1, 2)
+    SELECT entry,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           (SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 20000
+              + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS bounce_e4
+    FROM sess GROUP BY 1
+    """,
+    category="timeseries-session",
+)
+def q215_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by entry event type: of the sessions that
+    OPENED with a given event type (q37's 30-min-gap sessions), what
+    share contained exactly one event — the landing-quality metric
+    (an 'error'-entry bounce is a crash; a 'view'-entry bounce is a
+    content miss).
+
+    Exactness: the session id is q37's integer gaps-and-islands sum,
+    the entry type rides the session-start flag (exactly one new_s=1
+    row per session, so MAX(CASE...) picks it without any ordered agg
+    — no sort-aggregate, the max_by(struct) trap never appears), and
+    the rate is the integer-decided ratio_e4.
+
+    Shape: identical to q37 — one user-keyed exchange shared by the
+    lag, the running sum, and the session agg — plus an entry-type-
+    bounded output agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        gap.isNull() | (gap > _GAP_S * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        new_s.alias("new_s"),
+        F.sum(new_s).over(run).cast("bigint").alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("new_s") == 1, F.col("event_type"))
+        ).alias("entry"),
+    )
+    return sess.groupBy("entry").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        ratio_e4(
+            "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)", "COUNT(*)"
+        ).alias("bounce_e4"),
+    )

@@ -379,6 +379,16 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # rewrite removed the min/max pre-pass (data-independent digit
         # bins), so the fact side is a genuine single pass
         "q205_spend_gini_binned",
+        # q206: 4 scans = 4 DIFFERENT tables (lineitem/part/supplier/
+        # nation — the TPC-H Q9 join), each read exactly once
+        "q206_product_margin",
+        # q208: the two scalar threshold probes (avg positive balance,
+        # totals) + the custkey order count + the data pass — the q53
+        # scalar-probe class, every scan 2-3 columns pruned
+        "q208_prospect_segments",
+        # q211: 1-row anchor max probe + distinct (user, day) data
+        # pass over the same 2-column events projection (q53 class)
+        "q211_l28_histogram",
         "q139_promo_share_monthly",
         # round-6 warehouse shapes: multi-table joins (q148/q149 read the
         # 25-row nation dim twice — one broadcast per role, KB-scale);
