@@ -150,18 +150,36 @@ def q74_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     when ticks arrive unevenly.  Spark's RANGE frame needs a numeric
     ordering: order by unix_micros and bound by -3.6e9 micros; equal-ts
     peers aggregate together, which is why the summed value is integer
-    cents (peer order is engine-internal)."""
+    cents (peer order is engine-internal).
+
+    Routed through :func:`..prefix.keyed_time_rolling` (round 9): above
+    the size crossover the trailing frame runs haloed and segmented by
+    (symbol, window-width bucket) — |symbols x buckets| parallelism
+    instead of the bare-symbol ceiling — and below it the classic
+    per-symbol RANGE window; both paths value-identical
+    (test_keyed_time_rolling_matches_classic)."""
+    from .prefix import keyed_time_rolling
+
     ev = table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
+    d = ev.select(
         "event_id",
         "event_type",
-        (F.sum(cents("value")).over(w) / 100.0).alias("sum_1h"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.unix_micros("ts").alias("__us"),
+        cents("value").alias("__c"),
+    )
+    rolled = keyed_time_rolling(
+        d,
+        ["event_type"],
+        "__us",
+        3_600_000_000,
+        sums={"__sum_c": "__c"},
+        count_col="n_1h",
+    )
+    return rolled.select(
+        "event_id",
+        "event_type",
+        (F.col("__sum_c") / 100.0).alias("sum_1h"),
+        "n_1h",
     )
 
 

@@ -292,3 +292,134 @@ def test_keyed_prefix_conf_zero_forces_keyed_path(spark):
         assert "__b#" in physical_plan(got)
     finally:
         spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
+
+
+# ---------------------------------------------------------------------------
+# keyed_time_rolling (round 9): trailing time-RANGE frames without the
+# per-key ceiling — haloed (key, window-width bucket) segments
+# ---------------------------------------------------------------------------
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
+    classic_time_rolling,
+    keyed_time_rolling,
+)
+
+
+def _ticky(spark, n=40_000, n_keys=3, w=1_000):
+    """Uneven multi-key tape in integer 'micros' with planted boundary
+    cases: equal-us peers (including pairs straddling a bucket edge),
+    rows exactly window_us apart (frame-inclusive at both ends), and
+    empty buckets (gaps longer than the window)."""
+    base = spark.range(n).select(
+        F.concat(F.lit("K"), (F.col("id") % n_keys).cast("string")).alias("k"),
+        # uneven spacing, repeated values (peers), occasional long gaps
+        (
+            (F.col("id") * 137) % 97 + (F.col("id") - F.col("id") % 50) * 61
+        ).cast("bigint").alias("us"),
+        ((F.col("id") * 31) % 500).alias("x"),
+    )
+    planted = spark.createDataFrame(
+        [
+            # exactly window apart: frame includes both endpoints
+            ("Edge", 0, 10),
+            ("Edge", 1_000, 20),
+            # peers straddling a bucket edge (us == bucket start)
+            ("Edge", 2_000, 1),
+            ("Edge", 2_000, 2),
+            ("Edge", 1_999, 4),
+            # an isolated row far away (empty buckets between)
+            ("Edge", 50_000, 9),
+        ],
+        "k string, us long, x long",
+    )
+    return base.unionAll(planted)
+
+
+def test_keyed_time_rolling_matches_classic(spark):
+    df = _ticky(spark)
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    a = (
+        keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_keyed_time_rolling_planted_boundaries(spark):
+    """The planted Edge key, checked against hand-computed frames:
+    endpoints inclusive, peers aggregate together, empty buckets okay."""
+    df = _ticky(spark)
+    got = (
+        keyed_time_rolling(
+            df, ["k"], "us", 1_000, sums={"sx": "x"}, count_col="nw",
+            classic_max_bytes=0,
+        )
+        .where(F.col("k") == "Edge")
+        .toPandas()
+        .sort_values(["us", "x"], ignore_index=True)
+    )
+    # us=0: frame [-1000, 0] -> itself
+    assert got.loc[0, "sx"] == 10 and got.loc[0, "nw"] == 1
+    # us=1000: frame [0, 1000] -> 10 + 20 (exactly window apart: included)
+    assert got.loc[1, "sx"] == 30 and got.loc[1, "nw"] == 2
+    # us=1999: frame [999, 1999] -> 20 + 4
+    assert got.loc[2, "sx"] == 24 and got.loc[2, "nw"] == 2
+    # us=2000 peers: frame [1000, 2000] -> 20 + 4 + 1 + 2 for BOTH peers
+    assert (got.loc[got.us == 2_000, "sx"] == 27).all()
+    assert (got.loc[got.us == 2_000, "nw"] == 4).all()
+    # isolated row: frame is itself
+    assert got.loc[got.us == 50_000, "sx"].iloc[0] == 9
+    assert got.loc[got.us == 50_000, "nw"].iloc[0] == 1
+
+
+def test_q74_keyed_path_matches_default(spark):
+    """q74 through the forced keyed path equals the (classic-dispatched)
+    default on the real sf0.001 events table."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (
+        CLASSIC_MAX_BYTES_CONF,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    base = (
+        reg["q74_rolling_time_window"].fn(spark, sf)
+        .toPandas()
+        .sort_values(["event_type", "event_id"], ignore_index=True)
+    )
+    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    try:
+        keyed = (
+            reg["q74_rolling_time_window"].fn(spark, sf)
+            .toPandas()
+            .sort_values(["event_type", "event_id"], ignore_index=True)
+        )
+    finally:
+        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
+    assert base.equals(keyed)
+
+
+def test_keyed_time_rolling_forced_path_is_cumsum_difference(spark):
+    """The forced keyed plan really is the collapse + growing-frame
+    form: a per-(key, us) aggregate feeds the windows (no bounded
+    sliding frame anywhere — those re-aggregate the whole frame per
+    row in Spark) and the answer joins back to the tape."""
+    got = keyed_time_rolling(
+        _ticky(spark, 5_000), ["k"], "us", 1_000,
+        sums={"sx": "x"}, classic_max_bytes=0,
+    )
+    plan = physical_plan(got)
+    # growing frames only: the bounded-preceding sliding spec
+    # "specifiedwindowframe(RangeFrame, -1000, currentrow$())" is absent
+    assert "-1000, currentrow" not in plan
+    assert "unboundedpreceding" in plan.lower()
+    assert "__g_sx#" in plan  # the collapsed per-(key, us) partial
