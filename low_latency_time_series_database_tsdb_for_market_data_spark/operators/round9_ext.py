@@ -1,8 +1,10 @@
-"""Round-9 depth additions (q206-q215): product margin by nation-year
+"""Round-9 depth additions (q206-q219): product margin by nation-year
 (TPC-H Q9 shape), suppliers-per-order distribution, prospect segments
 (TPC-H Q22 shape), moving-average crossover screen, DAU/MAU stickiness
 (interval sweep), L28 activity histogram, engulfing-candle screen,
-prefix-collision dedup groups, monotone tick runs, session bounce rate.
+prefix-collision dedup groups, monotone tick runs, session bounce rate,
+per-source boilerplate signature, user-type affinity lift, single-source
+supply risk, embedding label-balance audit.
 
 Same discipline as every extension block: exact integer arithmetic for
 every published number (cents BIGINT, ratios via the deterministic
@@ -790,4 +792,258 @@ def q215_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_e4(
             "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)", "COUNT(*)"
         ).alias("bounce_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216: per-source top boilerplate shingle
+# ---------------------------------------------------------------------------
+
+_SRC_SHINGLES_SQL = """
+    toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT source,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                        i -> t[i] || ' ' || t[i+1] || ' '
+                                             || t[i+2])) AS s
+           FROM toks)
+"""
+
+
+@query(
+    "q216_top_boilerplate",
+    oracle=f"""
+    WITH {_SRC_SHINGLES_SQL},
+    cnt AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sh GROUP BY 1, 2),
+    mx AS (SELECT source, MAX(n) AS mc FROM cnt GROUP BY 1)
+    SELECT c.source, MIN(c.s) AS top_shingle, CAST(m.mc AS BIGINT)
+             AS occurrences
+    FROM cnt c JOIN mx m ON c.source = m.source AND c.n = m.mc
+    GROUP BY c.source, m.mc
+    """,
+    category="llm-curation",
+)
+def q216_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most repeated word 3-gram per source (deterministic
+    tie-break: lexicographically smallest among the most frequent) —
+    the boilerplate signature a curation pipeline strips before
+    training (navigation chrome, license headers, template scaffolds
+    all surface here first).
+
+    Exactness: integer counts and a string MIN — nothing to drift.
+    Shape: one shingle explode feeding a (source, shingle) hash-agg
+    (map-side partials — the q81 DF-table pass with source instead of
+    doc_id), a |sources|-row max probe joined back (the q92
+    vocabulary-probe class: two pruned passes beat materializing the
+    exploded stream), and a |sources|-row output."""
+    from ..functions.texthash import shingles, tokens
+
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    rows = d.repartition(par).select(
+        "source", F.explode(shingles(tokens("text"))).alias("s")
+    )
+    cnt = rows.groupBy("source", "s").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.groupBy("source").agg(F.max("n").alias("mc")).select(
+        F.col("source").alias("__src"), "mc"
+    )
+    top = cnt.join(
+        mx, (cnt.source == mx["__src"]) & (cnt.n == mx.mc)
+    ).select("source", "s", "mc")
+    return top.groupBy("source", "mc").agg(
+        F.min("s").alias("top_shingle")
+    ).select(
+        "source", "top_shingle", F.col("mc").cast("bigint").alias("occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217: user x event-type affinity lift
+# ---------------------------------------------------------------------------
+
+_AFF_MIN_SUPPORT = 5
+_AFF_TOPK = 20
+
+
+@query(
+    "q217_type_affinity",
+    oracle=f"""
+    WITH ut AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS u_t
+                FROM events GROUP BY 1, 2),
+    uu AS (SELECT user_id, CAST(SUM(u_t) AS BIGINT) AS u_tot FROM ut
+           GROUP BY 1),
+    gt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g_t FROM events
+           GROUP BY 1),
+    gg AS (SELECT CAST(COUNT(*) AS BIGINT) AS g_tot FROM events),
+    l AS (SELECT ut.user_id, ut.event_type, ut.u_t,
+                 (CAST(ut.u_t AS HUGEINT) * gg.g_tot * 20000
+                    + CAST(uu.u_tot AS HUGEINT) * gt.g_t)
+                   // (2 * CAST(uu.u_tot AS HUGEINT) * gt.g_t) / 10000.0
+                   AS lift_e4
+          FROM ut JOIN uu USING (user_id)
+                  JOIN gt USING (event_type), gg
+          WHERE ut.u_t >= {_AFF_MIN_SUPPORT})
+    SELECT user_id, event_type, u_t, lift_e4
+    FROM l
+    ORDER BY lift_e4 DESC, user_id, event_type
+    LIMIT {_AFF_TOPK}
+    """,
+    category="engagement",
+)
+def q217_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user x event-type affinity lifts: how over-represented a
+    type is in one user's stream vs the population
+    (lift = (u_t/u_tot) / (g_t/g_tot)) — the collaborative-filtering
+    seed signal, with a minimum-support floor of {_AFF_MIN_SUPPORT}
+    events so one-off actions can't fake affinity.
+
+    Exactness: lift never divides by parts — it is the integer-decided
+    ratio of the cross-products u_t*g_tot and u_tot*g_t (DECIMAL(38,0)
+    widening on both engines), and the top-{_AFF_TOPK} total order
+    (lift DESC, user, type) is unique.
+
+    Shape: one (user, type) hash-agg; the per-user totals come from a
+    window-free second agg over THAT (map-side, |users| keys); the
+    |types|-row and 1-row probes broadcast; top-k is TakeOrdered — no
+    global sort."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("u_t")
+    )
+    uu = ut.groupBy("user_id").agg(F.sum("u_t").alias("u_tot"))
+    gt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("g_t"))
+    gg = ev.agg(F.count(F.lit(1)).alias("g_tot"))
+    l = (
+        ut.where(F.col("u_t") >= _AFF_MIN_SUPPORT)
+        .join(uu, "user_id")
+        .join(F.broadcast(gt), "event_type")
+        .crossJoin(F.broadcast(gg))
+        .select(
+            "user_id",
+            "event_type",
+            "u_t",
+            ratio_e4("u_t * g_tot", "u_tot * g_t").alias("lift_e4"),
+        )
+    )
+    return l.orderBy(
+        F.desc("lift_e4"), F.asc("user_id"), F.asc("event_type")
+    ).limit(_AFF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q218: single-source supply risk
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_single_source_risk",
+    oracle="""
+    WITH p AS (SELECT l.l_partkey,
+                      CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT)
+                        AS n_nations,
+                      SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000) AS BIGINT)) AS rev_u
+               FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1)
+    SELECT n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           SUM(rev_u) / 1000000.0 AS revenue
+    FROM p GROUP BY 1
+    """,
+    category="warehouse-join",
+)
+def q218_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: parts bucketed by how many distinct
+    supplier NATIONS actually shipped them, with the revenue flowing
+    through each bucket — the n_nations=1 row is the single-source
+    revenue at risk from one border closing (q188 measures supplier
+    concentration within a nation; this measures geographic spread per
+    part).
+
+    Exactness: integer nation counts, exact e4-cent revenue, one IEEE
+    /1e6 at the end (the q206 rule).  Shape: supplier's 2-column dim
+    broadcasts into the fact scan, one partkey hash-agg (distinct over
+    the part's handful of nations merges map-side), then an
+    output-bounded histogram agg."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint").alias("rev_u"),
+    )
+    s = F.broadcast(
+        table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    p = (
+        li.join(s, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("s_nationkey").alias("n_nations"),
+            F.sum("rev_u").alias("rev_u"),
+        )
+    )
+    return p.groupBy("n_nations").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("rev_u") / 1000000.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219: embedding label balance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_label_balance",
+    oracle="""
+    WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY 1),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                 CAST(SUM(n) AS BIGINT) AS n_vecs,
+                 CAST(MIN(n) AS BIGINT) AS min_count,
+                 CAST(MAX(n) AS BIGINT) AS max_count,
+                 SUM(CAST(n AS HUGEINT) * n) AS sum_c2
+          FROM c)
+    SELECT n_vecs, n_labels, min_count, max_count,
+           (max_count * 20000 + min_count) // (2 * min_count) / 10000.0
+             AS imbalance_e4,
+           ((n_labels * sum_c2 - CAST(n_vecs AS HUGEINT) * n_vecs) * 20000
+              + n_vecs) // (2 * CAST(n_vecs AS HUGEINT)) / 10000.0
+             AS chi2_e4
+    FROM a
+    """,
+    category="similarity",
+)
+def q219_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit of the embedding table: class counts,
+    max/min imbalance ratio, and the chi-square statistic against the
+    uniform distribution — the dataset-health panel a training
+    pipeline gates on before fitting anything (a skewed label column
+    silently biases every downstream centroid/classifier).
+
+    Exactness: chi2 against uniform expected counts reduces to
+    (k·Σc² − N²)/N — numerator and denominator exact integers
+    (DECIMAL(38,0)/HUGEINT widening before the product, the q162
+    rule), both ratios integer-decided.  Shape: one label hash-agg,
+    one 1-row rollup — single scan, output-bounded everywhere."""
+    e = table(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = c.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum("n").alias("n_vecs"),
+        F.min("n").alias("min_count"),
+        F.max("n").alias("max_count"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sum_c2"),
+    )
+    return a.select(
+        "n_vecs",
+        "n_labels",
+        "min_count",
+        "max_count",
+        ratio_e4("max_count", "min_count").alias("imbalance_e4"),
+        ratio_e4(
+            "n_labels * sum_c2 - CAST(n_vecs AS DECIMAL(38,0)) * n_vecs",
+            "n_vecs",
+        ).alias("chi2_e4"),
     )

@@ -389,6 +389,17 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # q211: 1-row anchor max probe + distinct (user, day) data
         # pass over the same 2-column events projection (q53 class)
         "q211_l28_histogram",
+        # q216: (source, shingle) count pass + |sources|-row max probe
+        # joined back — the q92 vocabulary-probe class (checkpointing
+        # the exploded shingle stream would materialize more than the
+        # corpus)
+        "q216_top_boilerplate",
+        # q217: per-(user, type) pass + type/total probes, all
+        # 2-column pruned (q53 scalar-probe class)
+        "q217_type_affinity",
+        # q218: 2 scans = 2 DIFFERENT tables (lineitem + the broadcast
+        # supplier dim), each read once
+        "q218_single_source_risk",
         "q139_promo_share_monthly",
         # round-6 warehouse shapes: multi-table joins (q148/q149 read the
         # 25-row nation dim twice — one broadcast per role, KB-scale);

@@ -1,4 +1,4 @@
-"""Round-9 additions (q206-q215): independent recomputation tests —
+"""Round-9 additions (q206-q219): independent recomputation tests —
 pandas/python replays of the declared semantics, not oracle re-runs —
 plus the exactness properties each query's docstring claims."""
 
@@ -307,3 +307,84 @@ def test_q215_bounce_rate_matches_python_replay(reg, spark):
         r = got.loc[entry]
         assert r.n_sessions == n and r.n_bounces == b, entry
         assert r.bounce_e4 == _ratio_e4(b, n), entry
+
+
+def test_q216_top_boilerplate_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q216_top_boilerplate").set_index("source")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    for src, g in d.groupby("source"):
+        cnt: Counter = Counter()
+        for t in g.text:
+            toks = t.split(" ")
+            if len(toks) < 3:
+                # the shingle builder emits one short shingle for tiny
+                # docs (greatest(len-1, 1) in the oracle); replicate
+                n_sh = 1
+            else:
+                n_sh = len(toks) - 2
+            for i in range(n_sh):
+                cnt[" ".join(toks[i : i + 3])] += 1
+        mc = max(cnt.values())
+        best = min(s for s, n in cnt.items() if n == mc)
+        r = got.loc[src]
+        assert r.occurrences == mc, src
+        assert r.top_shingle == best, src
+
+
+def test_q217_type_affinity_matches_python_replay(reg, spark):
+    sf = "/root/testdata/sf0.01"
+    got = _pdf(reg, spark, "q217_type_affinity", sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ut = ev.groupby(["user_id", "event_type"]).size().rename("u_t")
+    uu = ut.groupby("user_id").sum()
+    gt = ev.groupby("event_type").size()
+    g_tot = len(ev)
+    rows = []
+    for (u, ty), n in ut.items():
+        if n < 5:
+            continue
+        lift = _ratio_e4(int(n) * g_tot, int(uu[u]) * int(gt[ty]))
+        rows.append((u, ty, int(n), lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = rows[:20]
+    assert len(got) == len(exp)
+    for i, (u, ty, n, lift) in enumerate(exp):
+        r = got.iloc[i]
+        assert (r.user_id, r.event_type, r.u_t, r.lift_e4) == (
+            u, ty, n, lift
+        ), i
+
+
+def test_q218_single_source_risk_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q218_single_source_risk").set_index("n_nations")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    j["rev_u"] = (
+        (j.l_extendedprice * (1 - j.l_discount) * 10000).round().astype(
+            "int64"
+        )
+    )
+    p = j.groupby("l_partkey").agg(
+        nn=("s_nationkey", "nunique"), rev=("rev_u", "sum")
+    )
+    exp = p.groupby("nn").agg(n_parts=("rev", "size"), rev=("rev", "sum"))
+    assert len(got) == len(exp)
+    for nn, e in exp.iterrows():
+        r = got.loc[nn]
+        assert r.n_parts == e.n_parts
+        assert r.revenue == e.rev / 1000000.0, nn
+
+
+def test_q219_label_balance_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q219_label_balance").iloc[0]
+    e = pd.read_parquet(f"{SF}/embeddings.parquet")
+    c = e.groupby("label").size()
+    n, k = len(e), len(c)
+    sum_c2 = int((c.astype("int64") ** 2).sum())
+    assert got.n_vecs == n and got.n_labels == k
+    assert got.min_count == c.min() and got.max_count == c.max()
+    assert got.imbalance_e4 == _ratio_e4(int(c.max()), int(c.min()))
+    assert got.chi2_e4 == _ratio_e4(k * sum_c2 - n * n, n)
