@@ -1,0 +1,116 @@
+"""Rerunnable soak for the trailing time-RANGE window plans
+(BASELINE.md "sliding-frame re-aggregation trap"): generates a dense
+5-symbol tape where the 1-hour window holds ~6k rows, then times
+
+  * classic  - Window.partitionBy(key) RANGE -W..0 (re-aggregates the
+               whole frame per row: cost ~ frame width),
+  * keyed    - prefix.py::keyed_time_rolling (cumsum-difference:
+               frame-width-independent),
+
+and asserts they agree on a sampled slice.
+
+Usage:
+    python tools/rolling_soak.py [rows] [symbols] [classic]
+    # default 10_000_000 5; pass "classic" as argv[3] to ALSO time the
+    # classic plan (~220 s at the default shape - skipped by default)
+
+Recorded reference points (local[32], min-of-2 after warm):
+  10M x 5, 6k-row frames: classic 220.1 s (single run), keyed 18.4 s
+  sf1 events (1M x 5, ~280-row frames): classic 2.84 s, keyed 1.56 s
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
+    classic_time_rolling,
+    keyed_time_rolling,
+)
+
+W_US = 3_600_000_000
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    run_classic = len(sys.argv) > 3 and sys.argv[3] == "classic"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp()
+    # 0.12 s spacing across symbols -> ~6k rows per symbol-hour window
+    spark.range(n).select(
+        F.concat(F.lit("S"), (F.col("id") % n_keys).cast("string")).alias("k"),
+        (
+            F.lit(1_700_000_000_000_000)
+            + F.col("id") * 120_000
+            + (F.col("id") * 37) % 1000
+        ).alias("us"),
+        ((F.col("id") * 31) % 50000).alias("x"),
+    ).write.mode("overwrite").parquet(d + "/tape")
+    df = spark.read.parquet(d + "/tape")
+
+    def bench(fn, label, reps=2):
+        fn().write.mode("overwrite").format("noop").save()  # warm codegen
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn().write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        print(
+            f"{label}: {best:.2f} s = {n / best / 1e6:.2f} M rows/s",
+            flush=True,
+        )
+        return best
+
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    bench(
+        lambda: keyed_time_rolling(
+            df, ["k"], "us", W_US, classic_max_bytes=0, **kw
+        ),
+        f"keyed(cumsum-diff) {n}x{n_keys}",
+    )
+    if run_classic:
+        bench(
+            lambda: classic_time_rolling(df, ["k"], "us", W_US, **kw),
+            f"classic RANGE frame {n}x{n_keys}",
+            reps=1,
+        )
+
+    # correctness spot-check: both plans agree on one symbol's slice
+    a = (
+        keyed_time_rolling(df, ["k"], "us", W_US, classic_max_bytes=0, **kw)
+        .where(F.col("k") == "S0")
+        .orderBy("us", "x")
+        .limit(50_000)
+        .toPandas()
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", W_US, **kw)
+        .where(F.col("k") == "S0")
+        .orderBy("us", "x")
+        .limit(50_000)
+        .toPandas()
+    )
+    assert a.equals(b), "keyed and classic plans disagree"
+    print("slice-equality: OK (50k rows of S0 identical)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
