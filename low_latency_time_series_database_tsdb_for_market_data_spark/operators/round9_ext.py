@@ -1,10 +1,12 @@
-"""Round-9 depth additions (q206-q219): product margin by nation-year
+"""Round-9 depth additions (q206-q223): product margin by nation-year
 (TPC-H Q9 shape), suppliers-per-order distribution, prospect segments
 (TPC-H Q22 shape), moving-average crossover screen, DAU/MAU stickiness
 (interval sweep), L28 activity histogram, engulfing-candle screen,
 prefix-collision dedup groups, monotone tick runs, session bounce rate,
 per-source boilerplate signature, user-type affinity lift, single-source
-supply risk, embedding label-balance audit.
+supply risk, embedding label-balance audit, order fill-days quartiles,
+gap-continuation screen, repeat-purchase conversion, cross-language
+duplicate audit.
 
 Same discipline as every extension block: exact integer arithmetic for
 every published number (cents BIGINT, ratios via the deterministic
@@ -1046,4 +1048,287 @@ def q219_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_labels * sum_c2 - CAST(n_vecs AS DECIMAL(38,0)) * n_vecs",
             "n_vecs",
         ).alias("chi2_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220: order completion latency (fill days) per priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_order_fill_days",
+    oracle="""
+    WITH f AS (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+               FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_orderpriority,
+                 CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(f.last_ship AS DATE)) AS BIGINT)
+                   AS fill_d
+          FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(fill_d, 0.25), 4) AS p25_days,
+           ROUND(quantile_cont(fill_d, 0.50), 4) AS p50_days,
+           ROUND(quantile_cont(fill_d, 0.75), 4) AS p75_days,
+           CAST(MAX(fill_d) AS BIGINT) AS max_days
+    FROM j GROUP BY 1
+    """,
+    category="warehouse-datetime",
+)
+def q220_order_fill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order COMPLETION latency quartiles per priority: days from order
+    placement to the LAST line shipping — the customer-visible number
+    (q187 measures per-line pipeline speed; an order is done when its
+    slowest line ships).
+
+    Exactness: integer day difference on the per-order MAX ship date,
+    exact interpolated percentiles on integers (q27/q187 precedent).
+    Shape: one orderkey hash-agg collapses lineitem to |orders| rows
+    BEFORE the join (the fact-fact join moves one skinny row per
+    order, not per line), then a |priorities|-row percentile agg."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    f = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = f.join(o, f.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("fill_d"),
+    )
+    ps = F.percentile("fill_d", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            ps.alias("ps"),
+            F.max("fill_d").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            *[
+                F.round(F.col("ps")[i], 4).alias(c)
+                for i, c in enumerate(("p25_days", "p50_days", "p75_days"))
+            ],
+            "max_days",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: overnight-gap continuation screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q221_gap_continuation",
+    oracle="""
+    WITH t AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, day, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_o,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_c
+          FROM t),
+    d AS (SELECT event_type, day,
+                 MAX(CASE WHEN rn_o = 1 THEN c END) AS o,
+                 MAX(CASE WHEN rn_c = 1 THEN c END) AS cl
+          FROM r GROUP BY 1, 2),
+    lg AS (SELECT event_type, o, cl,
+                  lag(cl) OVER (PARTITION BY event_type ORDER BY day) AS pc
+           FROM d)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN o > pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_up,
+           CAST(SUM(CASE WHEN o > pc AND cl > o THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up_continued,
+           (SUM(CASE WHEN o > pc AND cl > o THEN 1 ELSE 0 END) * 20000
+              + GREATEST(SUM(CASE WHEN o > pc THEN 1 ELSE 0 END), 1))
+             // (2 * GREATEST(SUM(CASE WHEN o > pc THEN 1 ELSE 0 END), 1))
+             / 10000.0 AS up_cont_e4,
+           CAST(SUM(CASE WHEN o < pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_down,
+           CAST(SUM(CASE WHEN o < pc AND cl < o THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down_continued
+    FROM lg WHERE pc IS NOT NULL GROUP BY 1
+    """,
+    category="timeseries-indicator",
+)
+def q221_gap_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-go screen: of the days a symbol OPENED above the prior
+    close (gap up), how many also CLOSED above their open — the
+    continuation conditional behind the classic gap-fade/gap-go debate
+    (q109 reports the gaps themselves; this measures what happened
+    next).
+
+    Exactness: opens/closes are original cents picked by the
+    (ts, event_id) total order (q22 rule), every test an integer
+    comparison, the rate integer-decided with a GREATEST(n,1)
+    zero-gap guard (the q198 rule).  Shape: the q212 bar pass
+    (|symbols x days| parallelism), a symbol lag on the bar dim, one
+    symbol-bounded agg."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        cents("value").alias("c"),
+    )
+    by_bar = Window.partitionBy("event_type", "day")
+    r = t.withColumn(
+        "rn_o",
+        F.row_number().over(by_bar.orderBy(F.asc("ts"), F.asc("event_id"))),
+    ).withColumn(
+        "rn_c",
+        F.row_number().over(by_bar.orderBy(F.desc("ts"), F.desc("event_id"))),
+    )
+    d = r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_o") == 1, F.col("c"))).alias("o"),
+        F.max(F.when(F.col("rn_c") == 1, F.col("c"))).alias("cl"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lg = d.select(
+        "event_type", "o", "cl", F.lag("cl").over(w).alias("pc")
+    ).where(F.col("pc").isNotNull())
+    up = F.when((F.col("o") > F.col("pc")), 1).otherwise(0)
+    upc = F.when(
+        (F.col("o") > F.col("pc")) & (F.col("cl") > F.col("o")), 1
+    ).otherwise(0)
+    dn = F.when((F.col("o") < F.col("pc")), 1).otherwise(0)
+    dnc = F.when(
+        (F.col("o") < F.col("pc")) & (F.col("cl") < F.col("o")), 1
+    ).otherwise(0)
+    return lg.groupBy("event_type").agg(
+        F.sum(up).cast("bigint").alias("n_gap_up"),
+        F.sum(upc).cast("bigint").alias("n_up_continued"),
+        ratio_e4(
+            "SUM(CASE WHEN o > pc AND cl > o THEN 1 ELSE 0 END)",
+            "GREATEST(SUM(CASE WHEN o > pc THEN 1 ELSE 0 END), 1)",
+        ).alias("up_cont_e4"),
+        F.sum(dn).cast("bigint").alias("n_gap_down"),
+        F.sum(dnc).cast("bigint").alias("n_down_continued"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: repeat-purchase conversion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_repeat_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT user_id,
+                 MAX(CASE WHEN rn = 1 THEN us END) AS first_us,
+                 MAX(CASE WHEN rn = 2 THEN us END) AS second_us,
+                 CAST(MAX(rn) AS BIGINT) AS n_purchases
+          FROM p GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           (SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) * 20000
+              + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS repeat_e4,
+           ROUND(quantile_cont(second_us - first_us, 0.50), 4)
+             AS p50_gap_us
+    FROM f
+    """,
+    category="engagement",
+)
+def q222_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase conversion: of the users who ever purchased, the
+    share that purchased AGAIN, and the median time from first to
+    second purchase — the retention number subscription pricing is
+    built on (q181 times signup→first purchase; this times
+    first→second).
+
+    Exactness: purchase ranks ride the (ts, event_id) total order,
+    the gap is integer microseconds, the share integer-decided, and
+    the median an exact interpolated percentile over integers (NULL
+    gaps — single-purchase users — are excluded by both engines'
+    percentile semantics).  Shape: one user-keyed window on the
+    purchase-filtered slice (filter pushes to the scan), one |users|
+    agg, one 1-row rollup."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.row_number().over(w).alias("rn"),
+    )
+    f = p.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("first_us"),
+        F.max(F.when(F.col("rn") == 2, F.col("us"))).alias("second_us"),
+        F.max("rn").cast("bigint").alias("n_purchases"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum(F.when(F.col("n_purchases") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        ratio_e4(
+            "SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)", "COUNT(*)"
+        ).alias("repeat_e4"),
+        F.round(
+            F.percentile(F.col("second_us") - F.col("first_us"), F.lit(0.5)),
+            4,
+        ).alias("p50_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223: cross-language exact duplicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_crosslang_dups",
+    oracle="""
+    WITH g AS (SELECT md5(text) AS h,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+               FROM documents GROUP BY 1)
+    SELECT n_langs,
+           n_docs > 1 AS is_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1, 2
+    """,
+    category="llm-dedup",
+)
+def q223_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-identity groups by language span: byte-identical texts
+    carrying DIFFERENT lang labels are label noise (a mislabeled copy
+    poisons language-conditioned sampling like q58/q85) — the
+    (n_langs >= 2, is_dup) rows are the audit finding; the
+    (1, false) row is the healthy-unique baseline the finding is read
+    against (and keeps the result non-degenerate on corpora with no
+    duplicates at all).
+
+    Exactness: md5 identity, integer counts.  Shape: one corpus scan;
+    the group agg shuffles (md5, lang) pairs — never text (q50 digest
+    rule); histogram agg output-bounded by the language count."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.md5("text").alias("h"), "lang")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+    return g.groupBy(
+        "n_langs", (F.col("n_docs") > 1).alias("is_dup")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
     )

@@ -400,6 +400,9 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # q218: 2 scans = 2 DIFFERENT tables (lineitem + the broadcast
         # supplier dim), each read once
         "q218_single_source_risk",
+        # q220: 2 scans = 2 DIFFERENT tables (lineitem collapsed to
+        # |orders| rows, then joined to orders), each read once
+        "q220_order_fill_days",
         "q139_promo_share_monthly",
         # round-6 warehouse shapes: multi-table joins (q148/q149 read the
         # 25-row nation dim twice — one broadcast per role, KB-scale);

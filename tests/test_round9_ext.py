@@ -1,4 +1,4 @@
-"""Round-9 additions (q206-q219): independent recomputation tests —
+"""Round-9 additions (q206-q223): independent recomputation tests —
 pandas/python replays of the declared semantics, not oracle re-runs —
 plus the exactness properties each query's docstring claims."""
 
@@ -388,3 +388,109 @@ def test_q219_label_balance_matches_python_replay(reg, spark):
     assert got.min_count == c.min() and got.max_count == c.max()
     assert got.imbalance_e4 == _ratio_e4(int(c.max()), int(c.min()))
     assert got.chi2_e4 == _ratio_e4(k * sum_c2 - n * n, n)
+
+
+def test_q220_order_fill_days_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q220_order_fill_days").set_index(
+        "o_orderpriority"
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    f = li.groupby("l_orderkey").l_shipdate.max().rename("last_ship")
+    j = o.merge(f, left_on="o_orderkey", right_index=True)
+    fill = (
+        pd.to_datetime(j.last_ship) - pd.to_datetime(j.o_orderdate)
+    ).dt.days.astype("int64")
+    j = j.assign(fill_d=fill)
+    for pri, g in j.groupby("o_orderpriority"):
+        r = got.loc[pri]
+        assert r.n_orders == len(g)
+        for p, col in ((25, "p25_days"), (50, "p50_days"), (75, "p75_days")):
+            assert r[col] == round(
+                float(np.percentile(g.fill_d, p, method="linear")), 4
+            ), (pri, col)
+        assert r.max_days == g.fill_d.max()
+
+
+def test_q221_gap_continuation_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q221_gap_continuation").set_index("event_type")
+    ev = _events()
+    for sym, g in ev.groupby("event_type"):
+        daily = g.groupby(g.dno).agg(o=("c", "first"), cl=("c", "last"))
+        pc = daily.cl.shift()
+        d = daily.assign(pc=pc).dropna(subset=["pc"])
+        up = d.o > d.pc
+        upc = up & (d.cl > d.o)
+        dn = d.o < d.pc
+        dnc = dn & (d.cl < d.o)
+        r = got.loc[sym]
+        assert r.n_gap_up == int(up.sum())
+        assert r.n_up_continued == int(upc.sum())
+        assert r.up_cont_e4 == _ratio_e4(int(upc.sum()), max(int(up.sum()), 1))
+        assert r.n_gap_down == int(dn.sum())
+        assert r.n_down_continued == int(dnc.sum()), sym
+
+
+def test_q222_repeat_purchase_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q222_repeat_purchase").iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    p = ev[ev.event_type == "purchase"].sort_values(
+        ["user_id", "us", "event_id"]
+    )
+    gaps, n_buyers, n_repeat = [], 0, 0
+    for _, g in p.groupby("user_id"):
+        n_buyers += 1
+        if len(g) >= 2:
+            n_repeat += 1
+            gaps.append(int(g.us.iloc[1] - g.us.iloc[0]))
+    assert got.n_buyers == n_buyers and got.n_repeat == n_repeat
+    assert got.repeat_e4 == _ratio_e4(n_repeat, n_buyers)
+    assert got.p50_gap_us == round(
+        float(np.percentile(gaps, 50, method="linear")), 4
+    )
+
+
+def test_q223_crosslang_dups_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q223_crosslang_dups").set_index(
+        ["n_langs", "is_dup"]
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    g = d.groupby("text").agg(
+        n_docs=("lang", "size"), n_langs=("lang", "nunique")
+    )
+    g = g.assign(is_dup=g.n_docs > 1)
+    exp = g.groupby(["n_langs", "is_dup"]).agg(
+        n_groups=("n_docs", "size"), n_docs=("n_docs", "sum")
+    )
+    assert len(got) == len(exp) and len(exp) > 0
+    for k, e in exp.iterrows():
+        r = got.loc[k]
+        assert r.n_groups == e.n_groups and r.n_docs == e.n_docs
+
+
+def test_q223_planted_crosslang(reg, spark, tmp_path):
+    """Planted: identical text under two langs surfaces as one
+    (n_langs=2, dup) group; identical text under one lang stays
+    (1, dup); the unique doc lands in the (1, non-dup) baseline."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["same body", "same body", "mono body", "mono body",
+                     "unique"],
+            "lang": ["en", "de", "en", "en", "en"],
+            "source": ["s"] * 5,
+            "n_chars": [9, 9, 9, 9, 6],
+        }
+    )
+    d = tmp_path / "xl"
+    spark.createDataFrame(docs).write.parquet(str(d / "documents.parquet"))
+    got = _pdf(reg, spark, "q223_crosslang_dups", str(d)).set_index(
+        ["n_langs", "is_dup"]
+    )
+    assert got.loc[(2, True)].n_groups == 1
+    assert got.loc[(2, True)].n_docs == 2
+    assert got.loc[(1, True)].n_groups == 1
+    assert got.loc[(1, True)].n_docs == 2
+    assert got.loc[(1, False)].n_groups == 1
+    assert got.loc[(1, False)].n_docs == 1
