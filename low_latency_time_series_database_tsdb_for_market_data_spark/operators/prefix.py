@@ -436,6 +436,15 @@ def classic_time_rolling(
     return out
 
 
+# keyed_time_rolling's own dispatch threshold: the classic RANGE frame's
+# cost grows with frame WIDTH (Spark re-aggregates the whole frame per
+# row), so its crossover sits far below keyed_prefix's sort-only one —
+# 8 MiB keeps sf0.1-scale inputs (~2 MB) on the cheap classic plan and
+# routes sf1-scale (~20 MB, where keyed already wins ~2x) and up keyed.
+ROLLING_CLASSIC_MAX_BYTES_CONF = "spark.graft.rolling.classicMaxBytes"
+ROLLING_CLASSIC_MAX_BYTES_DEFAULT = 8 * 1024 * 1024
+
+
 def keyed_time_rolling(
     df: DataFrame,
     key_cols: list[str],
@@ -484,14 +493,18 @@ def keyed_time_rolling(
     because the collapse already removes the frame-width factor that
     dominates.
 
-    Small inputs dispatch to :func:`classic_time_rolling` under the
-    same conf/threshold as keyed_prefix; pass classic_max_bytes=0 to
-    force the keyed path."""
+    Small inputs dispatch to :func:`classic_time_rolling` under
+    ``spark.graft.rolling.classicMaxBytes`` (default 8 MiB — LOWER than
+    keyed_prefix's 64 MiB because the classic plan here degrades with
+    FRAME WIDTH, not just input size: at sf1's ~20 MB events the keyed
+    path already wins 1.56 s vs 2.84 s solo); pass classic_max_bytes=0
+    to force the keyed path."""
     limit = classic_max_bytes
     if limit is None:
         limit = int(
             df.sparkSession.conf.get(
-                CLASSIC_MAX_BYTES_CONF, str(CLASSIC_MAX_BYTES_DEFAULT)
+                ROLLING_CLASSIC_MAX_BYTES_CONF,
+                str(ROLLING_CLASSIC_MAX_BYTES_DEFAULT),
             )
         )
     if limit > 0:
