@@ -1164,9 +1164,21 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = reps.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
     )
+    # length prefilter: levenshtein >= |len_a - len_b|, so a pair whose
+    # length gap alone exceeds the per-pair band can never pass the
+    # keep-filter — drop it BEFORE paying the O(len x band) DP table
+    # (exact: the filter admits dist <= floor(max_len / DEN) only).
+    # On THIS template corpus candidates are near-equal-length, so the
+    # measured win at sf1 is nil — the filter is for heterogeneous
+    # corpora where LSH buckets mix lengths (it costs one comparison)
     v = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
+        .where(
+            _EDIT_MAX_FRAC_DEN
+            * F.abs(F.length("ta") - F.length("tb"))
+            <= F.greatest(F.length("ta"), F.length("tb"))
+        )
         .select(
             "doc_a",
             "doc_b",
