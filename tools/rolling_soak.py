@@ -92,7 +92,16 @@ def main() -> int:
             reps=1,
         )
 
-    # correctness spot-check: both plans agree on one symbol's slice
+    # correctness spot-check: both plans agree on one symbol's slice.
+    # The classic side re-aggregates frame-width adds per row, so only
+    # run it where that's affordable (small n, or the caller already
+    # paid for a classic timing run)
+    if n > 3_000_000 and not run_classic:
+        print(
+            "slice-equality: SKIPPED (classic plan infeasible at this "
+            "shape; equivalence is pinned by tests/test_prefix.py)"
+        )
+        return 0
     a = (
         keyed_time_rolling(df, ["k"], "us", W_US, classic_max_bytes=0, **kw)
         .where(F.col("k") == "S0")
