@@ -1332,3 +1332,154 @@ def q223_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_docs").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224: vocabulary growth curve (Heaps' law deciles)
+# ---------------------------------------------------------------------------
+
+_DOC_SHINGLES_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                        i -> t[i] || ' ' || t[i+1] || ' '
+                                             || t[i+2])) AS s
+           FROM toks)
+"""
+
+
+@query(
+    "q224_vocab_growth",
+    oracle=f"""
+    WITH {_DOC_SHINGLES_SQL},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    fs AS (SELECT s, MIN(doc_id) AS fd FROM shd GROUP BY 1),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT CAST((fs.fd * 10) // (mx.m + 1) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS new_shingles
+    FROM fs, mx GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q224_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, empirically): how many word
+    3-grams appear for the FIRST time in each doc-id decile of the
+    corpus — a flattening curve means new data is re-treading old
+    vocabulary (diminishing training value); a flat-line-at-high curve
+    means the corpus never converges (or is noise).  q107 measures the
+    Zipf head at a snapshot; this measures growth along ingestion
+    order.
+
+    Exactness: first-occurrence is an integer MIN over doc ids, the
+    decile an integer floor division against the max-id probe —
+    nothing floats.  Shape: one shingle explode feeding a per-shingle
+    MIN hash-agg (map-side partials — the q81 DF pass), a 1-row max
+    probe broadcast into the bucket id (q53 class — 2 pruned scans),
+    and a 10-row output agg."""
+    from ..functions.texthash import shingles, tokens
+
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    rows = d.repartition(par).select(
+        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
+    ).distinct()
+    fs = rows.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+    bucket = F.expr("(fd * 10) div (m + 1)").cast("bigint")
+    return (
+        fs.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225: referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q225_referential_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+    category="warehouse-quality",
+)
+def q225_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned foreign keys across the
+    star schema's four edges (lineitem→orders/part/supplier,
+    orders→customer) with the checked row counts — the load-gate every
+    warehouse runs after ingest; ALL ZEROS is the healthy reading and
+    any non-zero row is the finding.
+
+    Exactness: anti-join counts, pure integers.  Shape: each edge is
+    one LEFT ANTI join counting into a 1-row aggregate — the fact
+    shuffles on the key, the dim sides broadcast where small; the
+    4-row union is literal-labelled, so column names and order are
+    pinned on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def edge(label: str, fact: DataFrame, fk: str, dim: DataFrame,
+             pk: str) -> DataFrame:
+        orphans = fact.select(F.col(fk).alias("__fk")).join(
+            dim.select(F.col(pk).alias("__pk")),
+            F.col("__fk") == F.col("__pk"),
+            "left_anti",
+        )
+        return orphans.agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        ).crossJoin(
+            F.broadcast(fact.agg(F.count(F.lit(1)).alias("n_checked")))
+        )
+
+    parts = edge(
+        "lineitem->orders", li, "l_orderkey", o.select("o_orderkey"),
+        "o_orderkey",
+    )
+    parts = parts.unionAll(
+        edge(
+            "lineitem->part", li, "l_partkey",
+            table(spark, sf_dir, "part"), "p_partkey",
+        )
+    )
+    parts = parts.unionAll(
+        edge(
+            "lineitem->supplier", li, "l_suppkey",
+            table(spark, sf_dir, "supplier"), "s_suppkey",
+        )
+    )
+    parts = parts.unionAll(
+        edge(
+            "orders->customer", o, "o_custkey",
+            table(spark, sf_dir, "customer"), "c_custkey",
+        )
+    )
+    return parts

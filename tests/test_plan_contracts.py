@@ -403,6 +403,12 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # q220: 2 scans = 2 DIFFERENT tables (lineitem collapsed to
         # |orders| rows, then joined to orders), each read once
         "q220_order_fill_days",
+        # q224: per-shingle MIN pass + 1-row max-id probe (q53 class)
+        "q224_vocab_growth",
+        # q225: the referential audit BY DESIGN reads every star edge:
+        # 4 anti-join count branches + 2 checked-count probes over 5
+        # tables, each branch 1-column pruned
+        "q225_referential_orphans",
         "q139_promo_share_monthly",
         # round-6 warehouse shapes: multi-table joins (q148/q149 read the
         # 25-row nation dim twice — one broadcast per role, KB-scale);

@@ -1,4 +1,4 @@
-"""Round-9 additions (q206-q223): independent recomputation tests —
+"""Round-9 additions (q206-q225): independent recomputation tests —
 pandas/python replays of the declared semantics, not oracle re-runs —
 plus the exactness properties each query's docstring claims."""
 
@@ -494,3 +494,85 @@ def test_q223_planted_crosslang(reg, spark, tmp_path):
     assert got.loc[(1, True)].n_docs == 2
     assert got.loc[(1, False)].n_groups == 1
     assert got.loc[(1, False)].n_docs == 1
+
+
+def test_q224_vocab_growth_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q224_vocab_growth").set_index("decile")
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    first: dict[str, int] = {}
+    for _, row in d.sort_values("doc_id").iterrows():
+        toks = row.text.split(" ")
+        n_sh = 1 if len(toks) < 3 else len(toks) - 2
+        for i in range(n_sh):
+            s = " ".join(toks[i : i + 3])
+            if s not in first:
+                first[s] = int(row.doc_id)
+    m = int(d.doc_id.max())
+    exp: dict[int, int] = {}
+    for fd in first.values():
+        b = (fd * 10) // (m + 1)
+        exp[b] = exp.get(b, 0) + 1
+    assert len(got) == len(exp)
+    for b, n in exp.items():
+        assert got.loc[b].new_shingles == n, b
+    # the curve exists: later deciles introduce FEWER new shingles than
+    # the first (template corpus -> vocabulary saturates)
+    if 0 in exp and 9 in exp:
+        assert exp[9] < exp[0]
+
+
+def test_q225_referential_orphans_all_edges_clean(reg, spark):
+    got = _pdf(reg, spark, "q225_referential_orphans").set_index(
+        "relationship"
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    exp = {
+        "lineitem->orders": (
+            int(~li.l_orderkey.isin(set(o.o_orderkey)).all()) * 0
+            + int((~li.l_orderkey.isin(set(o.o_orderkey))).sum()),
+            len(li),
+        ),
+        "lineitem->part": (
+            int((~li.l_partkey.isin(set(p.p_partkey))).sum()), len(li)
+        ),
+        "lineitem->supplier": (
+            int((~li.l_suppkey.isin(set(s.s_suppkey))).sum()), len(li)
+        ),
+        "orders->customer": (
+            int((~o.o_custkey.isin(set(c.c_custkey))).sum()), len(o)
+        ),
+    }
+    assert len(got) == 4
+    for rel, (orph, checked) in exp.items():
+        r = got.loc[rel]
+        assert r.n_orphans == orph and r.n_checked == checked, rel
+
+
+def test_q225_planted_orphans_detected(reg, spark, tmp_path):
+    """Plant one orphaned lineitem (no parent order) and one orphaned
+    order (no customer): the audit must count exactly them."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet").head(50).copy()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[o.o_orderkey.isin(set(li.l_orderkey))].copy()
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    li.loc[li.index[0], "l_orderkey"] = 10**9  # orphan line
+    o.loc[o.index[0], "o_custkey"] = 10**9  # orphan order
+    d = tmp_path / "ref"
+    for t, df in (
+        ("lineitem", li), ("orders", o), ("part", p),
+        ("supplier", s), ("customer", c),
+    ):
+        spark.createDataFrame(df).write.parquet(str(d / f"{t}.parquet"))
+    got = _pdf(reg, spark, "q225_referential_orphans", str(d)).set_index(
+        "relationship"
+    )
+    assert got.loc["lineitem->orders"].n_orphans == 1
+    assert got.loc["orders->customer"].n_orphans == 1
+    assert got.loc["lineitem->part"].n_orphans == 0
+    assert got.loc["lineitem->supplier"].n_orphans == 0
