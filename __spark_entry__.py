@@ -35,51 +35,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file caps at the first 50 dict entries, so
-# order the dict by verification PRIORITY.  Round-9 window (the
-# round-8 judge's item #1): the 39 queries with no driver-official
-# hash row — the 17 round-8 additions q187-q203 (all judge-audited
-# EXACT at sf0.01 in the r8 verdict) plus the round-9 additions
-# q204-q225 (PQ planted-recall verdict, binned Gini, and the round-9
-# extension block — all exact-audited at sf0.01/sf0.1 this round) —
-# then the 11 lowest-numbered stalest rows (r5-era official rows,
-# q60-q72 block), = exactly 50.  After this window EVERY registry
-# query has been driver-official at least once except the r5-green
-# q78-q100 block (still r5-official; first in line for round 10).
-# All 50 names are oracle-backed (the rows-only sketches q25/q73 stay
-# out by design — q185/q186 are their hash-checked verdicts).  A
-# driver that sorts keys or checks all queries is unaffected — the
+# order the dict by verification PRIORITY.
+#
+# FRESHNESS-FLOOR RULE (standing, mechanical): every registry row must
+# be driver-official at most 4 rounds old.  Window construction each
+# round: sort rows by (latest-official-check round, query number) and
+# take the first 50.  The 50-row window over 225 rows gives a 4.5-round
+# cycle, so the rule holds automatically as long as the window is built
+# this way; never hand-pick rows ahead of a staler one.
+#
+# Round-10 window (round-9 judge item #1): the 25 r5-official rows —
+# the q78–q100 hash block (judge re-audited EXACT in r9; this makes it
+# driver-official again) plus the two rows-only-by-design sketches
+# q25/q73 (their numeric bounds stay hash-verified via q185/q186; the
+# driver records their weaker rows-only check) — then the 25
+# lowest-numbered r6-official rows (q02/q04/q05 + q101–q122) = exactly
+# 50.  After this window no registry row is older than r6-official.
+# A driver that sorts keys or checks all queries is unaffected — the
 # key set is identical.
-_HEAD_R9 = [
-    "q187_ship_latency", "q188_supplier_hhi",
-    "q189_intraday_volume_profile", "q190_dup_multiplicity",
-    "q191_length_word_corr", "q192_weekday_priority_matrix",
-    "q193_customer_order_gaps", "q194_unigram_surprisal",
-    "q195_vwap_deviation", "q196_round_price_bias",
-    "q197_copurchase_pairs", "q198_weekend_effect",
-    "q199_dedup_savings", "q200_priority_mix_shift",
-    "q201_temperature_mix", "q202_surprisal_percentiles",
-    "q203_peak_concurrency",
-    "q204_pq_recall_verdict", "q205_spend_gini_binned",
-    "q206_product_margin", "q207_supplier_span",
-    "q208_prospect_segments", "q209_ma_crossover",
-    "q210_stickiness", "q211_l28_histogram",
-    "q212_engulfing_candles", "q213_prefix_collisions",
-    "q214_tick_runs", "q215_bounce_rate",
-    "q216_top_boilerplate", "q217_type_affinity",
-    "q218_single_source_risk", "q219_label_balance",
-    "q220_order_fill_days", "q221_gap_continuation",
-    "q222_repeat_purchase", "q223_crosslang_dups",
-    "q224_vocab_growth", "q225_referential_orphans",
-    "q60_token_count", "q61_fingerprint", "q62_embedding_neardup",
-    "q63_multimodal_meta", "q66_dedup_clusters", "q67_embed_quantize",
-    "q68_topn_per_group", "q69_bigram_topk", "q70_dedup_survivors",
-    "q71_cube", "q72_grouping_sets",
+_HEAD_R10 = [
+    "q25_approx_distinct", "q73_approx_percentile",
+    "q78_string_agg", "q79_regex_groups", "q80_date_arithmetic",
+    "q81_stop_shingles", "q82_repetition_filter", "q83_contamination",
+    "q84_pii_scan", "q85_corpus_mix", "q86_realized_variance",
+    "q87_gap_report", "q88_tick_direction", "q89_resample_linear",
+    "q90_hash_split", "q91_source_overlap", "q92_token_df",
+    "q93_spike_mad", "q94_stratified_sample", "q95_simhash_pairs",
+    "q96_intraday_profile", "q97_vol_signature", "q98_user_funnel",
+    "q99_label_centroids", "q100_dup_rate_by_source",
+    "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
+    "q101_lead_lag", "q102_drawdown_spells", "q103_roll_spread",
+    "q104_benford_digits", "q105_staleness_runs",
+    "q106_minute_rate_anomaly", "q107_zipf_coverage", "q108_norm_band",
+    "q109_overnight_gap", "q110_dispersion_screen", "q111_causal_bursts",
+    "q112_market_beta", "q113_ship_priority",
+    "q114_region_revenue_share", "q115_cust_order_distribution",
+    "q116_returned_items", "q117_flow_autocorr", "q118_turnover_hhi",
+    "q119_price_ending_digits", "q120_event_study",
+    "q121_chunk_overlap", "q122_pack_contexts",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = [n for n in _HEAD_R9 if n in reg]
+    head = [n for n in _HEAD_R10 if n in reg]
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 

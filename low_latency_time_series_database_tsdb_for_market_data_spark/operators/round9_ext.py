@@ -900,9 +900,12 @@ def q217_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events so one-off actions can't fake affinity.
 
     Exactness: lift never divides by parts — it is the integer-decided
-    ratio of the cross-products u_t*g_tot and u_tot*g_t (DECIMAL(38,0)
-    widening on both engines), and the top-{_AFF_TOPK} total order
-    (lift DESC, user, type) is unique.
+    ratio of the cross-products u_t*g_tot and u_tot*g_t, with one
+    operand pre-cast to DECIMAL(38,0) so the MULTIPLY itself happens in
+    decimal on the Spark side too (BIGINT products overflow int64 once
+    g_tot reaches ~1e13 at 100 TB scale; DuckDB was already safe via
+    HUGEINT).  The top-{_AFF_TOPK} total order (lift DESC, user, type)
+    is unique.
 
     Shape: one (user, type) hash-agg; the per-user totals come from a
     window-free second agg over THAT (map-side, |users| keys); the
@@ -924,7 +927,10 @@ def q217_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "u_t",
-            ratio_e4("u_t * g_tot", "u_tot * g_t").alias("lift_e4"),
+            ratio_e4(
+                "CAST(u_t AS DECIMAL(38,0)) * g_tot",
+                "CAST(u_tot AS DECIMAL(38,0)) * g_t",
+            ).alias("lift_e4"),
         )
     )
     return l.orderBy(

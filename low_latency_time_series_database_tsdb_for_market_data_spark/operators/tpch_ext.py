@@ -424,8 +424,10 @@ def q132_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         byn.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("i") * F.col("x")).alias("six"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("x")
+            ).alias("six"),
         )
         .select(
             "n_name",

@@ -152,11 +152,15 @@ def q74_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     peers aggregate together, which is why the summed value is integer
     cents (peer order is engine-internal).
 
-    Routed through :func:`..prefix.keyed_time_rolling` (round 9): above
-    the size crossover the trailing frame runs haloed and segmented by
-    (symbol, window-width bucket) — |symbols x buckets| parallelism
-    instead of the bare-symbol ceiling — and below it the classic
-    per-symbol RANGE window; both paths value-identical
+    Routed through :func:`..prefix.keyed_time_rolling` (round 9; auto
+    segmentation round 10): above the size crossover the tape collapses
+    to per-(symbol, us) partials and the trailing frame becomes the
+    DIFFERENCE of two growing cumsums — O(1)/row where the classic
+    bounded RANGE frame re-aggregates its whole frame per row; when
+    symbols are too few to fill the cluster those growing frames
+    themselves run segmented by (symbol, span-derived time bucket) with
+    keyed_prefix-style bucket carries.  Below the crossover: the
+    classic per-symbol RANGE window.  All paths value-identical
     (test_keyed_time_rolling_matches_classic)."""
     from .prefix import keyed_time_rolling
 

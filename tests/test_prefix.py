@@ -295,8 +295,10 @@ def test_keyed_prefix_conf_zero_forces_keyed_path(spark):
 
 
 # ---------------------------------------------------------------------------
-# keyed_time_rolling (round 9): trailing time-RANGE frames without the
-# per-key ceiling — haloed (key, window-width bucket) segments
+# keyed_time_rolling (round 9, segmented round 10): trailing time-RANGE
+# frames as the difference of two growing cumsums over the per-(key, us)
+# collapse — and, for few-key tapes, those growing frames segmented by
+# (key, span-derived time bucket) with keyed_prefix-style carries
 # ---------------------------------------------------------------------------
 
 from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
@@ -380,10 +382,11 @@ def test_keyed_time_rolling_planted_boundaries(spark):
 
 
 def test_q74_keyed_path_matches_default(spark):
-    """q74 through the forced keyed path equals the (classic-dispatched)
-    default on the real sf0.001 events table."""
+    """q74 through the forced keyed path (both segment modes) equals the
+    (classic-dispatched) default on the real sf0.001 events table."""
     from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (
-        CLASSIC_MAX_BYTES_CONF,
+        ROLLING_CLASSIC_MAX_BYTES_CONF,
+        ROLLING_SEGMENT_MODE_CONF,
     )
     from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
         load_all,
@@ -396,16 +399,19 @@ def test_q74_keyed_path_matches_default(spark):
         .toPandas()
         .sort_values(["event_type", "event_id"], ignore_index=True)
     )
-    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    spark.conf.set(ROLLING_CLASSIC_MAX_BYTES_CONF, "0")
     try:
-        keyed = (
-            reg["q74_rolling_time_window"].fn(spark, sf)
-            .toPandas()
-            .sort_values(["event_type", "event_id"], ignore_index=True)
-        )
+        for mode in ("never", "always"):
+            spark.conf.set(ROLLING_SEGMENT_MODE_CONF, mode)
+            keyed = (
+                reg["q74_rolling_time_window"].fn(spark, sf)
+                .toPandas()
+                .sort_values(["event_type", "event_id"], ignore_index=True)
+            )
+            assert base.equals(keyed), mode
     finally:
-        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
-    assert base.equals(keyed)
+        spark.conf.unset(ROLLING_CLASSIC_MAX_BYTES_CONF)
+        spark.conf.unset(ROLLING_SEGMENT_MODE_CONF)
 
 
 def test_keyed_time_rolling_forced_path_is_cumsum_difference(spark):
@@ -423,3 +429,125 @@ def test_keyed_time_rolling_forced_path_is_cumsum_difference(spark):
     assert "-1000, currentrow" not in plan
     assert "unboundedpreceding" in plan.lower()
     assert "__g_sx#" in plan  # the collapsed per-(key, us) partial
+
+
+# ---------------------------------------------------------------------------
+# segmented_time_rolling (round 10): the growing frames themselves
+# bucket-segmented — the 1-key many-distinct-ts residual
+# ---------------------------------------------------------------------------
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
+    ROLLING_SEGMENT_MODE_CONF,
+    segmented_time_rolling,
+)
+
+
+@pytest.mark.parametrize("bucket_us", [1, 7, 500, 1_000, 1_001, 40_000, 10**12])
+def test_segmented_time_rolling_matches_classic(spark, bucket_us):
+    """Bucket width is a pure performance knob: any width — narrower
+    than the window, equal, wider, one bucket for everything — gives
+    the classic RANGE frame's exact answer (incl. the planted Edge
+    cases: inclusive endpoints, equal-us peers, empty buckets)."""
+    df = _ticky(spark, 8_000)
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    a = (
+        segmented_time_rolling(df, ["k"], "us", 1_000, bucket_us=bucket_us, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_segmented_single_key_many_timestamps(spark):
+    """The residual shape itself: ONE key, every row a distinct
+    timestamp — the segmented plan must still agree with classic."""
+    df = spark.range(20_000).select(
+        F.lit("ONLY").alias("k"),
+        (F.col("id") * 13 + (F.col("id") * 7) % 5).alias("us"),
+        ((F.col("id") * 31) % 997).alias("x"),
+    )
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    a = (
+        segmented_time_rolling(df, ["k"], "us", 2_000, bucket_us=9_000, **kw)
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 2_000, **kw)
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    assert a.equals(b)
+
+
+def test_keyed_time_rolling_null_faithful(spark):
+    """NULLs in a sum source column (the r9 advice finding): a frame
+    whose rows are ALL NULL must yield NULL — not 0 — on every path,
+    exactly like the classic RANGE frame's F.sum.  COUNT(*) still
+    counts the rows."""
+    rows = [
+        ("K", 0, 5), ("K", 100, None), ("K", 2_000, None),
+        ("K", 2_500, None), ("K", 10_000, 7), ("K", 10_400, None),
+        ("J", 0, None), ("J", 50, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, x long")
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    want = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us"], ignore_index=True)
+    )
+    # frames [2000] and [2000,2500] are all-NULL -> classic gives NaN
+    assert want.loc[(want.k == "K") & (want.us == 2_500), "sx"].isna().all()
+    for fn in (
+        lambda: keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw),
+        lambda: segmented_time_rolling(df, ["k"], "us", 1_000, bucket_us=700, **kw),
+    ):
+        got = fn().toPandas().sort_values(["k", "us"], ignore_index=True)
+        assert list(got.columns) == list(want.columns)
+        assert got.equals(want)
+
+
+def test_keyed_time_rolling_auto_segments_few_keys(spark):
+    """Forced-keyed with mode=auto on a 4-key tape (< 2x cores) routes
+    through the segmented plan — visible as the bucket-carry columns —
+    and still matches classic."""
+    df = _ticky(spark, 6_000)
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    got_df = keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw)
+    assert "__car___g_sx#" in physical_plan(got_df)
+    a = got_df.toPandas().sort_values(["k", "us", "x"], ignore_index=True)
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert a.equals(b)
+
+
+def test_keyed_time_rolling_segment_never_is_per_key(spark):
+    """mode=never keeps the plain per-key growing windows: no bucket
+    carries in the plan, same values."""
+    df = _ticky(spark, 6_000)
+    kw = dict(sums={"sx": "x"}, count_col="nw")
+    spark.conf.set(ROLLING_SEGMENT_MODE_CONF, "never")
+    try:
+        got_df = keyed_time_rolling(
+            df, ["k"], "us", 1_000, classic_max_bytes=0, **kw
+        )
+        assert "__car_" not in physical_plan(got_df)
+        a = got_df.toPandas().sort_values(["k", "us", "x"], ignore_index=True)
+    finally:
+        spark.conf.unset(ROLLING_SEGMENT_MODE_CONF)
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert a.equals(b)

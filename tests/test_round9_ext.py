@@ -318,12 +318,10 @@ def test_q216_top_boilerplate_matches_python_replay(reg, spark):
         cnt: Counter = Counter()
         for t in g.text:
             toks = t.split(" ")
-            if len(toks) < 3:
-                # the shingle builder emits one short shingle for tiny
-                # docs (greatest(len-1, 1) in the oracle); replicate
-                n_sh = 1
-            else:
-                n_sh = len(toks) - 2
+            # 1- and 2-token docs yield ZERO 3-shingles on both engines:
+            # the oracle's range(1, greatest(len-1, 1)) has an exclusive
+            # stop, so it is empty below 3 tokens, matching shingles()
+            n_sh = 0 if len(toks) < 3 else len(toks) - 2
             for i in range(n_sh):
                 cnt[" ".join(toks[i : i + 3])] += 1
         mc = max(cnt.values())
@@ -502,7 +500,8 @@ def test_q224_vocab_growth_matches_python_replay(reg, spark):
     first: dict[str, int] = {}
     for _, row in d.sort_values("doc_id").iterrows():
         toks = row.text.split(" ")
-        n_sh = 1 if len(toks) < 3 else len(toks) - 2
+        # zero 3-shingles below 3 tokens on both engines (see q216 replay)
+        n_sh = 0 if len(toks) < 3 else len(toks) - 2
         for i in range(n_sh):
             s = " ".join(toks[i : i + 3])
             if s not in first:
