@@ -1092,6 +1092,38 @@ _REPS_SHINGLES_SQL = (
 # cross-multiplication.
 _EDIT_MAX_FRAC_DEN = 5
 
+# Probe characters for the admissible char-histogram gate (round 10):
+# high-frequency English letters + space discriminate most real text.
+# Any FIXED partition of the alphabet gives a valid lower bound, so the
+# exact choice only tunes gate selectivity, never correctness.
+_EDIT_GATE_PROBES = " etaoins"
+
+
+def _edit_probe_counts(text_col: str) -> Column:
+    """Per-text counts of the probe characters plus a 'rest' bucket —
+    a 9-bucket character histogram computed with one JVM
+    length(replace(...)) pass per probe, O(|probes| x len) ONCE per
+    representative (never per pair)."""
+    t = F.col(text_col)
+    probes = [
+        F.length(t) - F.length(F.replace(t, F.lit(c)))
+        for c in _EDIT_GATE_PROBES
+    ]
+    rest = F.length(t)
+    for p in probes:
+        rest = rest - p
+    return F.array(*probes, rest)
+
+
+def _edit_gate_l1(a: str, b: str) -> Column:
+    """L1 distance between two probe-count arrays (zip_with + aggregate,
+    all JVM-side)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
 
 @query(
     "q129_edit_distance_pairs",
@@ -1142,7 +1174,12 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     short pair next to one long document no longer pays the long
     document's band width — and the global max-length probe job is gone
     (the threshold rides inside the row expression; Spark's levenshtein
-    accepts a non-foldable threshold SQL-side).
+    accepts a non-foldable threshold SQL-side).  Two ADMISSIBLE gates
+    run before the DP — the length-gap bound and a probe-char histogram
+    L1 bound (dist >= L1/2 over any fixed alphabet partition) — each
+    provably drops only pairs the keep-filter must reject, so the
+    result set (and the oracle) is unchanged by construction
+    (test_edit_gate_is_admissible plants boundary pairs on both sides).
 
     Shape: reps localCheckpoint-materialize ONCE (one corpus scan) and
     feed the LSH candidate stage AND both text join-backs; candidate
@@ -1159,18 +1196,29 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
     )
     da = reps.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        _edit_probe_counts("text").alias("ha"),
     )
     db = reps.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        _edit_probe_counts("text").alias("hb"),
     )
-    # length prefilter: levenshtein >= |len_a - len_b|, so a pair whose
-    # length gap alone exceeds the per-pair band can never pass the
-    # keep-filter — drop it BEFORE paying the O(len x band) DP table
-    # (exact: the filter admits dist <= floor(max_len / DEN) only).
-    # On THIS template corpus candidates are near-equal-length, so the
-    # measured win at sf1 is nil — the filter is for heterogeneous
-    # corpora where LSH buckets mix lengths (it costs one comparison)
+    # Two admissible prefilters, both provable lower bounds on the
+    # distance (they drop a pair ONLY when the banded DP must fail):
+    # (1) length gap: levenshtein >= |len_a - len_b|;
+    # (2) char-histogram L1 (round 10): one edit changes the character
+    #     multiset by at most 2 counts, so dist >= L1/2 over ANY fixed
+    #     alphabet partition — here 8 probe chars + rest, counted once
+    #     per REP (O(|probes| x len)), compared in ~10 integer ops per
+    #     pair.  Drop when DEN * L1 > 2 * max_len (=> DEN * dist >
+    #     max_len, the keep-filter's complement).
+    # On THIS template corpus candidates are near-equal-length and
+    # near-identical in histogram, so the measured sf1 win is nil (the
+    # sf1 ceiling is the candidate stage itself at ~330-char texts);
+    # both gates exist for heterogeneous long-doc corpora where the
+    # O(len x band) DP would dominate at 100 TB.
     v = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
@@ -1178,6 +1226,10 @@ def q129_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _EDIT_MAX_FRAC_DEN
             * F.abs(F.length("ta") - F.length("tb"))
             <= F.greatest(F.length("ta"), F.length("tb"))
+        )
+        .where(
+            _EDIT_MAX_FRAC_DEN * _edit_gate_l1("ha", "hb")
+            <= 2 * F.greatest(F.length("ta"), F.length("tb"))
         )
         .select(
             "doc_a",

@@ -357,6 +357,60 @@ def test_q129_distances_match_pure_python(reg, spark, docs):
     assert (got.dist > 0).any()
 
 
+def test_edit_gate_is_admissible(spark):
+    """The q129 char-histogram gate is a provable lower bound: for a
+    seeded zoo of string pairs (boundary near-dups at dist ==
+    floor(max_len/5), anagram-ish same-length pairs, disjoint-alphabet
+    pairs), (1) the Spark probe histogram equals the Python mirror,
+    (2) L1/2 <= true Levenshtein always, and (3) the gate's drop
+    condition never fires on a pair the keep-filter would keep."""
+    import random
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        _EDIT_GATE_PROBES,
+        _EDIT_MAX_FRAC_DEN as DEN,
+        _edit_gate_l1,
+        _edit_probe_counts,
+    )
+
+    rng = random.Random(42)
+    alpha = "etaoins bcdfghjklmpqruvwxyz"
+    pairs = []
+    for _ in range(60):
+        n = rng.randint(5, 120)
+        a = "".join(rng.choice(alpha) for _ in range(n))
+        # a boundary near-dup: exactly floor(n/DEN) substitutions
+        b = list(a)
+        for i in rng.sample(range(n), n // DEN):
+            b[i] = rng.choice(alpha)
+        pairs.append((a, "".join(b)))
+        # an unrelated same-length string (gate should often fire)
+        pairs.append((a, "".join(rng.choice("zqxj") for _ in range(n))))
+    pairs.append(("abc", "abc"))
+    pairs.append(("", "xyz"))
+
+    def hist(t):
+        counts = [t.count(c) for c in _EDIT_GATE_PROBES]
+        return counts + [len(t) - sum(counts)]
+
+    df = spark.createDataFrame(pairs, "ta string, tb string").select(
+        "ta",
+        "tb",
+        _edit_probe_counts("ta").alias("ha"),
+        _edit_probe_counts("tb").alias("hb"),
+    )
+    rows = df.withColumn("l1", _edit_gate_l1("ha", "hb")).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        assert list(r["ha"]) == hist(r["ta"])
+        assert list(r["hb"]) == hist(r["tb"])
+        d = _lev(r["ta"], r["tb"])
+        ml = max(len(r["ta"]), len(r["tb"]))
+        assert r["l1"] <= 2 * d, (r["ta"], r["tb"])  # admissible bound
+        if DEN * d <= ml:  # keep-filter keeps -> gate must not drop
+            assert DEN * r["l1"] <= 2 * ml, (r["ta"], r["tb"])
+
+
 # ------------------------------------------------------- classification eval
 
 
