@@ -1456,3 +1456,137 @@ def test_windowed_stream_drops_rows_beyond_watermark(spark, tmp_path):
     total_emitted = sum(n for _, _, n in emitted)
     assert total_emitted == 3  # rows 1, 2(12:00), 4(12:30); 3 dropped, 5 pending
     assert n_after_run1 >= 1
+
+
+def test_streaming_asof_enrich_equals_batch_q16(spark, sf_dir, tmp_path):
+    """Streaming as-of enrichment == batch q16 when micro-batch
+    boundaries respect event time: replay events as 4 ts-RANGE files
+    (equal-ts rows co-located, file listing order == time order),
+    enrich clicks with the latest purchase per user across forced
+    batch boundaries, compare to the batch as-of cell-for-cell."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.joins import (
+        asof_enrich_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_raw.repartitionByRange(4, "ts").write.parquet(src)
+    # the file source forms micro-batches in MODIFICATION-TIME order and
+    # the parallel write finishes parts out of order — restamp mtimes in
+    # part-number (= ts-range) order so the replay is a time-ordered tape
+    import os
+    import time
+
+    base = time.time()
+    for i, name in enumerate(
+        sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    ):
+        os.utime(f"{src}/{name}", (base + i, base + i))
+
+    out = str(tmp_path / "enriched")
+    asof_enrich_available_now(
+        spark,
+        src,
+        out,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        split_left=lambda b: b.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.col("ts_event").alias("ts")
+        ),
+        split_right=lambda b: b.where(
+            F.col("event_type") == "purchase"
+        ).select(
+            "user_id",
+            F.col("ts_event").alias("p_ts"),
+            F.col("event_id").alias("p_seq"),
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_seq="p_seq",
+        payload={"p_ts": "asof_ts"},
+        max_files_per_trigger=1,
+    )
+    got_df = spark.read.parquet(out)
+    # the replay really crossed micro-batch boundaries
+    assert got_df.select("epoch").distinct().count() >= 3
+    got = (
+        got_df.select(
+            "event_id", F.unix_micros("asof_ts").alias("us")
+        )
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    want = (
+        load_all()["q16_asof"].fn(spark, sf_dir)
+        .select("event_id", F.unix_micros("asof_ts").alias("us"))
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got.equals(want)
+
+
+def test_asof_enrich_state_carry_and_retry(spark, tmp_path):
+    """Planted multi-epoch drive of the enrichment core: (1) a
+    reference row seen ONLY in epoch 0 fills a left row two epochs
+    later (the state carry); (2) replaying an epoch (an at-least-once
+    retry) reproduces its output bit-for-bit because the core re-reads
+    the PREVIOUS state snapshot, not the post-epoch one."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.joins import (
+        AsofEnrichState,
+    )
+
+    st = AsofEnrichState(
+        spark,
+        str(tmp_path / "state"),
+        on=["k"],
+        left_ts="ts",
+        right_ts="r_ts",
+        right_seq="r_seq",
+        payload={"r_ts": "asof_ts", "quote": "asof_quote"},
+    )
+    r_schema = "k string, r_ts long, r_seq long, quote long"
+    l_schema = "event_id long, k string, ts long"
+
+    def rights(rows):
+        return spark.createDataFrame(rows, r_schema)
+
+    def lefts(rows):
+        return spark.createDataFrame(rows, l_schema)
+
+    # epoch 0: quote for A at t=10; no lefts
+    out0 = st.process_batch(lefts([]), rights([("A", 10, 1, 100)]), 0)
+    assert out0.count() == 0
+    # epoch 1: nothing for A; a newer quote for B only
+    st.process_batch(lefts([]), rights([("B", 5, 2, 500)]), 1).count()
+    # epoch 2: left on A at t=50 -> must see epoch-0's quote (carry);
+    # left on C -> no reference ever: NULL fill
+    e2_left = [(1, "A", 50), (2, "C", 50)]
+    out2 = (
+        st.process_batch(lefts(e2_left), rights([]), 2)
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert out2.loc[0, "asof_ts"] == 10 and out2.loc[0, "asof_quote"] == 100
+    assert pd.isna(out2.loc[1, "asof_ts"])
+    # retry epoch 2 (simulated crash-and-replay): bit-identical output
+    replay = (
+        st.process_batch(lefts(e2_left), rights([]), 2)
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert replay.equals(out2)
+    # epoch 3: a newer A quote in-batch beats the carried state row at
+    # equal visibility, and ties at left.ts are INCLUSIVE (<=)
+    out3 = (
+        st.process_batch(
+            lefts([(3, "A", 60)]), rights([("A", 60, 9, 900)]), 3
+        )
+        .toPandas()
+    )
+    assert out3.loc[0, "asof_ts"] == 60 and out3.loc[0, "asof_quote"] == 900
