@@ -1,0 +1,300 @@
+"""Incremental near-dup deduplication: dedup a NEW batch of documents
+against an existing, already-deduplicated corpus WITHOUT recomputing the
+corpus side — the shape a production 100 TB pipeline actually runs
+(corpora grow nightly; re-running MinHash over the full history per
+batch is O(corpus) instead of O(batch)).
+
+State (persisted as three parquet tables, all linear in corpus size):
+
+* ``texts``   (fp, rep_id, cluster_id) — one row per DISTINCT text seen
+  (md5 fingerprint), its first doc, and that doc's current cluster.
+* ``bands``   (doc_id, band, band_key) — LSH band rows for every
+  distinct-text representative (N_MINHASH/2 rows per rep).  MinHash is a
+  pure per-document function, so a band key computed in any batch equals
+  the one the full run would compute — this is what makes incremental
+  EXACT rather than approximate.
+* ``members`` (doc_id, cluster_id) — every doc ever seen; survivors are
+  the rows with doc_id == cluster_id (cluster_id is the component's min
+  doc_id, the same canonical rule as the batch pipeline in dedup.py).
+
+Applying a batch B:
+
+1. collapse B's exact duplicates (dedup.py::_exact_collapse);
+2. reps whose text was already seen attach by a direct edge to the
+   existing CLUSTER id (the contracted super-node — everything in the
+   old component is already connected to it, so contracting is
+   lossless for connected components);
+3. truly-new texts get band rows; cross edges come from joining them to
+   the state band table on (band, band_key) — O(batch x collisions),
+   never O(corpus); in-batch edges from the same capped bucket-group
+   pair generation the full pipeline uses;
+4. one connected-components pass over batch nodes + touched cluster
+   super-nodes.  A component's new canonical is its min id; when a new
+   doc BRIDGES two existing clusters, the higher old canonical is
+   demoted and every state row remaps — the case naive
+   "anti-join against survivors" schemes get wrong (transitive chains
+   through LOSERS are preserved here because state keeps every distinct
+   text's signature, not just the survivors').
+
+Exactness: ``apply(build(A), B)`` equals ``build(A | B)`` row-for-row
+(test_incremental_dedup.py pins it, bridge case included) whenever no
+LSH bucket trips the hard cap; strict mode raises on a capped bucket
+exactly like dedup.py::candidate_edges, because a truncated bucket
+could otherwise admit different pairs in the two execution orders.
+
+Scale: every join is keyed on 32-byte digests or (band, band_key);
+the only corpus-sized state scan is the band-table probe join, which a
+deployment would bucket-partition by band_key to make it a co-located
+join.  Nothing about the batch path shuffles the historical corpus.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _MAX_BUCKET_DOCS,
+    _exact_collapse,
+    band_rows,
+    connected_components,
+    lsh_candidate_pairs,
+)
+
+
+class DedupState(NamedTuple):
+    texts: DataFrame
+    bands: DataFrame
+    members: DataFrame
+
+
+def dedup_survivors(state: DedupState) -> DataFrame:
+    """(doc_id) survivor set — the canonical doc of each component."""
+    return state.members.where(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+
+
+def dedup_state_build(docs: DataFrame, par: int) -> DedupState:
+    """Build dedup state from scratch — the batch pipeline (exact
+    collapse -> LSH pairs -> connected components) plus the signature
+    tables the incremental path probes."""
+    reps, dup_edges = _exact_collapse(docs)
+    reps = reps.localCheckpoint(eager=False)
+    bands = band_rows(reps, par)
+    edges = lsh_candidate_pairs(reps, par).unionByName(dup_edges).distinct()
+    cc = connected_components(edges)
+    members = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    texts = (
+        reps.select(F.md5("text").alias("fp"), F.col("doc_id").alias("rep_id"))
+        .join(
+            members.select(
+                F.col("doc_id").alias("rep_id"), "cluster_id"
+            ),
+            "rep_id",
+        )
+        .select("fp", "rep_id", "cluster_id")
+    )
+    return DedupState(texts=texts, bands=bands, members=members)
+
+
+def _assert_buckets_under_cap(
+    new_bands: DataFrame, state_bands: DataFrame, max_bucket: int
+) -> None:
+    """Strict-cap guard for the cross probe: the combined (state + new)
+    membership of any bucket the batch touches must stay under the cap
+    the full pipeline enforces — otherwise the two execution orders
+    could truncate differently and incremental != full."""
+    nb = new_bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("nn")
+    )
+    # touch only the batch's buckets: broadcast the (batch-sized) bucket
+    # keys into the state scan, so the guard reads the corpus band table
+    # once and never shuffles it
+    sb = (
+        state_bands.join(
+            F.broadcast(nb.select("band", "band_key")),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    hot = (
+        nb.join(sb, ["band", "band_key"], "left")
+        .where(F.col("nn") + F.coalesce(F.col("ns"), F.lit(0)) > max_bucket)
+        .limit(1)
+        .count()
+    )
+    if hot:
+        raise RuntimeError(
+            "incremental dedup: an LSH bucket touched by this batch "
+            f"exceeds max_bucket={max_bucket} docs; widen the banding or "
+            "raise the cap (strict mode fails loudly rather than "
+            "diverging from the full-run result)"
+        )
+
+
+def dedup_state_apply(
+    state: DedupState,
+    new_docs: DataFrame,
+    par: int,
+    max_bucket: int = _MAX_BUCKET_DOCS,
+    strict_cap: bool = True,
+) -> tuple[DedupState, DataFrame]:
+    """Fold a new batch into the state.  Returns ``(new_state, delta)``
+    where delta has one row per batch doc plus one per DEMOTED former
+    survivor: (doc_id, cluster_id, status in
+    {'survivor', 'duplicate', 'demoted'})."""
+    reps_b, dup_edges_b = _exact_collapse(new_docs)
+    rb = reps_b.select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    ).localCheckpoint(eager=False)
+
+    # (a) reps whose text is already known: edge to the existing cluster
+    # (batch side broadcasts -> the corpus text table is scanned, not
+    # shuffled; same for the anti-join deciding which texts are new)
+    matched_edges = F.broadcast(rb).join(state.texts, "fp").select(
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+    )
+    seen_fps = state.texts.join(
+        F.broadcast(rb.select("fp")), "fp", "left_semi"
+    ).select("fp")
+    fresh = rb.join(F.broadcast(seen_fps), "fp", "left_anti").select(
+        "doc_id", "text"
+    )
+    fresh = fresh.localCheckpoint(eager=False)
+    bands_b = band_rows(fresh, par).localCheckpoint(eager=False)
+
+    if strict_cap:
+        _assert_buckets_under_cap(bands_b, state.bands, max_bucket)
+
+    # (b) cross edges: new band rows probe the state band table, then
+    # the old endpoint contracts to its cluster super-node.  The batch
+    # side broadcasts into both corpus-sized scans (bands, members), so
+    # the state tables are READ once but never SHUFFLED — the batch <<
+    # corpus assumption; a batch too big to broadcast should just run
+    # dedup_state_build on the union instead
+    sb = state.bands.select(
+        F.col("doc_id").alias("old_id"), "band", "band_key"
+    )
+    hits = F.broadcast(bands_b).join(sb, ["band", "band_key"]).select(
+        "doc_id", "old_id"
+    )
+    cross_edges = (
+        F.broadcast(hits)
+        .join(
+            state.members.select(
+                F.col("doc_id").alias("old_id"), "cluster_id"
+            ),
+            "old_id",
+        )
+        .select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"))
+    )
+
+    # (c) in-batch edges among truly-new texts
+    in_batch = lsh_candidate_pairs(
+        fresh, par, max_bucket=max_bucket, strict_cap=strict_cap
+    )
+
+    edges = (
+        dup_edges_b.unionByName(matched_edges)
+        .unionByName(cross_edges)
+        .unionByName(in_batch)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cc = connected_components(edges)
+
+    members_b = (
+        new_docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    ).localCheckpoint(eager=False)
+
+    # old clusters appearing as CC nodes remap to the merged canonical
+    old_clusters = state.members.select(
+        F.col("cluster_id").alias("doc_id")
+    ).distinct()
+    remap = (
+        cc.join(old_clusters, "doc_id")
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select(
+            F.col("doc_id").alias("old_cluster"),
+            F.col("cluster_id").alias("new_cluster"),
+        )
+    ).localCheckpoint(eager=False)
+
+    def remapped(df: DataFrame) -> DataFrame:
+        other = [c for c in df.columns if c != "cluster_id"]
+        return (
+            df.join(
+                remap, df["cluster_id"] == remap["old_cluster"], "left"
+            )
+            .select(
+                *other,
+                F.coalesce("new_cluster", df["cluster_id"]).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+
+    texts_b = (
+        fresh.select(
+            F.md5("text").alias("fp"), F.col("doc_id").alias("rep_id")
+        )
+        .join(
+            members_b.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+            "rep_id",
+        )
+        .select("fp", "rep_id", "cluster_id")
+    )
+    new_state = DedupState(
+        texts=remapped(state.texts).unionByName(texts_b),
+        bands=state.bands.unionByName(bands_b),
+        members=remapped(state.members).unionByName(members_b),
+    )
+
+    delta = members_b.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), "survivor")
+        .otherwise("duplicate")
+        .alias("status"),
+    ).unionByName(
+        remap.select(
+            F.col("old_cluster").alias("doc_id"),
+            F.col("new_cluster").alias("cluster_id"),
+            F.lit("demoted").alias("status"),
+        )
+    )
+    return new_state, delta
+
+
+def save_dedup_state(state: DedupState, path: str) -> None:
+    """Persist the three state tables (overwrite).  On a deployment the
+    band table would additionally be bucketed by (band, band_key) so
+    the incremental probe join is co-located."""
+    state.texts.write.mode("overwrite").parquet(f"{path}/texts")
+    state.bands.write.mode("overwrite").parquet(f"{path}/bands")
+    state.members.write.mode("overwrite").parquet(f"{path}/members")
+
+
+def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
+    return DedupState(
+        texts=spark.read.parquet(f"{path}/texts"),
+        bands=spark.read.parquet(f"{path}/bands"),
+        members=spark.read.parquet(f"{path}/members"),
+    )
