@@ -7,10 +7,13 @@ through executors in columnar batches and never surface as Python
 row objects.  Container-header decode (decode_media/decode_headers) is
 REAL pure-stdlib parsing — PNG/GIF/BMP/JPEG dimensions, WAV audio params —
 and audio sample decode (decode_audio) is REAL too: stdlib `wave` + numpy
-PCM statistics.  Only image pixel decode uses deterministic stand-ins
-(resize_images, sample_frames), since no image codec library exists in
-this build.  The Spark-side schema, partitioning, UDF signatures and
-batch shapes are real and tested (tests/test_llm_ops.py).
+PCM statistics.  Image PIXEL decode is REAL for the uncompressed formats
+a stdlib can parse — 24-bit BMP and binary PPM round-trip through
+decode -> nearest-neighbour resize -> re-encode in resize_images
+(round 10) — while compressed formats (JPEG/PNG) and video frame decode
+(sample_frames) keep deterministic stand-ins, since no codec library
+exists in this build.  The Spark-side schema, partitioning, UDF
+signatures and batch shapes are real and tested (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -325,26 +328,150 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real uncompressed-image codecs (round 10, r9 verdict item #7): BMP
+# (24-bit bottom-up, the classic BITMAPINFOHEADER layout) and binary PPM
+# (P6, maxval 255) — pure stdlib struct parsing + numpy pixel arrays, no
+# codec library needed.  resize_images now REALLY decodes, resizes, and
+# re-encodes these two formats end-to-end; compressed formats the
+# environment cannot decode keep the documented deterministic stand-in.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(b: bytes):
+    """(h, w, 3) uint8 RGB array from a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up or top-down rows, 4-byte row padding).
+    Returns None when the payload is not such a BMP."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr = struct.unpack_from("<I", b, 14)[0]
+    if hdr < 40:
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr) -> bytes:
+    """24-bit bottom-up BMP bytes from an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    data = body.tobytes()
+    off = 54
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(data), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def decode_ppm(b: bytes):
+    """(h, w, 3) uint8 RGB array from a binary PPM (P6, maxval <= 255).
+    Returns None when the payload is not such a PPM."""
+    import numpy as np
+
+    if len(b) < 10 or b[:2] != b"P6":
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if not b[start:pos].isdigit():
+            return None
+        fields.append(int(b[start:pos]))
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    pos += 1  # single whitespace after maxval
+    if maxval > 255 or w <= 0 or h <= 0 or pos + w * h * 3 > len(b):
+        return None
+    return (
+        np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_ppm(arr) -> bytes:
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Deterministic nearest-neighbour resize: source index =
+    floor((i + 0.5) * src / dst) — the standard pixel-center rule, pure
+    integer-decided (no float ties: src/dst are exact small rationals)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = ((np.arange(height) * 2 + 1) * h) // (2 * height)
+    xs = ((np.arange(width) * 2 + 1) * w) // (2 * width)
+    return arr[ys][:, xs]
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize stage: mapInPandas, one output row per input row.
 
-    The pixel work is STUBBED (no codec libs here): the deterministic
-    fake "resizes" by hashing the payload down to width*height bytes, so
-    schema, batching, and downstream joins are fully exercisable.  A real
-    deployment swaps `_fake_resize` for a PIL/opencv call — the Spark
-    plumbing (Arrow batches, no shuffle, bounded memory per batch) is
-    unchanged."""
+    REAL for uncompressed formats: a BMP (24-bit) or PPM (P6) payload is
+    decoded to pixels, nearest-neighbour resized, and re-encoded in its
+    own format — end-to-end pixel-true, tested against generated
+    known-pixel images.  Payloads in formats this environment cannot
+    decode (JPEG/PNG/...) keep the deterministic hash stand-in, so the
+    stage stays total; a deployment swaps that branch for PIL/opencv.
+    The Spark plumbing (Arrow batches, no shuffle, bounded memory per
+    batch) is identical on both branches."""
     import hashlib
 
-    def _fake_resize(b: bytes | None) -> bytes | None:
-        if b is None:
-            return None
+    def _fake_resize(b: bytes) -> bytes:
         out = bytearray()
         seed = b[:64]
         while len(out) < width * height:
             seed = hashlib.sha256(seed).digest()
             out.extend(seed)
         return bytes(out[: width * height])
+
+    def _resize(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        b = bytes(b)
+        arr = decode_bmp(b)
+        if arr is not None:
+            return encode_bmp(resize_nearest(arr, width, height))
+        arr = decode_ppm(b)
+        if arr is not None:
+            return encode_ppm(resize_nearest(arr, width, height))
+        return _fake_resize(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -353,7 +480,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(_fake_resize),
+                    "payload": pdf["payload"].map(_resize),
                 }
             )
 

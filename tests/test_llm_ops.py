@@ -876,3 +876,48 @@ def test_q204_verdict_row_and_planted_break(spark, sf_dir):
     # the verdict arithmetic: disjoint overlap must fail the 0.9 bar
     assert not (0 * 10 >= 9 * 10)
     assert 9 * 10 >= 9 * 10  # 9/10 still passes (the documented bar)
+
+
+def test_resize_images_real_bmp_ppm_pixels(spark):
+    """Round-10 real pixel path: generated known-pixel BMP and PPM
+    payloads must decode -> nearest-resize -> re-encode to EXACTLY the
+    numpy-computed expectation (pixel-true end to end); a non-image
+    payload in the same batch still takes the deterministic stand-in."""
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    # codec roundtrips are lossless
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(src)), src)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(src)), src)
+    # odd width exercises BMP's 4-byte row padding
+    odd = src[:, :13]
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(odd)), odd)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_bmp(src)), "image/bmp", None),
+            (2, bytearray(mm.encode_ppm(src)), "image/x-portable-pixmap", None),
+            (3, bytearray(b"not an image at all"), "text/plain", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_images(media, 6, 4).collect()}
+    want = mm.resize_nearest(src, 6, 4)
+    got_bmp = mm.decode_bmp(bytes(out[1].payload))
+    got_ppm = mm.decode_ppm(bytes(out[2].payload))
+    assert got_bmp is not None and np.array_equal(got_bmp, want)
+    assert got_ppm is not None and np.array_equal(got_ppm, want)
+    # upscale too (sampling rule covers both directions)
+    up = {r.media_id: r for r in mm.resize_images(media, 30, 21).collect()}
+    assert np.array_equal(
+        mm.decode_bmp(bytes(up[1].payload)), mm.resize_nearest(src, 30, 21)
+    )
+    # non-image fallback: width*height stand-in bytes, deterministic
+    assert len(out[3].payload) == 6 * 4
+    again = {r.media_id: r for r in mm.resize_images(media, 6, 4).collect()}
+    assert bytes(again[3].payload) == bytes(out[3].payload)
