@@ -44,17 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # cycle, so the rule holds automatically as long as the window is built
 # this way; never hand-pick rows ahead of a staler one.
 #
-# Round-10 window (round-9 judge item #1): the 25 r5-official rows —
-# the q78–q100 hash block (judge re-audited EXACT in r9; this makes it
-# driver-official again) plus the two rows-only-by-design sketches
-# q25/q73 (their numeric bounds stay hash-verified via q185/q186; the
-# driver records their weaker rows-only check) — then the 25
-# lowest-numbered r6-official rows (q02/q04/q05 + q101–q122) = exactly
-# 50.  After this window no registry row is older than r6-official.
-# A driver that sorts keys or checks all queries is unaffected — the
-# key set is identical.
+# Round-10 window (round-9 judge item #1): the 23 r5-official hash rows
+# — the q78–q100 block (judge re-audited EXACT in r9; this makes it
+# driver-official again) — then the 27 lowest-numbered r6-official rows
+# (q02/q04/q05 + q101–q124) = exactly 50.  The two rows-only-by-design
+# sketches q25/q73 stay OUT per the window invariant (a rows-only name
+# burns a full-hash slot and can never get a better check than it has;
+# their numeric bounds are hash-verified via q185/q186).  After this
+# window no registry row is older than r6-official.  A driver that
+# sorts keys or checks all queries is unaffected — the key set is
+# identical.
 _HEAD_R10 = [
-    "q25_approx_distinct", "q73_approx_percentile",
     "q78_string_agg", "q79_regex_groups", "q80_date_arithmetic",
     "q81_stop_shingles", "q82_repetition_filter", "q83_contamination",
     "q84_pii_scan", "q85_corpus_mix", "q86_realized_variance",
@@ -73,6 +73,7 @@ _HEAD_R10 = [
     "q116_returned_items", "q117_flow_autocorr", "q118_turnover_hhi",
     "q119_price_ending_digits", "q120_event_study",
     "q121_chunk_overlap", "q122_pack_contexts",
+    "q123_lexical_diversity", "q124_df_score",
 ]
 
 

@@ -6,6 +6,7 @@ from . import corpus_ext  # noqa: F401
 from . import curate  # noqa: F401
 from . import curation_ext  # noqa: F401
 from . import dedup  # noqa: F401
+from . import incremental  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import packing  # noqa: F401
 from . import pipeline_ext  # noqa: F401

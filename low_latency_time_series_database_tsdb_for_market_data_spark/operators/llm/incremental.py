@@ -298,3 +298,70 @@ def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
         bands=spark.read.parquet(f"{path}/bands"),
         members=spark.read.parquet(f"{path}/members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: the incremental path as a driver-checkable query — split the
+# corpus in half, build state from one half, fold the other half in, and
+# emit the survivors.  The oracle is q70's UNCAPPED recursive-CTE
+# transitive closure over the WHOLE corpus, so a hash match proves
+# incremental == from-scratch on real data every round (bridges,
+# loser-chains and all), not just on the planted unit fixtures.
+# ---------------------------------------------------------------------------
+
+from ...catalog import table  # noqa: E402
+from ...registry import query  # noqa: E402
+from .dedup import _HASHED_SQL, _rot_sql, N_MINHASH  # noqa: E402
+
+
+@query(
+    "q226_incremental_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    members AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+    """,
+    category="llm-dedup",
+)
+def q226_incremental_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivors of the INCREMENTAL dedup path: state built from the
+    even-doc_id half of the corpus, the odd half folded in via
+    dedup_state_apply — checked against q70's uncapped transitive-
+    closure oracle over the FULL corpus, so the driver hash proves
+    batch(A)+incr(B) == full(A∪B) on real data (the r9 verdict's
+    incremental-dedup contract).  The even/odd split is the adversarial
+    one: every near-dup cluster straddles the batch boundary, and the
+    fold may install a canonical SMALLER than an existing cluster id.
+
+    Shape: two half-corpus pipelines instead of one full one — the
+    batch probes broadcast into state scans (see dedup_state_apply);
+    nothing here exceeds q70's own cost envelope."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    state = dedup_state_build(d.where(F.col("doc_id") % 2 == 0), par)
+    new_state, _ = dedup_state_apply(
+        state, d.where(F.col("doc_id") % 2 == 1), par
+    )
+    return dedup_survivors(new_state)
