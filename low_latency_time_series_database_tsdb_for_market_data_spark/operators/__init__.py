@@ -15,6 +15,7 @@ from . import reference_surface  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import round8_ext  # noqa: F401
 from . import round9_ext  # noqa: F401
+from . import round10_ext  # noqa: F401
 from . import sessions  # noqa: F401
 from . import setops  # noqa: F401
 from . import tpch_ext  # noqa: F401

@@ -1,0 +1,621 @@
+"""Round-10 depth additions (q227+): pairwise Jensen-Shannon source
+divergence, session-depth quartiles by entry type, arrival-order (watermark) audit,
+event-id sequence-completeness audit, signup-to-purchase conversion
+cohorts, JSON-field distribution profile.
+
+Same discipline as every extension block: exact integer arithmetic for
+every published number (integer micros / counts, ratios via the
+deterministic round-half-up identity in
+``functions.deterministic.ratio_e4``), per-key windows only on keys
+whose cardinality scales with the data (user_id / bucket, never the
+5-symbol tape), and shuffle shapes that stay key-bounded at 100 TB.
+Reference parity: the reference stops at scan/count
+(`timeseries_db.cpp:29-233`); these extend SURVEY §2.2's engagement /
+quality / warehouse rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import ratio_e4, ratio_e4_signed
+from ..registry import query
+from .prefix import global_row_number
+
+_GAP_S = 1800  # q37's session gap: 30 min of inactivity
+_WEEK_US = 7 * 86400 * 1_000_000
+
+# ---------------------------------------------------------------------------
+# q227: pairwise Jensen-Shannon divergence between source unigram models
+# ---------------------------------------------------------------------------
+
+# round(1e6 * ln 2): the per-token KL contribution of mass the other
+# source lacks entirely (p_i/m_i == 2 there), in integer micro-nats.
+_LN2_MICRO = 693147
+
+# ln-term micro-nat quantizers, kept as IDENTICAL expression text on both
+# engines (q194 rule: both evaluate the same IEEE expression on the same
+# integers, then ROUND pins the value before any accumulation).  The
+# count products are formed in DOUBLE — at 100 TB a_i*B would overflow
+# BIGINT, and the double rounding is one IEEE op on identical inputs.
+_JSD_M = (
+    "ln(CAST(a AS DOUBLE) * CAST(Bt AS DOUBLE)"
+    " + CAST(b AS DOUBLE) * CAST(At AS DOUBLE))"
+)
+_JSD_QP = (
+    f"CAST(ROUND(1000000 * (ln(2.0 * CAST(a AS DOUBLE)"
+    f" * CAST(Bt AS DOUBLE)) - {_JSD_M})) AS BIGINT)"
+)
+_JSD_QQ = (
+    f"CAST(ROUND(1000000 * (ln(2.0 * CAST(b AS DOUBLE)"
+    f" * CAST(At AS DOUBLE)) - {_JSD_M})) AS BIGINT)"
+)
+
+
+@query(
+    "q227_source_divergence",
+    oracle=f"""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+               FROM documents),
+    st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM t GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(occ) AS BIGINT) AS T
+            FROM st GROUP BY 1),
+    inter AS (SELECT x.source AS sa, y.source AS sb,
+                     x.occ AS a, y.occ AS b, ta.T AS At, tb.T AS Bt
+              FROM st x JOIN st y USING (token)
+              JOIN tot ta ON ta.source = x.source
+              JOIN tot tb ON tb.source = y.source
+              WHERE x.source < y.source),
+    q AS (SELECT sa, sb, a, b, At, Bt,
+                 {_JSD_QP} AS qp, {_JSD_QQ} AS qq
+          FROM inter),
+    g AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_shared,
+                 SUM(CAST(a AS HUGEINT) * qp) AS klp_i,
+                 SUM(CAST(b AS HUGEINT) * qq) AS klq_i,
+                 CAST(SUM(a) AS HUGEINT) AS sa_i,
+                 CAST(SUM(b) AS HUGEINT) AS sb_i
+          FROM q GROUP BY 1, 2),
+    spine AS (SELECT ta.source AS sa, tb.source AS sb,
+                     CAST(ta.T AS HUGEINT) AS At,
+                     CAST(tb.T AS HUGEINT) AS Bt
+              FROM tot ta, tot tb WHERE ta.source < tb.source),
+    f AS (SELECT s.sa, s.sb, COALESCE(g.n_shared, 0) AS n_shared,
+                 s.At, s.Bt,
+                 COALESCE(g.klp_i, 0)
+                   + (s.At - COALESCE(g.sa_i, 0)) * {_LN2_MICRO} AS klp,
+                 COALESCE(g.klq_i, 0)
+                   + (s.Bt - COALESCE(g.sb_i, 0)) * {_LN2_MICRO} AS klq
+          FROM spine s LEFT JOIN g ON g.sa = s.sa AND g.sb = s.sb),
+    r AS (SELECT sa, sb, n_shared,
+                 klp * Bt + klq * At AS num,
+                 2000000 * At * Bt AS den
+          FROM f)
+    SELECT sa, sb, n_shared,
+           CASE WHEN num < 0
+                THEN -(((-num) * 20000 + den) // (2 * den))
+                ELSE ((num * 20000 + den) // (2 * den)) END / 10000.0
+             AS jsd_nats
+    FROM r
+    """,
+    category="llm-curation",
+)
+def q227_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    language models (nats; 0 = identical mixture, ln 2 = disjoint) —
+    the distributional distance behind training-mix design: q85 sizes
+    the sources and q194 scores their difficulty, this says WHICH
+    sources are near-duplicates of each other distribution-wise.
+
+    Math: with token counts a_i (source A, total mass At) and b_i
+    (source B, total Bt), p_i/m_i = 2·a_i·Bt/(a_i·Bt + b_i·At), so
+    JSD = ½[Σ (a_i/At)·ln(2a_iBt/(a_iBt+b_iAt)) + symmetric]; tokens
+    the other source lacks contribute exactly ln 2 — the two closed
+    "only-mass" terms (At−Σa)·ln2 need no outer join.
+
+    Exactness: each ln term is the identical IEEE expression on
+    identical integers quantized to micro-nats BEFORE accumulation
+    (q194 rule); the occ×micro-nat cross-products widen to
+    DECIMAL(38,0)/HUGEINT (q162 rule — at ~1e13 tokens the BIGINT
+    product wraps); the final number is the signed round-half-away
+    integer identity (ratio_e4_signed).  Shape: one explode →
+    vocabulary-scale (source, token) agg (pinned once — both join
+    branches reuse it), a token-keyed self-join whose output is
+    ≤ |pairs|×|vocab|, 5-row totals broadcast twice, |pairs|-row
+    output.  The corpus text itself never reshuffles."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    st = (
+        t.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    tot = st.groupBy("source").agg(F.sum("occ").alias("T"))
+    x = st.select(
+        F.col("source").alias("sa"), "token", F.col("occ").alias("a")
+    )
+    y = st.select(
+        F.col("source").alias("sb"), "token", F.col("occ").alias("b")
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("T").alias("At"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("T").alias("Bt"))
+    inter = (
+        x.join(y, "token")
+        .where(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+    )
+    q = inter.select(
+        "sa", "sb", "a", "b", "At", "Bt",
+        F.expr(_JSD_QP).alias("qp"),
+        F.expr(_JSD_QQ).alias("qq"),
+    )
+    dec = "decimal(38,0)"
+    g = q.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum(F.col("a").cast(dec) * F.col("qp")).alias("klp_i"),
+        F.sum(F.col("b").cast(dec) * F.col("qq")).alias("klq_i"),
+        F.sum("a").cast(dec).alias("sa_i"),
+        F.sum("b").cast(dec).alias("sb_i"),
+    )
+    # Pair SPINE from the 5-row totals cross (broadcast scalar frames —
+    # the allowlisted crossJoin class): a pair sharing NO token must
+    # still report its JSD (= ln 2), not vanish from the result.
+    spine = (
+        ta.crossJoin(F.broadcast(tb))
+        .where(F.col("sa") < F.col("sb"))
+        .select(
+            "sa", "sb",
+            F.col("At").cast(dec).alias("At"),
+            F.col("Bt").cast(dec).alias("Bt"),
+        )
+    )
+    z = F.lit(0).cast(dec)
+    f = spine.join(g, ["sa", "sb"], "left").select(
+        "sa", "sb",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias(
+            "n_shared"
+        ),
+        "At", "Bt",
+        (
+            F.coalesce(F.col("klp_i"), z)
+            + (F.col("At") - F.coalesce(F.col("sa_i"), z)) * _LN2_MICRO
+        )
+        .cast(dec)
+        .alias("klp"),
+        (
+            F.coalesce(F.col("klq_i"), z)
+            + (F.col("Bt") - F.coalesce(F.col("sb_i"), z)) * _LN2_MICRO
+        )
+        .cast(dec)
+        .alias("klq"),
+    )
+    r = f.select(
+        "sa", "sb", "n_shared",
+        (F.col("klp") * F.col("Bt") + F.col("klq") * F.col("At"))
+        .cast(dec)
+        .alias("num"),
+        (F.lit(2000000).cast(dec) * F.col("At") * F.col("Bt"))
+        .cast(dec)
+        .alias("den"),
+    )
+    return r.select(
+        "sa", "sb", "n_shared",
+        ratio_e4_signed("num", "den").alias("jsd_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228: session depth quartiles by entry event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_session_depth",
+    oracle=f"""
+    WITH g AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_GAP_S} * 1000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_type, new_s,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    d AS (SELECT user_id, sid,
+                 CAST(COUNT(*) AS BIGINT) AS depth,
+                 MAX(CASE WHEN new_s = 1 THEN event_type END) AS entry_type
+          FROM s GROUP BY 1, 2)
+    SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(quantile_cont(depth, 0.25), 4) AS p25_depth,
+           ROUND(quantile_cont(depth, 0.50), 4) AS p50_depth,
+           ROUND(quantile_cont(depth, 0.75), 4) AS p75_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM d GROUP BY 1
+    """,
+    category="engagement-session",
+)
+def q228_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth quartiles by session ENTRY event type: how long a
+    session runs depending on how it started — the landing-page depth
+    panel (q215 reports the 1-event bounce share; this is the full
+    depth distribution behind it).
+
+    Exactness: depth is an integer count, quartiles are exact
+    interpolated percentiles on integers (q187 precedent), and the
+    entry type rides q37's new_s=1 flag through a plain MAX(CASE) —
+    exactly one flagged row per session, so no ordered agg and no
+    max_by(struct) sort-agg.  Shape: q37's one user-keyed exchange
+    (lag + running sum + session agg share the partitioning), then a
+    |types|-row agg whose percentile partials merge map-side."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        gap.isNull() | (gap > _GAP_S * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        new_s.alias("new_s"),
+        F.sum(new_s).over(run).cast("bigint").alias("sid"),
+    )
+    d = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(
+            F.when(F.col("new_s") == 1, F.col("event_type"))
+        ).alias("entry_type"),
+    )
+    ps = F.percentile(
+        "depth", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        d.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            ps.alias("ps"),
+            F.max("depth").alias("max_depth"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            *[
+                F.round(F.col("ps")[i], 4).alias(n)
+                for i, n in enumerate(
+                    ("p25_depth", "p50_depth", "p75_depth")
+                )
+            ],
+            "max_depth",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229: arrival-order (watermark) audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_arrival_order_audit",
+    oracle="""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                      MAX(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) AS wm
+               FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < wm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           (SUM(CASE WHEN us < wm THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS late_share_e4,
+           CAST(COALESCE(MAX(CASE WHEN us < wm THEN wm - us END), 0)
+                AS BIGINT) AS max_late_us
+    FROM t GROUP BY 1
+    """,
+    category="quality-streaming",
+)
+def q229_arrival_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit per user: an event is LATE when its
+    event time is behind the per-user high-watermark of everything that
+    arrived before it (arrival order = event_id, the reference's seq
+    semantics, `timeseries_db.cpp:105-117`).  n_late sizes the late-data
+    problem; max_late_us IS the watermark delay a streaming job needs
+    (`streaming/windows.py` takes exactly this number as its
+    withWatermark bound).  On the generated testdata arrival order IS
+    time order, so n_late is all-zero — the healthy reading, exactly
+    like q225's orphan audit; the late path is planted-fixture-tested.
+
+    Exactness: integer microseconds throughout; the late share is the
+    ratio_e4 identity; the empty-late MAX is pinned to 0 on both
+    engines.  Shape: one running-MAX window + one hash-agg sharing the
+    per-user partitioning — a single exchange, and user_id scales with
+    the data."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    t = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.max(us).over(w).alias("wm"),
+    )
+    late = F.when(F.col("us") < F.col("wm"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late).alias("n_late"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("us") < F.col("wm"),
+                        F.col("wm") - F.col("us"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_late_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_late",
+            ratio_e4("n_late", "n_events").alias("late_share_e4"),
+            "max_late_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232: event-id sequence-completeness audit
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKET = 1 << 16
+
+
+@query(
+    "q230_eventid_gaps",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+    t AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids),
+    g AS (SELECT id - prev - 1 AS gap FROM t
+          WHERE prev IS NOT NULL AND id - prev > 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ids) AS n_ids,
+           (SELECT CAST(MIN(id) AS BIGINT) FROM ids) AS min_id,
+           (SELECT CAST(MAX(id) AS BIGINT) FROM ids) AS max_id,
+           (SELECT CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT)
+            FROM ids) AS n_missing,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gap_runs,
+           (SELECT CAST(COALESCE(MAX(gap), 0) AS BIGINT) FROM g) AS max_gap
+    """,
+    category="quality-integrity",
+)
+def q230_eventid_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit over the arrival sequence: how many
+    event_ids are missing, in how many contiguous gap runs, and the
+    widest run — the did-ingest-drop-anything gate next to q225's
+    foreign-key audit (the reference's seq is its implicit row id;
+    a hole means a lost write).
+
+    Exactness: pure integer id arithmetic; n_missing is the closed-form
+    span − count (no adjacency needed), gap runs come from per-bucket
+    lag plus a boundary pass.  Shape — NO global sort of the data:
+    ids dedup into 64Ki-wide buckets (one corpus-scale exchange with
+    map-side partials), intra-bucket runs use a bucket-keyed window
+    (≤65 536 rows per partition by construction), and the |buckets|-row
+    summary frame gets a two-pass :func:`global_row_number` (the frame
+    is data/65 536 — parallel, never single-partition) so each bucket
+    joins its successor for boundary gaps; the final 1-row agg reduces
+    32 partials."""
+    ev = table(spark, sf_dir, "events")
+    ids = (
+        ev.select(F.col("event_id").alias("id"))
+        .distinct()
+        .withColumn("bucket", F.expr(f"id div {_GAP_BUCKET}"))
+    )
+    w = W.partitionBy("bucket").orderBy("id")
+    gap = F.col("id") - F.lag("id").over(w) - 1
+    rows = ids.select("bucket", "id", gap.alias("gap"))
+    s = rows.groupBy("bucket").agg(
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("gap") > 0, 1).otherwise(0)).alias("n_runs"),
+        F.max(F.when(F.col("gap") > 0, F.col("gap"))).alias("intra_max"),
+    )
+    # Pin ONE execution of the range-partitioned row-numbered frame —
+    # two branches (self + successor probe) must see identical rn
+    # (the round-7 range-exchange-nondeterminism rule).
+    b = global_row_number(s, [F.col("bucket")], "rn").localCheckpoint(
+        eager=False
+    )
+    nxt = b.select(
+        (F.col("rn") - 1).alias("rn"), F.col("first_id").alias("nxt_first")
+    )
+    j = b.join(nxt, "rn", "left").withColumn(
+        "bd_gap", F.col("nxt_first") - F.col("last_id") - 1
+    )
+    agg = j.agg(
+        F.sum("n").alias("n_ids"),
+        F.min("first_id").alias("min_id"),
+        F.max("last_id").alias("max_id"),
+        (
+            F.sum("n_runs")
+            + F.sum(F.when(F.col("bd_gap") > 0, 1).otherwise(0))
+        ).alias("n_gap_runs"),
+        F.greatest(
+            F.coalesce(F.max("intra_max"), F.lit(0)),
+            F.coalesce(
+                F.max(F.when(F.col("bd_gap") > 0, F.col("bd_gap"))),
+                F.lit(0),
+            ),
+        ).alias("max_gap"),
+    )
+    return agg.select(
+        "n_ids",
+        "min_id",
+        "max_id",
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids")).alias(
+            "n_missing"
+        ),
+        "n_gap_runs",
+        "max_gap",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235: signup -> first-purchase conversion by signup week
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_signup_conversion",
+    oracle=f"""
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= s.signup_us
+          GROUP BY 1),
+    c AS (SELECT s.user_id, s.signup_us // {_WEEK_US} AS week,
+                 CASE WHEN p.first_purchase_us IS NOT NULL
+                       AND p.first_purchase_us - s.signup_us
+                           <= {_WEEK_US} THEN 1 ELSE 0 END AS conv
+          FROM s LEFT JOIN p USING (user_id))
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(conv) AS BIGINT) AS n_converted_7d,
+           (SUM(conv) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0
+             AS conv_share_e4
+    FROM c GROUP BY 1
+    """,
+    category="engagement-cohort",
+)
+def q231_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase conversion by signup epoch-week: of the
+    users whose FIRST signup landed in week W, what share purchased
+    within 7 days — the activation funnel q145's retention matrix sits
+    downstream of (q222 measures first→second purchase; this measures
+    zero→first).
+
+    Exactness: cohort week is integer floor-division of positive
+    integer micros (identical div both engines — no engine week-origin
+    ambiguity, the q192 lesson applied by sidestepping calendars
+    entirely); conversion is an integer flag and the rate is the
+    ratio_e4 identity.  Shape: two pushed-down event-type slices, both
+    user-keyed aggs; the inequality (purchase at-or-after signup) rides
+    the user_id equi-join, never a nested loop; output is |weeks|
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(s, "user_id")
+        .where(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    conv = F.when(
+        F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") - F.col("signup_us") <= _WEEK_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    c = s.join(p, "user_id", "left").select(
+        F.expr(f"signup_us div {_WEEK_US}").alias("week"),
+        conv.alias("conv"),
+    )
+    return (
+        c.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum("conv").alias("n_converted_7d"),
+        )
+        .select(
+            "week",
+            "n_signups",
+            "n_converted_7d",
+            ratio_e4("n_converted_7d", "n_signups").alias("conv_share_e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236: JSON property distribution profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_props_profile",
+    oracle="""
+    WITH t AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           ROUND(quantile_cont(k, 0.25), 4) AS p25_k,
+           ROUND(quantile_cont(k, 0.50), 4) AS p50_k,
+           ROUND(quantile_cont(k, 0.75), 4) AS p75_k
+    FROM t GROUP BY 1
+    """,
+    category="functions-json",
+)
+def q232_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of a JSON payload field per event type:
+    count, distinct cardinality, range, and quartiles of ``props.k`` —
+    the schema-on-read profiling panel a pipeline runs before promoting
+    a JSON field to a real column (q43 sums the field; this is the
+    decide-the-column's-type-and-skew audit).
+
+    Exactness: the extracted field is an integer on both engines
+    (from_json map<string,bigint> == DuckDB json_extract → BIGINT) and
+    quartiles are exact interpolated percentiles on integers.  Shape:
+    from_json stays inside whole-stage codegen, one |types|-keyed
+    hash-agg with map-side partials (the distinct expands to
+    (type, k) partials first — k's domain is bounded, so the expansion
+    is grid-sized)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "map<string,bigint>").getItem("k")
+    t = ev.select("event_type", k.alias("k"))
+    ps = F.percentile("k", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            ps.alias("ps"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_distinct_k",
+            "min_k",
+            "max_k",
+            *[
+                F.round(F.col("ps")[i], 4).alias(n)
+                for i, n in enumerate(("p25_k", "p50_k", "p75_k"))
+            ],
+        )
+    )
