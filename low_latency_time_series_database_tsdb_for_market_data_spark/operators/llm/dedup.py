@@ -522,6 +522,23 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     irrelevant for a near-dup *verifier*, and sub-ppb at these corpus
     sizes).  Jaccard arithmetic is integer-count based, so it is
     order-exact."""
+    return (
+        capped_pair_counts(spark, sf_dir)
+        .where(F.col("c") * 5 >= (F.col("na") + F.col("nb") - F.col("c")) * 3)
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            ratio_e4("c", "na + nb - c").alias("jaccard"),
+        )
+    )
+
+
+def capped_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's IDF-pruned pair generation WITHOUT the final threshold:
+    (ia, ib, c, na, nb) — shared-shingle count and per-doc retained-set
+    sizes for every co-occurring doc pair over the retained (DF < cap)
+    shingle vocabulary.  q56 filters it at Jaccard >= 0.6; q236 sweeps
+    the whole threshold curve off the same single corpus shuffle."""
     d = table(spark, sf_dir, "documents")
     cap_row = d.agg(
         F.greatest(
@@ -566,21 +583,11 @@ def q56_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("ia"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("ib"), F.col("n").alias("nb"))
-    # threshold by integer cross-multiplication (c/d >= 0.6 <=> 5c >= 3d)
-    # and round the reported jaccard in integer arithmetic — both the
-    # boundary test and the 4-decimal value are then engine-exact
-    # (double division could flip either at a representability boundary)
-    union_sz = F.col("na") + F.col("nb") - F.col("c")
-    return (
-        common.join(F.broadcast(sa), "ia")
-        .join(F.broadcast(sb), "ib")
-        .where(F.col("c") * 5 >= union_sz * 3)
-        .select(
-            F.col("ia").alias("doc_a"),
-            F.col("ib").alias("doc_b"),
-            ratio_e4("c", "na + nb - c").alias("jaccard"),
-        )
-    )
+    # thresholds downstream are integer cross-multiplications (c/d >= 0.6
+    # <=> 5c >= 3d) on these counts — both the boundary test and any
+    # reported 4-decimal value stay engine-exact (double division could
+    # flip either at a representability boundary)
+    return common.join(F.broadcast(sa), "ia").join(F.broadcast(sb), "ib")
 
 
 @query(

@@ -619,3 +619,367 @@ def q232_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: ingestion drift panel (doc-id deciles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_ingestion_drift",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+    d AS (SELECT (doc_id * 10) // (mx.m + 1) AS decile, n_chars,
+                 md5(text) AS dg
+          FROM documents, mx),
+    mult AS (SELECT dg, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           (SUM(d.n_chars) * 20000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0
+             AS avg_chars,
+           CAST(SUM(CASE WHEN mult.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           (SUM(CASE WHEN mult.c > 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS dup_share_e4
+    FROM d JOIN mult USING (dg)
+    GROUP BY 1
+    """,
+    category="llm-curation",
+)
+def q233_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift along ingestion order: per doc-id decile the volume,
+    exact mean length, and exact-duplicate share (a doc is "dup" when
+    its text appears anywhere in the corpus more than once) — the
+    is-the-crawl-degrading monitor; q224 tracks vocabulary novelty per
+    decile, this tracks size and redundancy.
+
+    Exactness: decile is the q224 integer floor-division against the
+    1-row max-id probe; length mean and dup share are ratio_e4 on
+    integer sums.  Shape: digests-only shuffles — the multiplicity agg
+    keys on md5(text) and the join back carries (dg, decile, n_chars)
+    skinny rows; the document text itself never moves (q50/q190 rule);
+    10-row output."""
+    d0 = table(spark, sf_dir, "documents")
+    mx = d0.agg(F.max("doc_id").alias("m"))
+    d = (
+        d0.select("doc_id", "n_chars", F.md5("text").alias("dg"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(doc_id * 10) div (m + 1)").cast("bigint").alias(
+                "decile"
+            ),
+            "n_chars",
+            "dg",
+        )
+    )
+    mult = d.groupBy("dg").agg(F.count(F.lit(1)).alias("c"))
+    j = d.join(mult, "dg")
+    dup = F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        j.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "sum_chars",
+            ratio_e4("sum_chars", "n_docs").alias("avg_chars"),
+            "n_dup",
+            ratio_e4("n_dup", "n_docs").alias("dup_share_e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234: nearest-centroid margin histogram (classification confidence)
+# ---------------------------------------------------------------------------
+
+_MQ_SCALE = 10_000  # corpus_ext._Q_SCALE: embeddings quantize at e4
+
+
+@query(
+    "q234_centroid_margin",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      unnest(range(1, len(embedding) + 1)) AS dim,
+                      CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                 * {_MQ_SCALE}) AS BIGINT) AS q
+               FROM embeddings),
+    g AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sum_q
+          FROM x GROUP BY 1, 2),
+    c AS (SELECT label AS label_c, dim,
+                 CASE WHEN sum_q < 0
+                      THEN -(((-sum_q) * 20000 + n) // (2 * n))
+                      ELSE ((sum_q * 20000 + n) // (2 * n)) END AS ci
+          FROM g),
+    d AS (SELECT x.vec_id, c.label_c,
+                 SUM((x.q - c.ci) * (x.q - c.ci)) AS dist
+          FROM x JOIN c USING (dim) GROUP BY 1, 2),
+    p AS (SELECT vec_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, label_c) AS rn
+          FROM d),
+    m AS (SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+                 MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+          FROM p WHERE rn <= 2 GROUP BY vec_id),
+    b AS (SELECT LEAST(999, (d2 - d1) * 1000 // greatest(d1, 1))
+                   AS margin_bucket
+          FROM m)
+    SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM b GROUP BY 1
+    """,
+    category="llm-embedding",
+)
+def q234_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment-confidence histogram: for every
+    vector the RELATIVE margin between its second-nearest and nearest
+    label centroid, bucketed in tenths (capped at 9) — mass near bucket
+    0 means ambiguous assignments and untrustworthy labels; q130 reports
+    WHERE assignments land (confusion), this reports how confidently.
+
+    Exactness: q130's recipe end-to-end — e4-quantized components,
+    integer-decided centroids, exact BIGINT squared distances; the
+    nearest/second pick is a row_number over the explicit (dist, label)
+    total order and the margin bucket is integer floor division with a
+    greatest(d1, 1) guard (a vector exactly ON its centroid still
+    buckets).  Shape: q130's — KB centroid table broadcast into the
+    dim-exploded vectors, the |vecs|×|labels| skinny agg, a vec-keyed
+    window, ≤10-row output."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    x = (
+        e.select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.floor(F.col("v") * _MQ_SCALE).alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        x.groupBy(F.col("label").alias("label_c"), "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))
+        .select(
+            "label_c",
+            "dim",
+            F.expr(
+                "CASE WHEN sum_q < 0"
+                " THEN -(((-sum_q) * 20000 + n) div (2 * n))"
+                " ELSE ((sum_q * 20000 + n) div (2 * n)) END"
+            ).alias("ci"),
+        )
+    )
+    dd = F.col("q") - F.col("ci")
+    d = (
+        x.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label_c")
+        .agg(F.sum(dd * dd).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "label_c")
+    m = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+        )
+    )
+    bucket = F.least(
+        F.lit(999),
+        F.expr("(d2 - d1) * 1000 div greatest(d1, 1)"),
+    )
+    return (
+        m.select(bucket.cast("bigint").alias("margin_bucket"))
+        .groupBy("margin_bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235: LSH bucket-health profile
+# ---------------------------------------------------------------------------
+
+from .llm.dedup import (  # noqa: E402  (shared CTE builders / helpers)
+    _DF_FRAC,
+    _DF_MIN_CAP,
+    _HASHED_SQL,
+    _SHINGLES_SQL,
+    N_MINHASH,
+    _rot_sql,
+    capped_pair_counts,
+    lsh_buckets,
+)
+
+
+@query(
+    "q235_lsh_bucket_profile",
+    oracle=f"""
+    WITH {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    bs AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bands GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+             // (2 * COUNT(*)) / 10000.0 AS singleton_share_e4,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           ROUND(quantile_cont(n, 0.95), 4) AS p95_bucket
+    FROM bs GROUP BY 1
+    """,
+    category="llm-dedup",
+)
+def q235_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding health panel: per band the bucket count, singleton
+    share, p95 and max bucket size — the tuning readout that says
+    whether the band width is generating candidates (singleton share
+    near 1 = no recall) or hot buckets (max near the q66 cap = pair
+    blowup risk).  q55 EMITS the buckets; this is the operational
+    summary a 100 TB dedup run checks before paying for pair
+    generation.
+
+    Exactness: bucket sizes are integers, the share is ratio_e4, p95 an
+    exact interpolated percentile over integers.  Shape: q55's plan
+    (map-side MIN partials, 8 rows/doc) plus one |bands|-row agg whose
+    percentile partials merge map-side."""
+    d = table(spark, sf_dir, "documents")
+    bs = lsh_buckets(d, spark.sparkContext.defaultParallelism).select(
+        "band", F.col("n_docs").cast("bigint").alias("n")
+    )
+    single = F.when(F.col("n") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        bs.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(single).alias("n_singletons"),
+            F.max("n").alias("max_bucket"),
+            F.percentile("n", F.lit(0.95)).alias("p95"),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "n_singletons",
+            ratio_e4("n_singletons", "n_buckets").alias(
+                "singleton_share_e4"
+            ),
+            "max_bucket",
+            F.round(F.col("p95"), 4).alias("p95_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236: Jaccard threshold sensitivity curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q236_jaccard_threshold_curve",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    cap AS (SELECT greatest({_DF_MIN_CAP},
+                            CAST(ceil({_DF_FRAC} * COUNT(*)) AS BIGINT))
+              AS cap
+            FROM documents),
+    grp AS (SELECT s, COUNT(*) AS c FROM shd GROUP BY s),
+    kept AS (SELECT shd.doc_id, shd.s FROM shd JOIN grp USING (s), cap
+             WHERE grp.c < cap.cap),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+               FROM kept a JOIN kept b
+                 ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT ia, ib, c, sa.n + sb.n - c AS u
+              FROM common
+              JOIN sizes sa ON sa.doc_id = ia
+              JOIN sizes sb ON sb.doc_id = ib),
+    thr AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10),
+    pass AS (SELECT t10, ia, ib FROM pairs, thr WHERE c * 10 >= u * t10),
+    aff AS (SELECT t10, ia AS doc FROM pass
+            UNION SELECT t10, ib FROM pass)
+    SELECT CAST(t.t10 AS BIGINT) AS threshold_e1,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs
+    FROM thr t
+    LEFT JOIN (SELECT t10, COUNT(*) AS n_pairs FROM pass GROUP BY 1) p
+      ON p.t10 = t.t10
+    LEFT JOIN (SELECT t10, COUNT(*) AS n_docs FROM aff GROUP BY 1) a
+      ON a.t10 = t.t10
+    """,
+    category="llm-dedup",
+)
+def q236_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity: candidate-pair count and affected
+    document count at Jaccard thresholds 0.5–0.9 — the how-aggressive-
+    should-dedup-be curve, computed from ONE pass of q56's IDF-pruned
+    pair machinery (`capped_pair_counts`; q56 is the 0.6 slice of this
+    curve).
+
+    Exactness: every threshold test is the integer cross-multiplication
+    c·10 ≥ u·t10 on exact counts — the reported curve cannot disagree
+    with what a dedup run at that threshold would do; a threshold that
+    passes nothing still reports its 0 row via the 5-row spine.  Shape:
+    the pair frame (linear-bounded by the DF cap) is pinned once and
+    crossed with the broadcast 5-row threshold frame; the distinct
+    affected-doc count shuffles (t10, doc) pairs — both frames are
+    pruned-vocabulary-sized, never corpus-sized."""
+    thr = spark.createDataFrame(
+        [(t,) for t in (5, 6, 7, 8, 9)], "t10 bigint"
+    )
+    pairs = (
+        capped_pair_counts(spark, sf_dir)
+        .select(
+            "ia", "ib", "c",
+            (F.col("na") + F.col("nb") - F.col("c")).alias("u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    passing = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("c") * 10 >= F.col("u") * F.col("t10")
+    )
+    np_ = passing.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
+    aff = (
+        passing.select("t10", F.col("ia").alias("doc"))
+        .union(passing.select("t10", F.col("ib").alias("doc")))
+        .distinct()
+        .groupBy("t10")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        thr.join(np_, "t10", "left")
+        .join(aff, "t10", "left")
+        .select(
+            F.col("t10").alias("threshold_e1"),
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint")).alias(
+                "n_docs"
+            ),
+        )
+    )

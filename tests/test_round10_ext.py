@@ -251,3 +251,80 @@ def test_q232_props_profile_matches_python_replay(reg, spark):
         assert r.min_k == grp.k.min() and r.max_k == grp.k.max()
         for q, col in ((25, "p25_k"), (50, "p50_k"), (75, "p75_k")):
             assert r[col] == round(float(np.percentile(grp.k, q)), 4), (et, q)
+
+
+def test_q233_drift_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q233_ingestion_drift").set_index("decile")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    m = int(docs.doc_id.max())
+    docs["decile"] = docs.doc_id * 10 // (m + 1)
+    mult = docs.groupby("text").doc_id.transform("size")
+    docs["dup"] = (mult > 1).astype(int)
+    exp = docs.groupby("decile").agg(
+        n=("doc_id", "size"), sc=("n_chars", "sum"), nd=("dup", "sum")
+    )
+    assert len(got) == len(exp)
+    for dec, e in exp.iterrows():
+        r = got.loc[dec]
+        assert r.n_docs == e.n and r.sum_chars == e.sc and r.n_dup == e.nd
+        assert r.avg_chars == _ratio_e4(int(e.sc), int(e.n))
+        assert r.dup_share_e4 == _ratio_e4(int(e.nd), int(e.n)), dec
+
+
+def test_q234_margin_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q234_centroid_margin").set_index("margin_bucket")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.floor(np.stack(emb.embedding.values).astype("float64") * 10000
+                 ).astype("int64")
+    labels = emb.label.astype("int64").values
+    cents = {}
+    for lb in np.unique(labels):
+        s = X[labels == lb].sum(axis=0).astype(object)
+        n = int((labels == lb).sum())
+        ci = [
+            -(((-v) * 20000 + n) // (2 * n)) if v < 0
+            else ((v * 20000 + n) // (2 * n))
+            for v in s
+        ]
+        cents[int(lb)] = np.array(ci, dtype="int64")
+    buckets = {}
+    for row in X:
+        # argmin over (dist, label) total order
+        ds = sorted(
+            (int(((row - c) ** 2).sum()), lb) for lb, c in cents.items()
+        )
+        d1, d2 = ds[0][0], ds[1][0]
+        b = min(999, (d2 - d1) * 1000 // max(d1, 1))
+        buckets[b] = buckets.get(b, 0) + 1
+    assert len(got) == len(buckets)
+    for b, n in buckets.items():
+        assert got.loc[b].n_vectors == n, b
+
+
+def test_q235_bucket_profile_consistent_with_q55(reg, spark):
+    prof = _pdf(reg, spark, "q235_lsh_bucket_profile").set_index("band")
+    b55 = _pdf(reg, spark, "q55_lsh_buckets")
+    for band, grp in b55.groupby("band"):
+        r = prof.loc[band]
+        n = grp.n_docs.astype("int64")
+        assert r.n_buckets == len(grp)
+        assert r.n_singletons == int((n == 1).sum())
+        assert r.singleton_share_e4 == _ratio_e4(int((n == 1).sum()), len(grp))
+        assert r.max_bucket == int(n.max())
+        assert r.p95_bucket == round(float(np.percentile(n, 95)), 4), band
+
+
+def test_q236_curve_monotone_and_consistent_with_q56(reg, spark):
+    curve = _pdf(reg, spark, "q236_jaccard_threshold_curve").set_index(
+        "threshold_e1"
+    )
+    assert list(curve.index) == [5, 6, 7, 8, 9]
+    # monotone non-increasing in the threshold, on both measures
+    assert curve.n_pairs.is_monotonic_decreasing
+    assert curve.n_docs.is_monotonic_decreasing
+    # the 0.6 point IS q56's pair count (same integer rule)
+    q56 = _pdf(reg, spark, "q56_ngram_jaccard_pairs")
+    assert curve.loc[6].n_pairs == len(q56)
+    assert curve.loc[6].n_docs == len(
+        set(q56.doc_a) | set(q56.doc_b)
+    )
