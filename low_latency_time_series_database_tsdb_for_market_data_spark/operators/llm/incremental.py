@@ -356,11 +356,26 @@ def q226_incremental_dedup_survivors(
     fold may install a canonical SMALLER than an existing cluster id.
 
     Shape: two half-corpus pipelines instead of one full one — the
-    batch probes broadcast into state scans (see dedup_state_apply);
-    nothing here exceeds q70's own cost envelope."""
+    batch probes broadcast into state scans (see dedup_state_apply).
+    The built state is PINNED (localCheckpoint) before the fold: in
+    production the state tables are persisted parquet that apply()
+    re-reads cheaply, and apply consumes each table 2-3 times — without
+    the pin every consumption would re-run the whole half-corpus build.
+
+    Cost envelope: this query is the registry's slowest BY DESIGN
+    (~3x q70 at sf0.1) — it runs the dedup machinery twice (build on
+    one half, fold of the other) to PROVE the equivalence each round.
+    A production pipeline pays only the apply() side, measured 6.5x
+    cheaper than a full rebuild (BASELINE.md round-10 incremental
+    point); the verdict query deliberately pays for both."""
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     state = dedup_state_build(d.where(F.col("doc_id") % 2 == 0), par)
+    state = DedupState(
+        texts=state.texts.localCheckpoint(eager=False),
+        bands=state.bands.localCheckpoint(eager=False),
+        members=state.members.localCheckpoint(eager=False),
+    )
     new_state, _ = dedup_state_apply(
         state, d.where(F.col("doc_id") % 2 == 1), par
     )

@@ -983,3 +983,221 @@ def q236_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q237: record-high revenue days per market segment (record staircase)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q237_record_days",
+    oracle=f"""
+    WITH o AS (SELECT c.c_mktsegment AS segment,
+                      epoch_us(o.o_orderdate) // {_DAY_US} AS day,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    d AS (SELECT segment, day, MAX(cents) AS day_max
+          FROM o GROUP BY 1, 2),
+    r AS (SELECT segment, day, day_max,
+                 MAX(day_max) OVER (PARTITION BY segment ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS prev_max
+          FROM d)
+    SELECT segment, CAST(day AS BIGINT) AS day,
+           day_max / 100.0 AS record_price
+    FROM r WHERE prev_max IS NULL OR day_max > prev_max
+    """,
+    category="warehouse-trend",
+)
+def q237_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record staircase: the days on which a market segment set a new
+    all-time-high single-order value (strictly above every prior day's
+    maximum; a day tying the record is not a record) — the running-
+    record operator behind "biggest order ever" alerting; q102 tracks
+    drawdowns below the peak, this emits the peaks themselves.
+
+    Exactness: order values in exact cents, day as an integer DATE
+    difference from the epoch (datediff truncates to dates on both
+    engines and is TIMESTAMP_NTZ-safe — unix_micros is not; the
+    events-table ts adaptation lives in the catalog, the orders table
+    reads raw), strict integer comparison
+    against the running MAX over the explicit prior-days frame.  Shape:
+    the fact joins the customer dim on custkey (AQE broadcasts at bench
+    SF; shuffles co-keyed at scale), collapses to the
+    |segments|×|days| grid BEFORE any window, and the record pass runs
+    on that grid-bounded frame — never on order rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    d = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("segment", "day")
+        .agg(F.max("cents").alias("day_max"))
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = d.withColumn("prev_max", F.max("day_max").over(w))
+    return r.where(
+        F.col("prev_max").isNull() | (F.col("day_max") > F.col("prev_max"))
+    ).select(
+        "segment",
+        F.col("day").cast("bigint").alias("day"),
+        (F.col("day_max") / 100.0).alias("record_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238: volume-weighted median price per symbol
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_weighted_median",
+    oracle="""
+    WITH t AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS wt
+               FROM events),
+    g AS (SELECT event_type, v_c, CAST(SUM(wt) AS BIGINT) AS w
+          FROM t GROUP BY 1, 2),
+    c AS (SELECT event_type, v_c, w,
+                 SUM(w) OVER (PARTITION BY event_type ORDER BY v_c
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(w) OVER (PARTITION BY event_type) AS tot
+          FROM g)
+    SELECT event_type,
+           MIN(v_c) / 100.0 AS wmedian_price,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY 1
+    """,
+    category="timeseries-aggregate",
+)
+def q238_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median price per symbol (props.k as the trade
+    size): the price splitting the traded WEIGHT in half — where half
+    the volume changed hands, which is what execution desks quote (the
+    unweighted median q27-class stats miss; lower weighted median,
+    first price where 2·cum ≥ total).
+
+    Exactness: prices in exact cents, weights integer, the pick is an
+    integer inequality on exact cumulative sums and a MIN over the
+    qualifying cents — no interpolation, no floats until the final
+    /100.0.  Shape: the tape collapses to the (symbol, price) grid
+    FIRST (domain-bounded: |symbols|×|distinct cents|, independent of
+    row count), so the cumulative window runs on the collapsed frame;
+    one corpus-scale exchange for the collapse, grid-scale after."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        F.from_json("props", "map<string,bigint>").getItem("k").alias("wt"),
+    )
+    g = t.groupBy("event_type", "v_c").agg(F.sum("wt").alias("w"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt_ = W.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "v_c",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt_).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(
+            (F.min("v_c") / 100.0).alias("wmedian_price"),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: numeric column profile (table profiling audit)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_quantity", "l_quantity"),
+    ("l_extendedprice", "l_extendedprice"),
+    ("l_discount", "l_discount"),
+    ("l_tax", "l_tax"),
+    ("l_shipdate_day",
+     "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))"),
+)
+
+
+@query(
+    "q239_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{name}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               CAST(MIN({expr}) AS DOUBLE) AS min_value,
+               CAST(MAX({expr}) AS DOUBLE) AS max_value
+        FROM lineitem"""
+        for name, expr in _PROFILE_COLS
+    ),
+    category="quality-profiling",
+)
+def q239_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile of the fact table: per column the row
+    count, null count, exact distinct cardinality, and value range
+    (the date column as integer epoch-days — datediff is
+    TIMESTAMP_NTZ-safe on both engines, unix_micros is not) —
+    the post-load profiling audit (ANALYZE TABLE's statistics, emitted
+    as a queryable result) that q225's referential audit and the
+    catalog's pruning assumptions both lean on; all-zero n_nulls is the
+    healthy reading (q225 class).
+
+    Exactness: counts are integers; min/max are exact column values
+    (2-decimal money doubles and integer keys/epochs are all exactly
+    representable), cast to DOUBLE so the 7-row union is one column
+    type on both engines.  Shape: ONE scan — the 7 per-column profiles
+    compile into a single multi-distinct aggregate (Catalyst's expand:
+    7× row multiplication map-side, grid-sized after), then a stack to
+    rows; no joins, no windows."""
+    li = table(spark, sf_dir, "lineitem")
+    exprs = []
+    for name, _ in _PROFILE_COLS:
+        col = (
+            F.datediff("l_shipdate", F.lit("1970-01-01"))
+            if name == "l_shipdate_day"
+            else F.col(name)
+        )
+        exprs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{name}__nulls"),
+            F.countDistinct(col).alias(f"{name}__distinct"),
+            F.min(col).cast("double").alias(f"{name}__min"),
+            F.max(col).cast("double").alias(f"{name}__max"),
+        ]
+    one = li.agg(*exprs)
+    stack = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct,"
+        f" {name}__min, {name}__max"
+        for name, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

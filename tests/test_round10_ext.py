@@ -328,3 +328,72 @@ def test_q236_curve_monotone_and_consistent_with_q56(reg, spark):
     assert curve.loc[6].n_docs == len(
         set(q56.doc_a) | set(q56.doc_b)
     )
+
+
+def test_q237_record_days_match_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q237_record_days")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["day"] = (
+        j.o_orderdate.astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    j["cents"] = (j.o_totalprice * 100).round().astype("int64")
+    d = (
+        j.groupby(["c_mktsegment", "day"])
+        .cents.max()
+        .reset_index()
+        .sort_values(["c_mktsegment", "day"])
+    )
+    exp = []
+    for seg, grp in d.groupby("c_mktsegment"):
+        best = None
+        for _, row in grp.iterrows():
+            if best is None or row.cents > best:
+                best = int(row.cents)
+                exp.append((seg, int(row.day), best / 100.0))
+    exp_df = (
+        pd.DataFrame(exp, columns=["segment", "day", "record_price"])
+        .sort_values(["segment", "day"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["segment", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+def test_q238_weighted_median_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q238_weighted_median").set_index("event_type")
+    ev = _events()
+    ev["v_c"] = (ev.value * 100).round().astype("int64")
+    ev["wt"] = ev.props.map(lambda s: int(json.loads(s)["k"]))
+    for et, grp in ev.groupby("event_type"):
+        g = grp.groupby("v_c").wt.sum().sort_index()
+        tot = int(g.sum())
+        cum = g.cumsum()
+        wmed = int(cum[2 * cum >= tot].index[0])
+        r = got.loc[et]
+        assert r.wmedian_price == wmed / 100.0
+        assert r.total_weight == tot
+        # at least half the weight sits at-or-below the weighted median
+        assert 2 * int(cum.loc[wmed]) >= tot
+
+
+def test_q239_profile_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q239_column_profile").set_index("column_name")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["l_shipdate_day"] = (
+        li.l_shipdate.astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    for name in (
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate_day",
+    ):
+        r = got.loc[name]
+        s = li[name]
+        assert r.n_rows == len(li)
+        assert r.n_nulls == int(s.isna().sum())
+        assert r.n_distinct == s.nunique()
+        assert r.min_value == float(s.min())
+        assert r.max_value == float(s.max()), name
