@@ -1,3 +1,7 @@
+from .incremental_dedup import (  # noqa: F401
+    StreamingDedup,
+    dedup_stream_available_now,
+)
 from .ingest import ingest_available_now, windowed_counts_stream  # noqa: F401
 from .joins import interval_pair_stream  # noqa: F401
 from .rollup import compact_rollup, continuous_ohlc, read_bars  # noqa: F401

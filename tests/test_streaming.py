@@ -1590,3 +1590,44 @@ def test_asof_enrich_state_carry_and_retry(spark, tmp_path):
         .toPandas()
     )
     assert out3.loc[0, "asof_ts"] == 60 and out3.loc[0, "asof_quote"] == 900
+
+
+def test_streaming_incremental_dedup_matches_batch_build(spark, sf_dir, tmp_path):
+    """The streamed fold (forced micro-batch boundaries, arbitrary file
+    pickup order) must produce EXACTLY the survivors of a from-scratch
+    batch build over the full corpus."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.incremental import (
+        dedup_state_build,
+        dedup_survivors,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming import (
+        dedup_stream_available_now,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    # three single-file slices -> three micro-batches (pickup order is
+    # the stream's choice; equivalence must hold for ANY order)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    fold = dedup_stream_available_now(
+        spark,
+        src,
+        str(tmp_path / "delta_out"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        max_files_per_trigger=1,
+    )
+    assert max(fold._epochs()) >= 2  # really ran multiple micro-batches
+
+    got = sorted(r.doc_id for r in fold.survivors().collect())
+    par = spark.sparkContext.defaultParallelism
+    exp = sorted(
+        r.doc_id
+        for r in dedup_survivors(dedup_state_build(docs, par)).collect()
+    )
+    assert got == exp
+    assert 0 < len(got) < docs.count()  # non-degenerate: real dups exist
