@@ -525,6 +525,9 @@ def q231_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(us).alias("signup_us"))
+        # pinned: feeds the purchase join AND the final left join — one
+        # signup-slice scan instead of two (plan-contract single-scan rule)
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -673,6 +676,9 @@ def q233_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "dg",
         )
+        # pinned: feeds the multiplicity agg AND the join back — the
+        # corpus is digested once (plan-contract single-scan rule)
+        .localCheckpoint(eager=False)
     )
     mult = d.groupBy("dg").agg(F.count(F.lit(1)).alias("c"))
     j = d.join(mult, "dg")
@@ -822,9 +828,11 @@ from .llm.dedup import (  # noqa: E402  (shared CTE builders / helpers)
     _HASHED_SQL,
     _SHINGLES_SQL,
     N_MINHASH,
+    _exact_collapse as _exact_collapse_docs,
     _rot_sql,
     capped_pair_counts,
     lsh_buckets,
+    lsh_candidate_pairs as lsh_candidate_pairs_docs,
 )
 
 
@@ -1200,4 +1208,195 @@ def q239_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240: top collocations by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 10
+
+# identical expression text on both engines (q194/q227 rule): PMI in
+# micro-nats from four INTEGER counts, each ln taken separately so no
+# count product is ever formed (overflow-free at any corpus size).
+_PMI_Q = (
+    "CAST(ROUND(1000000 * (ln(CAST(n AS DOUBLE)) + ln(CAST(T AS DOUBLE))"
+    " - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q240_token_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM u),
+    bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                                        i -> [t[i], t[i+1]])) AS p
+           FROM toks),
+    b AS (SELECT p[1] AS w1, p[2] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+          FROM bg GROUP BY 1, 2),
+    j AS (SELECT w1, w2, n, ua.c AS ca, ub.c AS cb, T
+          FROM b JOIN u ua ON ua.w = w1 JOIN u ub ON ub.w = w2, tot
+          WHERE n >= {_PMI_MIN_SUPPORT}),
+    q AS (SELECT w1 || ' ' || w2 AS bigram, n, {_PMI_Q} AS pmi_micro
+          FROM j)
+    SELECT bigram, n, pmi_micro / 1000000.0 AS pmi_nats
+    FROM q ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """,
+    category="llm-curation",
+)
+def q240_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information with a
+    support floor — the glued-together-more-than-chance word pairs
+    (PMI = ln n·T/(cₐ·c_b)) that tokenizer merge rules and phrase
+    mining start from; q69 ranks bigrams by raw count (frequency ≠
+    association — PMI surfaces the rare-but-inseparable pairs count
+    ranking buries).
+
+    Exactness: the four counts are integers; PMI quantizes to integer
+    micro-nats via ONE shared expression evaluated identically on both
+    engines, each ln taken separately so no count product exists to
+    overflow; the top-20 order is the explicit (pmi_micro DESC, bigram)
+    total order; the final /1e6 divides identical integers.  Shape: two
+    explode passes (unigram, bigram) collapse map-side to vocabulary
+    scale; the bigram table joins the unigram counts twice on token
+    keys (vocabulary-scale both sides); TakeOrdered returns 20 rows —
+    the corpus itself never reshuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uni = d.select(F.explode(toks).alias("w"))
+    # pinned: the vocabulary-scale count table feeds ua, ub AND the
+    # 1-row total probe — one unigram pass over the corpus, not three
+    u = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = u.agg(F.sum("c").alias("T"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    b = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _PMI_MIN_SUPPORT)
+    )
+    ua = u.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = u.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    j = (
+        b.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n",
+            F.expr(_PMI_Q).alias("pmi_micro"),
+        )
+    )
+    return (
+        j.orderBy(F.desc("pmi_micro"), F.asc("bigram"))
+        .limit(20)
+        .select(
+            "bigram", "n", (F.col("pmi_micro") / 1000000.0).alias("pmi_nats")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241: near-duplicate involvement rate by source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_near_dup_rate_by_source",
+    oracle=f"""
+    WITH {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    flagged AS (SELECT a AS doc_id FROM e0 UNION SELECT b FROM e0),
+    f AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_flagged
+          FROM flagged JOIN documents d USING (doc_id) GROUP BY 1),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+    SELECT s.source, s.n_docs,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           (COALESCE(f.n_flagged, 0) * 20000 + s.n_docs)
+             // (2 * s.n_docs) / 10000.0 AS flagged_share_e4
+    FROM s LEFT JOIN f ON f.source = s.source
+    """,
+    category="llm-dedup",
+)
+def q241_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate INVOLVEMENT rate per source: the share of a
+    source's documents that participate in at least one LSH candidate
+    pair (exact copies included — identical texts collide in every
+    band) — q100 counts exact dups only; this is the how-dirty-is-this-
+    feed panel a mixture designer reads next to q85/q227 before setting
+    per-source dedup budgets.
+
+    Exactness: flagged docs on the Spark side = endpoints of exact-dup
+    edges ∪ capped candidate pairs over representatives — the same
+    endpoint SET the oracle's uncapped full-doc band join produces
+    (every exact copy shares its representative's bands, so copy↔rep
+    edges and copy↔partner collisions flag the same documents); counts
+    integer, share ratio_e4, zero-flag sources kept by the source spine
+    (q227 rule).  Shape: q129's candidate machinery (digests shuffle,
+    text never moves), one |sources|-row agg each side of a broadcast
+    spine join."""
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    reps, dup_edges = _exact_collapse_docs(d)
+    reps = reps.localCheckpoint(eager=False)  # q129 discipline
+    cand = lsh_candidate_pairs_docs(reps, par)
+    edges = cand.unionByName(
+        dup_edges.select(F.col("a"), F.col("b"))
+    )
+    flagged = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    # pinned: the 2-column source map feeds the flagged join AND the
+    # per-source totals — one source pass over the corpus
+    src = d.select("doc_id", "source").localCheckpoint(eager=False)
+    f = (
+        flagged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    s = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        s.join(f, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_flagged"), F.lit(0).cast("bigint")).alias(
+                "n_flagged"
+            ),
+            ratio_e4(
+                "COALESCE(n_flagged, 0)", "n_docs"
+            ).alias("flagged_share_e4"),
+        )
     )

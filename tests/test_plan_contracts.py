@@ -405,6 +405,20 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         "q220_order_fill_days",
         # q224: per-shingle MIN pass + 1-row max-id probe (q53 class)
         "q224_vocab_growth",
+        # q240: two declared corpus passes (unigram counts pinned once,
+        # bigram pass) — the q194 class
+        "q240_token_pmi",
+        # q241: exact-collapse digest pass (reps pinned) + 2-column
+        # source-map pass (pinned) — two declared projections
+        "q241_near_dup_rate_by_source",
+        # q231: two DECLARED event-type slices (signup agg pinned once,
+        # purchase slice) — the q135 class
+        "q231_signup_conversion",
+        # q233: digest data-pass (pinned once) + 1-row max-id probe
+        # (q53/q224 class)
+        "q233_ingestion_drift",
+        # q237: 2 scans = 2 DIFFERENT tables (orders fact + customer dim)
+        "q237_record_days",
         # q225: the referential audit BY DESIGN reads every star edge:
         # 4 anti-join count branches + 2 checked-count probes over 5
         # tables, each branch 1-column pruned

@@ -397,3 +397,63 @@ def test_q239_profile_matches_python_replay(reg, spark):
         assert r.n_distinct == s.nunique()
         assert r.min_value == float(s.min())
         assert r.max_value == float(s.max()), name
+
+
+def test_q240_pmi_matches_python_replay(reg, spark):
+    import math
+    from collections import Counter
+
+    got = _pdf(reg, spark, "q240_token_pmi")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    uni, big = Counter(), Counter()
+    for txt in docs.text:
+        t = txt.split(" ")
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    T = sum(uni.values())
+    rows = []
+    for (w1, w2), n in big.items():
+        if n < 10:
+            continue
+        pmi = round(
+            1e6
+            * (
+                math.log(float(n))
+                + math.log(float(T))
+                - math.log(float(uni[w1]))
+                - math.log(float(uni[w2]))
+            )
+        )
+        rows.append((f"{w1} {w2}", n, pmi))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    exp = [(bg, n, pm / 1e6) for bg, n, pm in rows[:20]]
+    assert len(got) == len(exp)
+    for (bg, n, pmi), (_, r) in zip(exp, got.iterrows()):
+        assert r.bigram == bg and r.n == n and r.pmi_nats == pmi, bg
+
+
+def test_q241_planted_sources(reg, spark, tmp_path):
+    # source X: three byte-identical docs + one unrelated unique doc;
+    # source Y: unique disjoint docs.  Identical texts collide in every
+    # LSH band, so X flags exactly its 3 copies; Y flags nothing.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today", "en", "X", 10),
+        (2, "the quick brown fox jumps over the lazy dog again today", "en", "X", 10),
+        (3, "the quick brown fox jumps over the lazy dog again today", "en", "X", 10),
+        (4, "completely unrelated text about market data engines here", "en", "X", 10),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "Y", 10),
+        (6, "one two three four five six seven eight nine ten eleven", "en", "Y", 10),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        reg["q241_near_dup_rate_by_source"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["X"].n_docs == 4 and got.loc["X"].n_flagged == 3
+    assert got.loc["X"].flagged_share_e4 == _ratio_e4(3, 4)
+    assert got.loc["Y"].n_docs == 2 and got.loc["Y"].n_flagged == 0
+    assert got.loc["Y"].flagged_share_e4 == 0.0
