@@ -44,12 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # cycle, so the rule holds automatically as long as the window is built
 # this way; never hand-pick rows ahead of a staler one.
 #
-# Round-10 window (round-9 judge item #1 + the freshness sort): the 16
-# NEVER-driver-checked round-10 additions first (q226–q241 — exact-
+# Round-10 window (round-9 judge item #1 + the freshness sort): the 18
+# NEVER-driver-checked round-10 additions first (q226–q243 — exact-
 # audited at sf0.01 + sf0.1 before registration), then the 23
 # r5-official hash rows — the q78–q100 block (judge re-audited EXACT in
-# r9; this makes it driver-official again) — then the 11 lowest-
-# numbered r6-official rows (q02/q04/q05 + q101–q108) = exactly 50.
+# r9; this makes it driver-official again) — then the 9 lowest-
+# numbered r6-official rows (q02/q04/q05 + q101–q106) = exactly 50.
 # The two rows-only-by-design sketches q25/q73 stay OUT per the window
 # invariant (a rows-only name burns a full-hash slot and can never get
 # a better check than it has; their numeric bounds are hash-verified
@@ -64,6 +64,7 @@ _HEAD_R10 = [
     "q235_lsh_bucket_profile", "q236_jaccard_threshold_curve",
     "q237_record_days", "q238_weighted_median", "q239_column_profile",
     "q240_token_pmi", "q241_near_dup_rate_by_source",
+    "q242_sma_backtest", "q243_knn_eval",
     "q78_string_agg", "q79_regex_groups", "q80_date_arithmetic",
     "q81_stop_shingles", "q82_repetition_filter", "q83_contamination",
     "q84_pii_scan", "q85_corpus_mix", "q86_realized_variance",
@@ -75,7 +76,7 @@ _HEAD_R10 = [
     "q02_csv_roundtrip", "q04_range_scan", "q05_point_lookup",
     "q101_lead_lag", "q102_drawdown_spells", "q103_roll_spread",
     "q104_benford_digits", "q105_staleness_runs",
-    "q106_minute_rate_anomaly", "q107_zipf_coverage", "q108_norm_band",
+    "q106_minute_rate_anomaly",
 ]
 
 

@@ -1400,3 +1400,219 @@ def q241_near_dup_rate_by_source(
             ).alias("flagged_share_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q242: SMA(20) trend-following backtest vs buy-and-hold
+# ---------------------------------------------------------------------------
+
+# daily log return in integer micro-nats from two cent closes — one
+# shared expression evaluated identically on both engines (q194 rule)
+_RET_Q = (
+    "CAST(ROUND(1000000 * (ln(CAST(cl AS DOUBLE))"
+    " - ln(CAST(pc AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "q242_sma_backtest",
+    oracle=f"""
+    WITH t AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    r AS (SELECT event_type, day, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_c
+          FROM t),
+    d AS (SELECT event_type, day,
+                 MAX(CASE WHEN rn_c = 1 THEN c END) AS cl
+          FROM r GROUP BY 1, 2),
+    s AS (SELECT event_type, day, cl,
+                 CAST(COUNT(*) OVER w20 AS BIGINT) AS n20,
+                 CAST(SUM(cl) OVER w20 AS BIGINT) AS s20
+          FROM d
+          WINDOW w20 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    lg AS (SELECT event_type, cl,
+                  lag(cl) OVER w AS pc,
+                  lag(CASE WHEN cl * n20 > s20 THEN 1 ELSE 0 END) OVER w
+                    AS pos
+           FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    v AS (SELECT event_type, pos, {_RET_Q} AS ret
+          FROM lg WHERE pc IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(pos) AS BIGINT) AS n_days_long,
+           CAST(SUM(CASE WHEN pos = 1 THEN ret ELSE 0 END) AS BIGINT)
+             AS strat_ret_micro,
+           CAST(SUM(ret) AS BIGINT) AS bh_ret_micro
+    FROM v GROUP BY 1
+    """,
+    category="timeseries-backtest",
+)
+def q242_sma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal SMA(20) trend-following backtest per symbol: hold the
+    symbol on days whose PRIOR close sat above its prior 20-day SMA,
+    and report the strategy's total log return beside buy-and-hold —
+    the does-trend-following-beat-holding panel (q111 backtests burst
+    signals; q209 counts crossovers; this prices the rule).  The
+    position uses yesterday's signal (lag) — no look-ahead.
+
+    Exactness: closes are the deterministic (ts, event_id)-ordered cent
+    values (q22 OHLC rule); the above-SMA test is the integer
+    cross-multiplication cl·n > Σ (no float mean exists — the q156
+    rule); daily log returns quantize to integer micro-nats via ONE
+    shared expression (q194 rule) and sum order-independently.  Shape:
+    the tape collapses to |symbols|×|days| daily bars inside the
+    (symbol, day) partitioning, every later window runs on that
+    grid-bounded frame; the trailing frame is a constant-20 ROWS frame
+    (the allowed q30/q156 class, not a data-width RANGE)."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    wd = W.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    d = (
+        t.withColumn("rn_c", F.row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(F.max(F.when(F.col("rn_c") == 1, F.col("c"))).alias("cl"))
+    )
+    w20 = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "cl",
+        F.count(F.lit(1)).over(w20).alias("n20"),
+        F.sum("cl").over(w20).alias("s20"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    sig = F.when(F.col("cl") * F.col("n20") > F.col("s20"), 1).otherwise(0)
+    lg = s.select(
+        "event_type",
+        "cl",
+        F.lag("cl").over(w).alias("pc"),
+        F.lag(sig).over(w).alias("pos"),
+    ).where(F.col("pc").isNotNull())
+    v = lg.select("event_type", "pos", F.expr(_RET_Q).alias("ret"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("pos").alias("n_days_long"),
+        F.sum(F.when(F.col("pos") == 1, F.col("ret")).otherwise(0)).alias(
+            "strat_ret_micro"
+        ),
+        F.sum("ret").alias("bh_ret_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243: exact kNN classification eval on a fixed probe panel
+# ---------------------------------------------------------------------------
+
+_KNN_PROBES = 200  # fixed panel: cost is |panel| x |train| — linear in data
+_KNN_K = 5
+
+
+@query(
+    "q243_knn_eval",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000)
+                                  AS BIGINT)) AS qv
+               FROM embeddings),
+    te AS (SELECT vec_id AS tid, label AS tlabel, qv AS tqv
+           FROM x WHERE vec_id < {_KNN_PROBES}),
+    tr AS (SELECT vec_id AS oid, label AS olabel, qv
+           FROM x WHERE vec_id >= {_KNN_PROBES}),
+    p AS (SELECT te.tid, te.tlabel, tr.oid, tr.olabel,
+                 list_sum(list_transform(range(1, len(te.tqv) + 1),
+                          i -> (te.tqv[i] - tr.qv[i])
+                               * (te.tqv[i] - tr.qv[i]))) AS dist
+          FROM te, tr),
+    k AS (SELECT tid, tlabel, olabel,
+                 ROW_NUMBER() OVER (PARTITION BY tid
+                                    ORDER BY dist, oid) AS rn
+          FROM p),
+    m AS (SELECT tid, tlabel, olabel, CAST(COUNT(*) AS BIGINT) AS n5
+          FROM k WHERE rn <= {_KNN_K} GROUP BY 1, 2, 3),
+    pick AS (SELECT tid, tlabel, olabel AS pred,
+                    ROW_NUMBER() OVER (PARTITION BY tid
+                                       ORDER BY n5 DESC, olabel) AS rn2
+             FROM m)
+    SELECT tlabel AS label_true, pred AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pick WHERE rn2 = 1 GROUP BY 1, 2
+    """,
+    category="llm-embedding",
+)
+def q243_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN classification confusion matrix on a FIXED 200-vector
+    probe panel (vec_id < 200 held out; everything else is the train
+    set) — the are-labels-learnable eval beside q130's centroid version
+    (kNN sees local structure centroids average away).  Majority vote
+    with deterministic ties: neighbors rank by (dist, id), the winning
+    label by (votes DESC, label).
+
+    Exactness: components quantize to e4 integers (q130 rule) and the
+    squared distance is an exact BIGINT zip_with/aggregate fold — no
+    dim explosion, no float accumulation; both rankings use explicit
+    total orders.  Shape: the quantized table is pinned once (single
+    scan feeds both splits), the 200-row probe panel BROADCASTS into
+    the train side (the allowlisted probe-frame crossJoin class:
+    |panel|×|train| pair rows, LINEAR in data for the fixed panel), a
+    probe-keyed window takes top-5, and everything after is
+    |panel|-sized.  At 100 TB the same eval swaps the exact pair pass
+    for the IVF/PQ shortlist (q65/q204) — this is the ground-truth
+    variant those are measured against."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * 10000).cast("bigint"),
+    )
+    x = e.select(
+        "vec_id", F.col("label").cast("bigint").alias("label"),
+        qv.alias("qv"),
+    ).localCheckpoint(eager=False)
+    te = x.where(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("tlabel"),
+        F.col("qv").alias("tqv"),
+    )
+    tr = x.where(F.col("vec_id") >= _KNN_PROBES).select(
+        F.col("vec_id").alias("oid"),
+        F.col("label").alias("olabel"),
+        "qv",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("tqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    p = tr.crossJoin(F.broadcast(te)).select(
+        "tid", "tlabel", "oid", "olabel", dist.alias("dist")
+    )
+    wk = W.partitionBy("tid").orderBy("dist", "oid")
+    m = (
+        p.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _KNN_K)
+        .groupBy("tid", "tlabel", "olabel")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    w2 = W.partitionBy("tid").orderBy(F.desc("n5"), F.asc("olabel"))
+    return (
+        m.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") == 1)
+        .groupBy(
+            F.col("tlabel").alias("label_true"),
+            F.col("olabel").alias("label_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

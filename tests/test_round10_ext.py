@@ -457,3 +457,63 @@ def test_q241_planted_sources(reg, spark, tmp_path):
     assert got.loc["X"].flagged_share_e4 == _ratio_e4(3, 4)
     assert got.loc["Y"].n_docs == 2 and got.loc["Y"].n_flagged == 0
     assert got.loc["Y"].flagged_share_e4 == 0.0
+
+
+def test_q242_backtest_matches_python_replay(reg, spark):
+    import math
+
+    got = _pdf(reg, spark, "q242_sma_backtest").set_index("event_type")
+    ev = _events().sort_values(["event_type", "ts", "event_id"])
+    ev["day"] = ev.ts.dt.normalize()
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    for et, grp in ev.groupby("event_type"):
+        cl = grp.groupby("day").c.last()  # (ts, event_id)-ordered close
+        n20 = cl.rolling(20, min_periods=1).count().astype("int64")
+        s20 = cl.rolling(20, min_periods=1).sum().astype("int64")
+        sig = (cl * n20 > s20).astype(int)
+        pos = sig.shift(1)
+        pc = cl.shift(1)
+        mask = pc.notna()
+        ret = [
+            round(1e6 * (math.log(float(a)) - math.log(float(b))))
+            for a, b in zip(cl[mask], pc[mask])
+        ]
+        pos_m = pos[mask].astype(int).values
+        r = got.loc[et]
+        assert r.n_days == int(mask.sum())
+        assert r.n_days_long == int(pos_m.sum())
+        assert r.bh_ret_micro == sum(ret)
+        assert r.strat_ret_micro == sum(
+            rr for rr, p in zip(ret, pos_m) if p == 1
+        ), et
+
+
+def test_q243_knn_matches_python_replay(reg, spark):
+    got = _pdf(reg, spark, "q243_knn_eval")
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.floor(
+        np.stack(emb.embedding.values).astype("float64") * 10000
+    ).astype("int64")
+    ids = emb.vec_id.values
+    labels = emb.label.astype("int64").values
+    te = ids < 200
+    conf = {}
+    for i in np.where(te)[0]:
+        cands = []
+        for j in np.where(~te)[0]:
+            d = int(((X[i] - X[j]) ** 2).sum())
+            cands.append((d, int(ids[j]), int(labels[j])))
+        cands.sort()
+        votes = {}
+        for _, _, lb in cands[:5]:
+            votes[lb] = votes.get(lb, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        conf[(int(labels[i]), pred)] = conf.get(
+            (int(labels[i]), pred), 0
+        ) + 1
+    assert len(got) == len(conf)
+    for _, r in got.iterrows():
+        assert conf[(r.label_true, r.label_pred)] == r.n
+    # (no learnability assert: at sf0.001 the train split is tiny and
+    # accuracy is data, not operator, behaviour — exact equality above
+    # is the contract)
