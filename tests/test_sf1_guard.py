@@ -1,0 +1,108 @@
+"""tools/sf1_guard.py — the standing sf1 regression gate (r9 verdict
+item #6): record selection, flag rule (ratio AND floor), new-query
+exemption, exit codes."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+GUARD = REPO / "tools" / "sf1_guard.py"
+
+
+def _run(detail: Path, *args: str) -> tuple[int, str]:
+    p = subprocess.run(
+        [sys.executable, str(GUARD), "--file", str(detail), *args],
+        capture_output=True,
+        text=True,
+    )
+    return p.returncode, p.stdout
+
+
+def _write(detail: Path, records: list[dict]) -> None:
+    detail.write_text("\n".join(json.dumps(r) for r in records) + "\n")
+
+
+def _rec(sf: float, queries: dict) -> dict:
+    return {"sf": sf, "queries": queries}
+
+
+def test_green_when_stable(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 2.0, "q2": 0.5}),
+            _rec(1.0, {"q1": 2.2, "q2": 0.6}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0
+    assert "gate green" in out
+
+
+def test_flags_ratio_and_floor_breach(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 2.0, "q2": 0.2}),
+            # q1 trips (3x, above floor); q2 is 3x too but under the
+            # 1s floor -> jitter, not flagged
+            _rec(1.0, {"q1": 6.0, "q2": 0.6}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 1
+    assert "q1" in out and "3.0x" in out
+    assert "q2:" not in out
+
+
+def test_new_and_removed_queries_never_flag(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 1.0, "gone": 9.0}),
+            _rec(1.0, {"q1": 1.1, "brand_new": 99.0}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0
+    assert "new queries (not gated): 1" in out
+    assert "removed queries: ['gone']" in out
+
+
+def test_sf_selection_and_insufficient_records(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(0.1, {"q1": 1.0}),
+            _rec(0.1, {"q1": 9.0}),
+            _rec(1.0, {"q1": 1.0}),
+        ],
+    )
+    # only ONE sf=1.0 record -> nothing to gate, green
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0 and "need 2 to compare" in out
+    # the two sf=0.1 records DO trip at their own sf
+    code, _ = _run(detail, "--sf", "0.1")
+    assert code == 1
+
+
+def test_compares_last_two_only(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 99.0}),  # ancient bad record must be ignored
+            _rec(1.0, {"q1": 2.0}),
+            _rec(1.0, {"q1": 2.1}),
+        ],
+    )
+    code, _ = _run(detail, "--sf", "1.0")
+    assert code == 0
