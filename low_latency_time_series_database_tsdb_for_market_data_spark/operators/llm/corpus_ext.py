@@ -408,8 +408,12 @@ def q100_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Integer e4-scale centroid component (the ratio_e4_signed integer BEFORE
-# its final /10000.0) — shared by the Spark side and the oracle of q128.
+# Integer centroid component at e8 RAW-VALUE scale (round(mean_q * 1e4)
+# where q is already the e4-quantized component; i.e. the ratio_e4_signed
+# integer BEFORE its final /10000.0) — shared by the Spark side and the
+# oracle of q128.  Consumers that compare ci against per-vector q MUST
+# lift q to the same scale (q * 10000) before differencing — see q130 /
+# q234 (round-11 scale-consistency fix).
 _CENT_INT_SQL = (
     "CASE WHEN sum_q < 0"
     " THEN -(((-sum_q) * 20000 + n) div (2 * n))"
@@ -435,7 +439,7 @@ _CENT_INT_SQL = (
           FROM g)
     SELECT a.label AS label_a, b.label AS label_b,
            CAST(COUNT(*) AS BIGINT) AS n_dims,
-           CAST(SUM((a.ci - b.ci) * (a.ci - b.ci)) AS BIGINT) AS l2sq_e8
+           CAST(SUM((a.ci - b.ci) * (a.ci - b.ci)) AS BIGINT) AS l2sq_e16
     FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
     GROUP BY 1, 2
     """,
@@ -447,9 +451,12 @@ def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("are these classes even separable?") and IVF seeding diagnostics
     (centroids too close = wasted coarse cells).
 
-    Exactness: centroids are the same integer-decided e4 components as
-    q99 (kept as INTEGERS — no final division), so the distance is an
-    exact BIGINT sum of integer squares on both engines.
+    Exactness: centroids are the same integer-decided components as q99
+    (kept as the e8-scale INTEGERS — no final division), so the distance
+    is an exact BIGINT sum of integer squares on both engines; with both
+    operands at e8 the squared sum is at e16 scale, hence l2sq_e16
+    (round-11 rename from the misleading l2sq_e8 — values unchanged,
+    the two operands were always at the same scale here).
 
     Shape: ONE corpus pass reduces to |labels| x dims cells (the q99
     aggregation), which localCheckpoint materializes so the pair join
@@ -488,7 +495,7 @@ def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(
             F.count(F.lit(1)).alias("n_dims"),
-            F.sum(d * d).cast("bigint").alias("l2sq_e8"),
+            F.sum(d * d).cast("bigint").alias("l2sq_e16"),
         )
     )
 
@@ -510,7 +517,7 @@ def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE ((sum_q * 20000 + n) // (2 * n)) END AS ci
           FROM g),
     d AS (SELECT x.vec_id, x.label AS label_true, c.label_c,
-                 SUM((x.q - c.ci) * (x.q - c.ci)) AS dist
+                 SUM((x.q * 10000 - c.ci) * (x.q * 10000 - c.ci)) AS dist
           FROM x JOIN c USING (dim) GROUP BY 1, 2, 3),
     p AS (SELECT vec_id, label_true, label_c AS label_pred,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -528,10 +535,12 @@ def q130_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are-the-classes-separable / is-the-quantizer-sane evaluation, run
     entirely inside the engine.
 
-    Exactness: distances are exact BIGINT sums of integer squares
-    (quantized components vs integer-decided centroids); the argmin is a
-    row_number over the explicit (dist, label) total order — no engine
-    tie-break ambiguity.
+    Exactness: distances are exact BIGINT sums of integer squares with
+    BOTH operands lifted to e8 scale (q * 10000 vs the e8-scale
+    integer-decided centroid ci — round-11 fix: the earlier q - ci mixed
+    e4 against e8, so the argmin barely depended on the vector); the
+    argmin is a row_number over the explicit (dist, label) total order —
+    no engine tie-break ambiguity.
 
     Shape: the centroid table (|labels| x dims cells, KB) broadcasts
     into the dim-exploded vectors; the distance agg keys on
@@ -567,7 +576,7 @@ def q130_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci"),
         )
     )
-    dd = F.col("q") - F.col("ci")
+    dd = F.col("q") * F.lit(10000) - F.col("ci")
     d = (
         x.join(F.broadcast(c), "dim")
         .groupBy("vec_id", "label_true", "label_c")

@@ -528,6 +528,14 @@ def pq_train(
         .collect()
     )
     x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return _pq_lloyd(x, m, k, iters)
+
+
+def _pq_lloyd(x, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's over an in-memory (n, dim) sample — the
+    shared training loop behind pq_train (raw vectors) and ivfpq_train
+    (coarse residuals).  Deterministic: first-k init, fixed iters,
+    empty clusters keep their old position."""
     n, dim = x.shape
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -744,4 +752,269 @@ def q204_pq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(e.count(), exact_ids[0], ok)],
         "n_vectors bigint, top1_exact bigint, pq_ok bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composite (round 11, r10 verdict item #7): the standard IVFPQ
+# shape — IVF coarse lists prune WHICH vectors a probe scans, PQ codes
+# over the COARSE RESIDUAL (v - centroid) compress WHAT is scanned
+# (Jegou et al. 2011, §IV: residual quantization beats raw-vector PQ
+# because the residual distribution is tighter than the corpus's).
+# Both halves already exist above; these compose them into one index
+# build (single Arrow pass), one ADC search over the probed lists only,
+# and the deployed shortlist->exact-rerank pipeline.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    m: int = 16,
+    k: int = 16,
+    iters: int = 10,
+    sample: int = 65_536,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on the COARSE RESIDUALS of a deterministic
+    id-ordered sample: assign each sample vector to its nearest IVF
+    centroid (numpy argmin, first-occurrence ties — the ivf_index
+    rule), subtract, then run the shared per-subspace Lloyd loop.
+    Driver-side on a bounded sample like pq_train; only the index
+    build below touches the full corpus."""
+    import numpy as np
+
+    rows = (
+        vecs.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    cmat = np.array(centroids, dtype=np.float64)
+    csq = (cmat * cmat).sum(axis=1)
+    a = (csq[None, :] - 2.0 * (x @ cmat.T)).argmin(axis=1)
+    return _pq_lloyd(x - cmat[a], m, k, iters)
+
+
+def ivfpq_index(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """ONE Arrow-batched narrow map producing the composite index row
+    (vec_id, centroid, code): nearest coarse centroid, then the PQ code
+    of the residual v - centroid.  No shuffle — at 100 TB the result is
+    written partitionBy(centroid) so searches are partition-pruned
+    scans of m-byte codes.  The centroid matrix and codebooks broadcast
+    inside the closure (k x dim + m x k x sub floats, KBs)."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    csq = (cmat * cmat).sum(axis=1)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def assign_encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a = (csq[None, :] - 2.0 * (x @ cmat.T)).argmin(axis=1)
+            r = x - cmat[a]
+            codes = np.empty((x.shape[0], m), dtype=np.int16)
+            for j, c in enumerate(books):
+                rs = r[:, j * sub : (j + 1) * sub]
+                d = (c * c).sum(axis=1)[None, :] - 2.0 * (rs @ c.T)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            out = pdf[["vec_id"]].copy()
+            out["centroid"] = a.astype("int64")
+            out["code"] = list(codes)
+            yield out
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        assign_encode, "vec_id bigint, centroid bigint, code array<smallint>"
+    )
+
+
+def ivfpq_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    nprobe: int,
+    topk: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k (squared L2) over an ivfpq_index'ed table:
+    pick the nprobe nearest coarse lists on the driver, build ONE ADC
+    lookup table PER PROBED LIST from the probe's residual against that
+    list's centroid (nprobe x m x k floats — KBs, broadcast in the
+    closure), filter the scan to the probed lists (partition-pruned
+    under a partitionBy(centroid) layout), and score each Arrow batch
+    with numpy fancy-indexing over the m-byte codes.  Returns
+    (vec_id, adist) ascending with vec_id tie-break via TakeOrdered.
+    Approximate by design — recall governed by nprobe and the residual
+    codebook resolution, asserted vs exact search in tests and the
+    q245 verdict."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    pd2 = ((cmat - p[None, :]) ** 2).sum(axis=1)
+    lists = sorted(range(len(centroids)), key=lambda i: (pd2[i], i))[:nprobe]
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    luts = {}
+    for li in lists:
+        r = p - cmat[li]
+        luts[li] = np.stack(
+            [
+                ((books[j] - r[j * sub : (j + 1) * sub][None, :]) ** 2)
+                .sum(axis=1)
+                for j in range(m)
+            ]
+        )  # (m, k)
+
+    def score(batches):
+        ar = np.arange(m)[None, :]
+        for pdf in batches:
+            c = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            cent = pdf["centroid"].to_numpy()
+            d = np.empty(len(pdf), dtype=np.float64)
+            for li in np.unique(cent):
+                mask = cent == li
+                d[mask] = luts[int(li)][ar, c[mask]].sum(axis=1)
+            out = pdf[["vec_id"]].copy()
+            out["adist"] = d
+            yield out
+
+    hits = indexed.where(F.col("centroid").isin([int(i) for i in lists]))
+    if exclude_vec_id is not None:
+        hits = hits.where(F.col("vec_id") != exclude_vec_id)
+    scored = hits.mapInPandas(score, "vec_id bigint, adist double")
+    return (
+        scored.orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("adist", 6).alias("adist"))
+    )
+
+
+def ivfpq_search_rerank(
+    indexed: DataFrame,
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    nprobe: int,
+    topk: int = TOP_K,
+    shortlist: int = 100,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """The deployed IVFPQ pipeline: ADC over the probed lists'
+    compressed codes -> `shortlist` candidate ids (driver-side KBs) ->
+    exact squared-L2 rerank over ONLY those rows' original vectors
+    (id-pruned point fetch, never a scan) — pq_search_rerank's shape
+    with the IVF pruning composed in front."""
+    cand = ivfpq_search(
+        indexed, centroids, codebooks, probe, nprobe,
+        topk=shortlist, exclude_vec_id=exclude_vec_id,
+    )
+    ids = [r["vec_id"] for r in cand.collect()]
+    pcol = F.array(*[F.lit(float(x)) for x in probe])
+    v = _dbl(F.col("embedding"))
+    d2 = F.aggregate(
+        F.zip_with(v, pcol, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.where(F.col("vec_id").isin(ids))
+        .withColumn("dist", d2)
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("dist", 6).alias("dist"))
+    )
+
+
+@query(
+    "q245_ivfpq_recall_verdict",
+    # q204's verdict pattern for the COMPOSITE index: the oracle states
+    # the engine-independent contract (corpus size, the exact nearest
+    # neighbour recomputed by brute force in SQL, ivfpq_ok = 1); Spark
+    # runs the real coarse-train -> residual-PQ-train -> fused index ->
+    # per-list ADC -> exact-rerank pipeline and emits
+    # ivfpq_ok = (recall@10 >= 0.9) — a broken residual codebook,
+    # fused encoder, per-list LUT, list pruning, or rerank drops the
+    # overlap and fails the driver hash.
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings
+                   WHERE vec_id = {PROBE_VEC_ID}),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    d AS (SELECT e.vec_id,
+                 SUM((CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))) AS d2
+          FROM embeddings e, probe p, idx
+          WHERE e.vec_id <> {PROBE_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS top1_exact,
+           CAST(1 AS BIGINT) AS ivfpq_ok
+    """,
+    category="llm-similarity",
+)
+def q245_ivfpq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ made driver-visible (r10 verdict item #7): train the
+    8-centroid coarse quantizer (the q65 IVF size) and 16x16 RESIDUAL
+    codebooks on the deterministic id-ordered sample, build the fused
+    (centroid, code) index in one Arrow pass, ADC-score a
+    100-candidate shortlist over nprobe=4 of 8 lists for the q51
+    probe, exact-rerank, and emit the 1-row verdict (n_vectors, exact
+    top-1 id, recall@10 >= 0.9).  The exact top-1 is independently
+    recomputed by the DuckDB oracle; the composite pipeline can only
+    influence the row through ivfpq_ok — precisely the claim under
+    test.
+
+    Scale: coarse training is bounded driver-side Lloyd's; the index
+    build is the one full narrow pass (write partitionBy(centroid) in
+    production); a probe reads m bytes/vector over ~nprobe/k of the
+    corpus, then fetches <= 100 original vectors by id."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in e.where(F.col("vec_id") == PROBE_VEC_ID)
+        .select("embedding")
+        .head()["embedding"]
+    ]
+    cents = train_centroids(e, k=N_CENTROIDS, iters=2)
+    books = ivfpq_train(e, cents, m=16, k=16, iters=4, sample=4096)
+    indexed = ivfpq_index(e, cents, books)
+    approx = ivfpq_search_rerank(
+        indexed, e, cents, books, probe,
+        nprobe=4, topk=TOP_K, shortlist=100,
+        exclude_vec_id=PROBE_VEC_ID,
+    )
+    got_ids = {r["vec_id"] for r in approx.collect()}
+    pcol = F.array(*[F.lit(x) for x in probe])
+    d2 = F.aggregate(
+        F.zip_with(
+            _dbl(F.col("embedding")), pcol, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    )
+    exact_ids = [r["vec_id"] for r in exact]
+    overlap = len(set(exact_ids) & got_ids)
+    ok = 1 if overlap * 10 >= 9 * TOP_K else 0
+    return spark.createDataFrame(
+        [(e.count(), exact_ids[0], ok)],
+        "n_vectors bigint, top1_exact bigint, ivfpq_ok bigint",
     )

@@ -417,12 +417,15 @@ def classic_time_rolling(
     window_us: int,
     sums: dict[str, str] | None = None,
     count_col: str | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> DataFrame:
-    """The textbook trailing time-RANGE window: per key, SUM/COUNT over
-    rows with order value in [t - window_us, t] — value-identical to
-    :func:`keyed_time_rolling`, min(#keys, #cores) parallelism.  The
-    right plan below the crossover; keyed_time_rolling dispatches here
-    automatically."""
+    """The textbook trailing time-RANGE window: per key, SUM/COUNT (and
+    from round 11 MIN/MAX) over rows with order value in
+    [t - window_us, t] — value-identical to :func:`keyed_time_rolling`,
+    min(#keys, #cores) parallelism, frame-width-DEPENDENT per-row cost.
+    The right plan below the crossover; keyed_time_rolling dispatches
+    here automatically."""
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(us_col))
@@ -433,7 +436,131 @@ def classic_time_rolling(
         out = out.withColumn(out_col, F.sum(src).over(w))
     if count_col is not None:
         out = out.withColumn(count_col, F.count(F.lit(1)).over(w))
+    for out_col, src in (mins or {}).items():
+        out = out.withColumn(out_col, F.min(src).over(w))
+    for out_col, src in (maxs or {}).items():
+        out = out.withColumn(out_col, F.max(src).over(w))
     return out
+
+
+def time_extrema_per_ts(
+    df: DataFrame,
+    key_cols: list[str],
+    us_col: str,
+    window_us: int,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-(key, us) trailing time-RANGE MIN/MAX over [t - W, t] at
+    frame-width-INDEPENDENT cost — the extrema sibling of the
+    cumsum-difference trick (r10 verdict item #3: min/max don't invert,
+    so A(t) - B(t) can't work; this is the two-bucket monotonic
+    decomposition instead — the van Herk / two-stacks sliding-extrema
+    idea expressed as two GROWING window frames).
+
+    Decomposition: bucket time at exactly the window width W
+    (``floor_div_exact``).  For any t, [t - W, t] spans EXACTLY the
+    buckets {b(t) - 1, b(t)} because floor((t - W)/W) = floor(t/W) - 1
+    in integer arithmetic.  So
+
+        extreme([t - W, t]) = combine(
+            prefix(b(t),   us' <= t),      -- growing frame, own bucket
+            suffix(b(t)-1, us' >= t - W))  -- growing frame, DESC order
+
+    with combine = least for MIN / greatest for MAX (both null-skipping,
+    null only when BOTH parts are null — matching the classic RANGE
+    frame's all-NULL-frame semantics, since F.min/F.max skip NULL
+    sources).  The suffix read lands at t - W, which need not be a data
+    timestamp, so each collapsed row emits a measure-NULL PROBE row at
+    p = t - W into bucket b(p) = b(t) - 1 (the segmented_time_rolling
+    probe-union pattern); the DESC-ordered growing pass sorts data
+    BEFORE probes at equal us (__t ascending), so us' >= p stays
+    inclusive and NULL probe measures never perturb the running min.
+
+    Both passes are UNBOUNDED PRECEDING frames — Spark evaluates those
+    incrementally, O(1)/row — so total cost is two (key, bucket)-hash
+    window passes + one per-(key, us) self-join, independent of how
+    many rows a frame holds (the classic bounded-RANGE frame
+    re-aggregates the whole frame per row: frame-width adds PER ROW,
+    the 220 s class of regression at 10M-row tapes).
+
+    Parallelism is |keys x span/W| cells: dense-tape narrow-window
+    workloads (the Donchian/ATR shape) get thousands of cells per key;
+    a window wider than the whole span degrades to ~2 cells per key —
+    at that width the CLASSIC growing-frame path (cumulative extrema)
+    is the right plan anyway.
+
+    Returns one row per distinct (key, us) with the requested output
+    columns — callers join it back to the tape on (*key_cols, us_col).
+    ``us_col`` must be a non-null BIGINT microsecond column."""
+    mins = mins or {}
+    maxs = maxs or {}
+    aggs = [
+        F.min(src).alias(f"__e_{out}") for out, src in mins.items()
+    ] + [
+        F.max(src).alias(f"__e_{out}") for out, src in maxs.items()
+    ]
+    kinds = {out: F.min for out in mins} | {out: F.max for out in maxs}
+    g = df.groupBy(*key_cols, us_col).agg(*aggs)
+    mtypes = {
+        f"__e_{out}": g.schema[f"__e_{out}"].dataType for out in kinds
+    }
+    measures = list(mtypes)
+    pb_time = F.col(us_col) - F.lit(window_us)
+
+    data = g.select(
+        *key_cols,
+        F.col(us_col).alias("__u"),
+        floor_div_exact(F.col(us_col), window_us).alias("__b"),
+        F.lit(0).alias("__t"),
+        F.lit(None).cast("bigint").alias("__orig"),
+        *measures,
+    )
+    probe = g.select(
+        *key_cols,
+        pb_time.alias("__u"),
+        floor_div_exact(pb_time, window_us).alias("__b"),
+        F.lit(1).alias("__t"),
+        F.col(us_col).alias("__orig"),
+        *[F.lit(None).cast(mtypes[m]).alias(m) for m in measures],
+    )
+    u = data.unionByName(probe)
+
+    # prefix pass (data rows consume it): own bucket, us' <= t
+    wpre = (
+        Window.partitionBy(*key_cols, "__b")
+        .orderBy("__u", "__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # suffix pass (probe rows consume it): us' >= p, DESC order; data
+    # (__t = 0) sorts before probes at equal __u so p itself is included
+    wsuf = (
+        Window.partitionBy(*key_cols, "__b")
+        .orderBy(F.col("__u").desc(), "__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for m in measures:
+        fn = kinds[m[len("__e_") :]]
+        u = u.withColumn(f"__pre_{m}", fn(m).over(wpre))
+        u = u.withColumn(f"__suf_{m}", fn(m).over(wsuf))
+
+    a = u.where(F.col("__t") == 0).select(
+        *key_cols,
+        F.col("__u").alias(us_col),
+        *[F.col(f"__pre_{m}").alias(f"__a_{m}") for m in measures],
+    )
+    b = u.where(F.col("__t") == 1).select(
+        *key_cols,
+        F.col("__orig").alias(us_col),
+        *[F.col(f"__suf_{m}").alias(f"__s_{m}") for m in measures],
+    )
+    per_ts = a.join(b, [*key_cols, us_col])
+    outs = []
+    for out in kinds:
+        m = f"__e_{out}"
+        comb = F.least if kinds[out] is F.min else F.greatest
+        outs.append(comb(F.col(f"__a_{m}"), F.col(f"__s_{m}")).alias(out))
+    return per_ts.select(*key_cols, us_col, *outs)
 
 
 # keyed_time_rolling's own dispatch threshold: the classic RANGE frame's
@@ -641,10 +768,16 @@ def keyed_time_rolling(
     sums: dict[str, str] | None = None,
     count_col: str | None = None,
     classic_max_bytes: int | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Per-key TRAILING TIME-RANGE aggregates (SUM/COUNT over
-    [t - window_us, t]) whose cost does NOT grow with the frame width —
-    keyed_prefix's sibling for BOUNDED time frames (q74's shape).
+    """Per-key TRAILING TIME-RANGE aggregates (SUM/COUNT — and, from
+    round 11, MIN/MAX — over [t - window_us, t]) whose cost does NOT
+    grow with the frame width — keyed_prefix's sibling for BOUNDED time
+    frames (q74's shape).  MIN/MAX aren't invertible so they can't ride
+    the cumsum-difference; they route through
+    :func:`time_extrema_per_ts` (two-bucket monotonic decomposition,
+    two growing frames) and join back on the same (key, us) key.
 
     Why not the classic RANGE frame at scale: Spark's sliding
     (bounded-preceding) frame does not invert aggregates — every row
@@ -705,9 +838,25 @@ def keyed_time_rolling(
         est = _plan_size_bytes(df)
         if est is not None and est <= limit:
             return classic_time_rolling(
-                df, key_cols, us_col, window_us, sums, count_col
+                df, key_cols, us_col, window_us, sums, count_col,
+                mins, maxs,
             )
     sums = sums or {}
+    mins = mins or {}
+    maxs = maxs or {}
+
+    def _with_extrema(base: DataFrame) -> DataFrame:
+        if not mins and not maxs:
+            return base
+        return base.join(
+            time_extrema_per_ts(
+                df, key_cols, us_col, window_us, mins, maxs
+            ),
+            [*key_cols, us_col],
+        )
+
+    if not sums and count_col is None:
+        return _with_extrema(df)
 
     mode = df.sparkSession.conf.get(ROLLING_SEGMENT_MODE_CONF, "auto")
     if mode != "never":
@@ -722,9 +871,11 @@ def keyed_time_rolling(
             nk = max(1, int(row["nk"]))
             if mode == "always" or nk < _SEG_MIN_KEYS_FACTOR * cores:
                 width = max(1, (span * nk) // (_SEG_CELL_FACTOR * cores))
-                return segmented_time_rolling(
-                    df, key_cols, us_col, window_us, sums, count_col,
-                    bucket_us=width,
+                return _with_extrema(
+                    segmented_time_rolling(
+                        df, key_cols, us_col, window_us, sums, count_col,
+                        bucket_us=width,
+                    )
                 )
 
     g = _rolling_collapse(df, key_cols, us_col, sums)
@@ -749,4 +900,4 @@ def keyed_time_rolling(
     drops = [f"__g_{out}" for out in sums]
     drops += [f"__gc_{out}" for out in sums] + ["__g_n"]
     per_ts = proj.drop(*drops)
-    return df.join(per_ts, [*key_cols, us_col])
+    return _with_extrema(df.join(per_ts, [*key_cols, us_col]))

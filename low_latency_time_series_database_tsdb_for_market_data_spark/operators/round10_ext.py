@@ -725,7 +725,7 @@ _MQ_SCALE = 10_000  # corpus_ext._Q_SCALE: embeddings quantize at e4
                       ELSE ((sum_q * 20000 + n) // (2 * n)) END AS ci
           FROM g),
     d AS (SELECT x.vec_id, c.label_c,
-                 SUM((x.q - c.ci) * (x.q - c.ci)) AS dist
+                 SUM((x.q * 10000 - c.ci) * (x.q * 10000 - c.ci)) AS dist
           FROM x JOIN c USING (dim) GROUP BY 1, 2),
     p AS (SELECT vec_id, dist,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -752,7 +752,9 @@ def q234_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE assignments land (confusion), this reports how confidently.
 
     Exactness: q130's recipe end-to-end — e4-quantized components,
-    integer-decided centroids, exact BIGINT squared distances; the
+    integer-decided centroids, exact BIGINT squared distances with BOTH
+    operands at e8 scale (q * 10000 vs the e8-scale ci — round-11 fix:
+    the earlier q - ci mixed scales and made the margin degenerate); the
     nearest/second pick is a row_number over the explicit (dist, label)
     total order and the margin bucket is integer floor division with a
     greatest(d1, 1) guard (a vector exactly ON its centroid still
@@ -791,7 +793,7 @@ def q234_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci"),
         )
     )
-    dd = F.col("q") - F.col("ci")
+    dd = F.col("q") * F.lit(10000) - F.col("ci")
     d = (
         x.join(F.broadcast(c), "dim")
         .groupBy("vec_id", "label_c")

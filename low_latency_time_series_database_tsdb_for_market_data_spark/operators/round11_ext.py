@@ -1,0 +1,159 @@
+"""Round-11 depth additions (q244+): the streamed incremental-dedup
+fold and the trailing time-RANGE extrema made driver-visible.
+
+Same discipline as every extension block: exact integer arithmetic for
+every published number, per-key windows only on keys whose cardinality
+scales with the data, shuffle shapes that stay key-bounded at 100 TB.
+Reference parity: the reference stops at scan/count
+(`timeseries_db.cpp:29-233`); these extend SURVEY §2.2's LLM-pipeline
+and window rows.  (q245_ivfpq_recall_verdict lives beside the other
+ANN machinery in ``llm/similarity.py``.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import cents
+from ..registry import query
+from .llm.dedup import N_MINHASH, _HASHED_SQL, _rot_sql
+
+# ---------------------------------------------------------------------------
+# q244: the streaming incremental-dedup fold as a driver-checkable query
+# (r10 verdict item #4) — q226's pattern applied to the STREAMED path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_streaming_dedup_verdict",
+    # q70's UNCAPPED recursive-CTE transitive closure over the WHOLE
+    # corpus: a hash match proves that folding the corpus epoch by
+    # epoch through the persisted streaming state (3 forced
+    # micro-batches, snapshot + reload between each) lands on EXACTLY
+    # the from-scratch batch survivors — bridges, demotions and all.
+    oracle=f"""
+    WITH RECURSIVE
+    {_HASHED_SQL},
+    seeds AS (SELECT unnest(range({N_MINHASH})) AS seed),
+    sig AS (SELECT doc_id, seed, MIN({_rot_sql("h", 32, "seed")}) AS mh
+            FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' ||
+                         MAX(CASE WHEN seed % 2 = 1 THEN mh END)) AS band_key
+              FROM sig GROUP BY doc_id, seed // 2),
+    e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    members AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+    """,
+    category="llm-dedup",
+)
+def q244_streaming_dedup_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivors of the STREAMED dedup fold: the corpus replayed
+    through ``streaming.incremental_dedup.StreamingDedup`` in three
+    forced micro-batches (the doc_id % 3 slices — every near-dup
+    cluster straddles epoch boundaries), each epoch snapshotting its
+    state to parquet and the next epoch reloading it, exactly the
+    foreachBatch body the readStream wrapper drives (the wrapper's
+    readStream/AvailableNow plumbing is pinned byte-for-byte in
+    tests/test_streaming.py; this query makes the FOLD ITSELF
+    driver-official against q70's uncapped transitive-closure oracle —
+    the r10 verdict's "streamed path has no driver hash" gap).
+
+    Shape: each epoch is a batch-sized probe broadcast into state
+    scans (dedup_state_apply); state lives as parquet snapshots under
+    a session-scoped temp dir that the returned DataFrame reads —
+    identical to a production ingest where the state dir is a
+    warehouse path.  Cost envelope: ~q226's class (it runs one build
+    plus two folds each round, BY DESIGN — the price of proving
+    streamed == batch on real data)."""
+    import tempfile
+
+    from ..streaming.incremental_dedup import StreamingDedup
+
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    fold = StreamingDedup(
+        spark, tempfile.mkdtemp(prefix="q244_dedup_state_"), par
+    )
+    for i in range(3):
+        fold.process_batch(d.where(F.col("doc_id") % 3 == i), i)
+    return fold.survivors()
+
+
+# ---------------------------------------------------------------------------
+# q246: trailing time-RANGE high/low (Donchian channel) via the
+# two-bucket monotonic decomposition (r10 verdict item #3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_trailing_extrema",
+    oracle="""
+    SELECT event_id, event_type,
+           MAX(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS hi_1h,
+           MIN(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS lo_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def q246_trailing_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour high/low per symbol (the Donchian-channel shape
+    q157 computes over fixed ROWS frames, generalized to the time-RANGE
+    frame an uneven tape actually wants) — q74's sibling for the
+    non-invertible aggregates.
+
+    Routed through :func:`..prefix.keyed_time_rolling`'s round-11
+    ``mins``/``maxs`` path: above the size crossover the extrema ride
+    :func:`..prefix.time_extrema_per_ts` — time bucketed at exactly the
+    window width, answer = least/greatest of (own-bucket prefix
+    extremum, previous-bucket suffix extremum at t - W), both GROWING
+    frames Spark evaluates incrementally — O(1)/row at ANY frame
+    width, where the classic bounded RANGE frame re-aggregates its
+    whole frame per row (the 220 s sliding-frame trap, now closed for
+    MIN/MAX too).  Below the crossover: the classic per-symbol RANGE
+    window.  Both paths value-identical
+    (tests/test_prefix.py::test_time_extrema_matches_classic).
+
+    Exactness: integer cents throughout (equal-ts peers aggregate
+    together and MIN/MAX are peer-order-free); the final /100.0 is
+    exact (cents are small integers)."""
+    from .prefix import keyed_time_rolling
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        cents("value").alias("__c"),
+    )
+    rolled = keyed_time_rolling(
+        d,
+        ["event_type"],
+        "__us",
+        3_600_000_000,
+        mins={"__lo_c": "__c"},
+        maxs={"__hi_c": "__c"},
+    )
+    return rolled.select(
+        "event_id",
+        "event_type",
+        (F.col("__hi_c") / 100.0).alias("hi_1h"),
+        (F.col("__lo_c") / 100.0).alias("lo_1h"),
+    )

@@ -76,7 +76,26 @@ class StreamingDedup:
 
     def process_batch(self, docs: DataFrame, epoch_id: int) -> DataFrame:
         """Fold one micro-batch; snapshot the post-batch state and
-        return the delta (doc_id, cluster_id, status)."""
+        return the delta (doc_id, cluster_id, status).
+
+        Epoch monotonicity guard (round-11 advice fix): legitimate
+        epoch_ids are strictly advancing, or equal to the newest
+        snapshot (an at-least-once RETRY, which rewrites from the prior
+        snapshot).  An epoch_id BELOW the newest snapshot means the
+        caller restarted with a fresh checkpoint against an old
+        state_dir — folding would write a snapshot that the
+        keep-two-largest retention immediately deletes while
+        ``survivors()`` silently serves the stale epoch, so fail fast
+        instead."""
+        existing = self._epochs()
+        if existing and epoch_id < existing[-1]:
+            raise ValueError(
+                f"epoch_id {epoch_id} is behind the newest state snapshot "
+                f"epoch={existing[-1]} under {self.state_dir}: the stream "
+                "checkpoint and the dedup state_dir are mismatched "
+                "(fresh checkpoint against old state?).  Point the query "
+                "at a fresh state_dir or restore the matching checkpoint."
+            )
         state = self._prior_state(epoch_id)
         if state is None:
             new_state = dedup_state_build(docs, self.par)

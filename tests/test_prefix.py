@@ -551,3 +551,153 @@ def test_keyed_time_rolling_segment_never_is_per_key(spark):
         .sort_values(["k", "us", "x"], ignore_index=True)
     )
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# time_extrema_per_ts (round 11, r10 verdict item #3): trailing
+# time-RANGE MIN/MAX at frame-width-independent cost — two-bucket
+# monotonic decomposition (prefix pass in the own bucket + probe-union
+# suffix pass in the previous bucket, both GROWING frames)
+# ---------------------------------------------------------------------------
+
+from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E402
+    time_extrema_per_ts,
+)
+
+
+def test_time_extrema_matches_classic(spark):
+    df = _ticky(spark)
+    kw = dict(mins={"lo": "x"}, maxs={"hi": "x"})
+    a = (
+        keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_time_extrema_planted_boundaries(spark):
+    """The planted Edge key against hand-computed trailing high/low:
+    endpoints inclusive, peers aggregate together, probes crossing
+    empty buckets, us == bucket-start straddles."""
+    df = _ticky(spark)
+    got = (
+        keyed_time_rolling(
+            df, ["k"], "us", 1_000,
+            mins={"lo": "x"}, maxs={"hi": "x"}, classic_max_bytes=0,
+        )
+        .where(F.col("k") == "Edge")
+        .toPandas()
+        .sort_values(["us", "x"], ignore_index=True)
+    )
+    assert (got.loc[0, "lo"], got.loc[0, "hi"]) == (10, 10)     # us=0
+    assert (got.loc[1, "lo"], got.loc[1, "hi"]) == (10, 20)     # us=1000
+    assert (got.loc[2, "lo"], got.loc[2, "hi"]) == (4, 20)      # us=1999
+    assert (got.loc[got.us == 2_000, "lo"] == 1).all()
+    assert (got.loc[got.us == 2_000, "hi"] == 20).all()
+    iso = got.loc[got.us == 50_000]
+    assert (iso.lo.iloc[0], iso.hi.iloc[0]) == (9, 9)
+
+
+def test_time_extrema_mixed_with_sums_matches_classic(spark):
+    """One keyed_time_rolling call carrying sums AND extrema: the
+    extrema ride time_extrema_per_ts, the sums the cumsum-difference,
+    and the combined result equals the one-window classic frame."""
+    df = _ticky(spark, 8_000)
+    kw = dict(
+        sums={"sx": "x"}, count_col="nw",
+        mins={"lo": "x"}, maxs={"hi": "x"},
+    )
+    a = (
+        keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["k", "us", "x"], ignore_index=True)
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    assert a.equals(b[list(a.columns)])
+
+
+def test_time_extrema_null_faithful(spark):
+    """NULL source values: F.min/F.max skip NULLs and an all-NULL frame
+    yields NULL — the decomposed path must match the classic frame
+    exactly (probe rows carry NULL measures, so they can never perturb
+    a running extremum)."""
+    rows = [
+        ("A", 0, None), ("A", 500, None),      # all-NULL frames
+        ("A", 1_700, 7), ("A", 2_100, None),   # NULL after a value
+        ("A", 3_200, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, x long")
+    kw = dict(mins={"lo": "x"}, maxs={"hi": "x"})
+    a = (
+        keyed_time_rolling(df, ["k"], "us", 1_000, classic_max_bytes=0, **kw)
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["k"], "us", 1_000, **kw)
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    assert a.equals(b)
+    assert a.lo.isna().tolist() == [True, True, False, False, False]
+    assert a.lo.tolist()[2:] == [7, 7, 3]
+
+
+def test_time_extrema_plan_growing_frames_only(spark):
+    """Plan contract: the decomposed extrema path carries NO bounded
+    sliding frame (the frame-width-dependent re-aggregation class) —
+    only unbounded-preceding growing frames over (key, bucket)."""
+    got = keyed_time_rolling(
+        _ticky(spark, 5_000), ["k"], "us", 1_000,
+        mins={"lo": "x"}, classic_max_bytes=0,
+    )
+    plan = physical_plan(got)
+    assert "-1000, currentrow" not in plan
+    assert "unboundedpreceding" in plan.lower()
+    assert "__e_lo#" in plan  # the collapsed per-(key, us) extremum
+
+
+def test_time_extrema_single_key_dense_tape(spark):
+    """1-key dense tape (the r9/r10 residual shape): decomposition must
+    agree with classic and partition by |span/W| buckets, not by key."""
+    df = spark.range(20_000).select(
+        F.lit("S").alias("k"),
+        (F.col("id") * 7 % 13 + F.col("id") * 3).cast("bigint").alias("us"),
+        ((F.col("id") * 17) % 1000).alias("x"),
+    )
+    kw = dict(mins={"lo": "x"}, maxs={"hi": "x"})
+    a = (
+        time_extrema_per_ts(df, ["k"], "us", 2_500, **kw)
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(
+            df.dropDuplicates(["k", "us"]).select("k", "us"), ["k"], "us",
+            2_500,
+        )
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    # classic reference on the full tape
+    c = (
+        classic_time_rolling(df, ["k"], "us", 2_500, **kw)
+        .select("k", "us", "lo", "hi")
+        .dropDuplicates(["k", "us"])
+        .toPandas()
+        .sort_values(["us"], ignore_index=True)
+    )
+    assert len(a) == len(c)
+    assert a[["us", "lo", "hi"]].equals(c[["us", "lo", "hi"]])

@@ -289,9 +289,10 @@ def test_q234_margin_matches_python_replay(reg, spark):
         cents[int(lb)] = np.array(ci, dtype="int64")
     buckets = {}
     for row in X:
-        # argmin over (dist, label) total order
+        # argmin over (dist, label) total order; q lifted to ci's e8 scale
         ds = sorted(
-            (int(((row - c) ** 2).sum()), lb) for lb, c in cents.items()
+            (int(((row * 10000 - c) ** 2).sum()), lb)
+            for lb, c in cents.items()
         )
         d1, d2 = ds[0][0], ds[1][0]
         b = min(999, (d2 - d1) * 1000 // max(d1, 1))

@@ -106,3 +106,34 @@ def test_compares_last_two_only(tmp_path):
     )
     code, _ = _run(detail, "--sf", "1.0")
     assert code == 0
+
+
+def test_no_shared_queries_reports_divergence_not_crash(tmp_path):
+    """Round-11 advice fix: disjoint query sets between the two records
+    (or a zero-time old record) must report divergence, not raise
+    ZeroDivisionError."""
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 2.0}),
+            _rec(1.0, {"q9": 1.0}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0
+    assert "diverged" in out and "Traceback" not in out
+
+
+def test_zero_shared_time_reports_divergence_not_crash(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 0.0}),
+            _rec(1.0, {"q1": 1.0}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0
+    assert "diverged" in out

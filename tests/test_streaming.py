@@ -1631,3 +1631,31 @@ def test_streaming_incremental_dedup_matches_batch_build(spark, sf_dir, tmp_path
     )
     assert got == exp
     assert 0 < len(got) < docs.count()  # non-degenerate: real dups exist
+
+
+def test_streaming_dedup_rejects_epoch_reset(spark, sf_dir, tmp_path):
+    """Round-11 advice fix: a fresh checkpoint (epoch_id restarting at
+    0) against an EXISTING state_dir must fail fast, not silently fold
+    into a snapshot the keep-two retention deletes.  Retrying the
+    NEWEST epoch (at-least-once) must still be allowed."""
+    import pytest
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.streaming.incremental_dedup import (
+        StreamingDedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    par = spark.sparkContext.defaultParallelism
+    fold = StreamingDedup(spark, str(tmp_path / "state"), par)
+    fold.process_batch(docs.where(F.col("doc_id") % 2 == 0), 5)
+    fold.process_batch(docs.where(F.col("doc_id") % 2 == 1), 6)
+    n_before = fold.survivors().count()
+
+    # at-least-once retry of the newest epoch: allowed, idempotent
+    fold.process_batch(docs.where(F.col("doc_id") % 2 == 1), 6)
+    assert fold.survivors().count() == n_before
+
+    # fresh-checkpoint restart (epoch behind newest snapshot): rejected
+    with pytest.raises(ValueError, match="mismatched"):
+        fold.process_batch(docs, 0)
+    assert fold.survivors().count() == n_before  # state untouched

@@ -315,7 +315,7 @@ def test_q128_matches_q99_centroids(reg, spark):
     for i, a in enumerate(labels):
         for b in labels[i + 1 :]:
             d = by_label[a] - by_label[b]
-            assert g.loc[(a, b)].l2sq_e8 == int((d * d).sum()), (a, b)
+            assert g.loc[(a, b)].l2sq_e16 == int((d * d).sum()), (a, b)
 
 
 # ------------------------------------------------------------- edit distance
@@ -440,7 +440,10 @@ def test_q130_matches_python_argmin(reg, spark):
     expect: dict = {}
     for i in range(len(emb)):
         best = min(
-            ((int(((q[i] - cents[lbl]) ** 2).sum()), int(lbl)) for lbl in uniq)
+            (
+                (int(((q[i] * 10000 - cents[lbl]) ** 2).sum()), int(lbl))
+                for lbl in uniq
+            )
         )
         key = (int(labels[i]), best[1])
         expect[key] = expect.get(key, 0) + 1

@@ -70,6 +70,19 @@ def main() -> int:
     so, sn = sum(map(float, (qo[n] for n in shared))), sum(
         map(float, (qn[n] for n in shared))
     )
+    if not shared or so == 0:
+        # Registry divergence (no shared names) or a degenerate old
+        # record: nothing meaningful to ratio — report, don't crash.
+        print(
+            f"sf1_guard sf={args.sf}: {len(shared)} shared queries, "
+            f"old-record shared time {so:.1f}s — suite ratio undefined; "
+            "registry diverged between records, no gate applied."
+        )
+        if only_new:
+            print(f"  new queries (not gated): {len(only_new)}")
+        if only_old:
+            print(f"  removed queries: {only_old}")
+        return 0
     print(
         f"sf1_guard sf={args.sf}: {len(shared)} shared queries, "
         f"equal-set suite {so:.1f}s -> {sn:.1f}s "
