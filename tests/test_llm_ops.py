@@ -1033,3 +1033,95 @@ def test_q245_ivfpq_verdict_row(spark, sf_dir):
         f"{sf_dir}/embeddings.parquet"
     ).count()
     assert r["top1_exact"] in {e["vec_id"] for e in exact}
+
+
+def test_resize_images_real_png_pixels(spark):
+    """Round-11 PNG path (r10 verdict item #6): pure-stdlib zlib
+    decode must invert an externally-filtered stream across ALL FIVE
+    row filters, round-trip losslessly, resize pixel-true through
+    resize_images, and reject non-truecolor PNGs to the stand-in."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm import (
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    # lossless round-trip of our own encoder (filter-0 rows)
+    assert np.array_equal(mm.decode_png(mm.encode_png(src)), src)
+
+    # hand-build a PNG whose rows use filters 0..4 cyclically (the
+    # forward filtering below is the RFC 2083 definition; decode must
+    # invert every one, including the Paeth predictor)
+    h, w = src.shape[:2]
+    stride = w * 3
+    flat = src.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        ft = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        out = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + out.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    filtered_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(filtered_png), src)
+
+    # through the Spark stage: pixel-true resize, PNG in -> PNG out
+    palette_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(filtered_png), "image/png", None),
+            (2, bytearray(palette_png), "image/png", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_images(media, 6, 4).collect()}
+    got = mm.decode_png(bytes(out[1].payload))
+    assert got is not None
+    assert np.array_equal(got, mm.resize_nearest(src, 6, 4))
+    # palette PNG (no truecolor pixels to decode) -> stand-in bytes
+    assert mm.decode_png(palette_png) is None
+    assert len(out[2].payload) == 6 * 4
+
+    # truncated/corrupt streams return None, never raise
+    assert mm.decode_png(filtered_png[:30]) is None
+    assert mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"junk") is None

@@ -134,6 +134,39 @@ def main() -> int:
         "batch_docs_per_sec": round(n_b / apply_sec),
         "survivors_incr": incr_survivors,
     }
+    if "--bucketed" in sys.argv:
+        # round-11 point: state saved BUCKETED on the probe join keys,
+        # fold with broadcast_probe=False — the big-batch regime where
+        # the corpus-sized state side must stay exchange-free
+        from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.incremental import (  # noqa: E501
+            load_dedup_state_bucketed,
+            save_dedup_state_bucketed,
+        )
+        from low_latency_time_series_database_tsdb_for_market_data_spark.sources.bucketing import (  # noqa: E501
+            drop_table,
+        )
+
+        t0 = time.perf_counter()
+        save_dedup_state_bucketed(state, "soak_dstate", n_buckets=64)
+        bsave_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        bloaded = load_dedup_state_bucketed(spark, "soak_dstate")
+        bstate, _ = dedup_state_apply(
+            bloaded, batch, par, broadcast_probe=False
+        )
+        save_dedup_state(bstate, f"{tmp}/bstate2")
+        bapply_sec = time.perf_counter() - t0
+        b_survivors = dedup_survivors(
+            load_dedup_state(spark, f"{tmp}/bstate2")
+        ).count()
+        out["bucketed_save_sec"] = round(bsave_sec, 1)
+        out["bucketed_apply_sec"] = round(bapply_sec, 1)
+        out["bucketed_survivors_match"] = b_survivors == incr_survivors
+        for t in (
+            "soak_dstate_texts", "soak_dstate_bands", "soak_dstate_members"
+        ):
+            drop_table(spark, t)
+        assert out["bucketed_survivors_match"], out
     if run_full:
         t0 = time.perf_counter()
         full = dedup_state_build(docs_a.unionByName(batch), par)

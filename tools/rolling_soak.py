@@ -85,10 +85,24 @@ def main() -> int:
         ),
         f"keyed(cumsum-diff) {n}x{n_keys}",
     )
+    # round-11 extrema point: trailing MIN/MAX over the same frames —
+    # the two-bucket monotonic decomposition vs the classic RANGE frame
+    ekw = dict(mins={"lo": "x"}, maxs={"hi": "x"})
+    bench(
+        lambda: keyed_time_rolling(
+            df, ["k"], "us", W_US, classic_max_bytes=0, **ekw
+        ),
+        f"keyed(extrema-decomp) {n}x{n_keys}",
+    )
     if run_classic:
         bench(
             lambda: classic_time_rolling(df, ["k"], "us", W_US, **kw),
             f"classic RANGE frame {n}x{n_keys}",
+            reps=1,
+        )
+        bench(
+            lambda: classic_time_rolling(df, ["k"], "us", W_US, **ekw),
+            f"classic RANGE extrema {n}x{n_keys}",
             reps=1,
         )
 
