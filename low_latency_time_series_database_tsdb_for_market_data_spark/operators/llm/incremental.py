@@ -93,6 +93,11 @@ def dedup_state_build(docs: DataFrame, par: int) -> DedupState:
             "doc_id",
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         )
+        # texts derives from members, so writing/consuming both state
+        # tables would otherwise execute the connected-components DAG
+        # twice per snapshot (round-11 q244 profiling: one CC pass per
+        # epoch saved); lazy — first consumer materializes it
+        .localCheckpoint(eager=False)
     )
     texts = (
         reps.select(F.md5("text").alias("fp"), F.col("doc_id").alias("rep_id"))

@@ -495,6 +495,12 @@ def time_extrema_per_ts(
     ``us_col`` must be a non-null BIGINT microsecond column."""
     mins = mins or {}
     maxs = maxs or {}
+    overlap = set(mins) & set(maxs)
+    if overlap:
+        raise ValueError(
+            "time_extrema_per_ts: output names appear in both mins and "
+            f"maxs: {sorted(overlap)}"
+        )
     aggs = [
         F.min(src).alias(f"__e_{out}") for out, src in mins.items()
     ] + [

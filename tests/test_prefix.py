@@ -701,3 +701,13 @@ def test_time_extrema_single_key_dense_tape(spark):
     )
     assert len(a) == len(c)
     assert a[["us", "lo", "hi"]].equals(c[["us", "lo", "hi"]])
+
+
+def test_time_extrema_rejects_overlapping_out_names(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="both mins and maxs"):
+        time_extrema_per_ts(
+            _ticky(spark, 100), ["k"], "us", 1_000,
+            mins={"x2": "x"}, maxs={"x2": "x"},
+        )
