@@ -486,10 +486,12 @@ def decode_png(b: bytes):
         line = rows[y, 1:].astype(np.int32)
         if ft == 0:
             rec = line
-        elif ft == 1:  # Sub: left-neighbour recurrence
-            rec = line.copy()
-            for x in range(3, stride):
-                rec[x] = (rec[x] + rec[x - 3]) & 0xFF
+        elif ft == 1:  # Sub: left-neighbour recurrence == per-channel
+            # prefix sum mod 256 (vectorized; w*3 Python iterations per
+            # row would dominate the mapInPandas hot path on large rows)
+            rec = (
+                np.cumsum(line.reshape(w, 3), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ft == 3:  # Average

@@ -493,6 +493,15 @@ def time_extrema_per_ts(
     Returns one row per distinct (key, us) with the requested output
     columns — callers join it back to the tape on (*key_cols, us_col).
     ``us_col`` must be a non-null BIGINT microsecond column."""
+    kinds = _extrema_kinds(mins, maxs)
+    g = df.groupBy(*key_cols, us_col).agg(
+        *_extrema_collapse_aggs(mins or {}, maxs or {})
+    )
+    return _extrema_from_collapsed(g, key_cols, us_col, window_us, kinds)
+
+
+def _extrema_kinds(mins, maxs) -> dict:
+    """out-name -> F.min/F.max map, rejecting overlapping names."""
     mins = mins or {}
     maxs = maxs or {}
     overlap = set(mins) & set(maxs)
@@ -501,13 +510,29 @@ def time_extrema_per_ts(
             "time_extrema_per_ts: output names appear in both mins and "
             f"maxs: {sorted(overlap)}"
         )
-    aggs = [
+    return {out: F.min for out in mins} | {out: F.max for out in maxs}
+
+
+def _extrema_collapse_aggs(mins: dict, maxs: dict) -> list[Column]:
+    """The per-(key, us) collapse aggregates — exposed so a mixed
+    sums+extrema keyed_time_rolling can compute them in the SAME
+    groupBy as the cumsum partials (one tape shuffle, not two)."""
+    return [
         F.min(src).alias(f"__e_{out}") for out, src in mins.items()
     ] + [
         F.max(src).alias(f"__e_{out}") for out, src in maxs.items()
     ]
-    kinds = {out: F.min for out in mins} | {out: F.max for out in maxs}
-    g = df.groupBy(*key_cols, us_col).agg(*aggs)
+
+
+def _extrema_from_collapsed(
+    g: DataFrame,
+    key_cols: list[str],
+    us_col: str,
+    window_us: int,
+    kinds: dict,
+) -> DataFrame:
+    """The decomposition core over an already-collapsed per-(key, us)
+    frame carrying the ``__e_<out>`` extremum partials."""
     mtypes = {
         f"__e_{out}": g.schema[f"__e_{out}"].dataType for out in kinds
     }
@@ -593,6 +618,7 @@ def _rolling_collapse(
     key_cols: list[str],
     us_col: str,
     sums: dict[str, str],
+    extra_aggs: list[Column] | tuple = (),
 ) -> DataFrame:
     """Collapse the tape to one row per (key, us): per requested sum the
     null-skipping partial (coalesced to 0 so carry arithmetic stays
@@ -610,6 +636,7 @@ def _rolling_collapse(
         )
         aggs.append(F.count(src).alias(f"__gc_{out}"))
     aggs.append(F.count(F.lit(1)).alias("__g_n"))
+    aggs.extend(extra_aggs)
     return df.groupBy(*key_cols, us_col).agg(*aggs)
 
 
@@ -625,6 +652,7 @@ def segmented_time_rolling(
     sums: dict[str, str] | None = None,
     count_col: str | None = None,
     bucket_us: int = 3_600_000_000,
+    return_per_ts: bool = False,
 ) -> DataFrame:
     """keyed_time_rolling's cumsum-difference with the two growing
     frames SEGMENTED by a fixed time bucket — removes the per-key
@@ -763,6 +791,10 @@ def segmented_time_rolling(
             (F.col("__a___g_n") - F.col("__b___g_n")).alias(count_col)
         )
     per_ts = per_ts.select(*key_cols, us_col, *outs)
+    if return_per_ts:
+        # mixed sums+extrema callers merge per-(key, us) frames first
+        # so the tape is joined ONCE (round-11 review finding)
+        return per_ts
     return df.join(per_ts, [*key_cols, us_col])
 
 
@@ -781,9 +813,13 @@ def keyed_time_rolling(
     round 11, MIN/MAX — over [t - window_us, t]) whose cost does NOT
     grow with the frame width — keyed_prefix's sibling for BOUNDED time
     frames (q74's shape).  MIN/MAX aren't invertible so they can't ride
-    the cumsum-difference; they route through
-    :func:`time_extrema_per_ts` (two-bucket monotonic decomposition,
-    two growing frames) and join back on the same (key, us) key.
+    the cumsum-difference; they route through the two-bucket monotonic
+    decomposition (:func:`time_extrema_per_ts`).  A mixed sums+extrema
+    call computes BOTH measure sets in ONE per-(key, us) collapse
+    (shared, pinned) and merges the per-(key, us) answers before a
+    single tape join — never two tape shuffles or two tape joins
+    (round-11 review finding; the segmented dispatch keeps its own
+    collapse but still merges before the one tape join).
 
     Why not the classic RANGE frame at scale: Spark's sliding
     (bounded-preceding) frame does not invert aggregates — every row
@@ -850,19 +886,31 @@ def keyed_time_rolling(
     sums = sums or {}
     mins = mins or {}
     maxs = maxs or {}
+    kinds = _extrema_kinds(mins, maxs)
+    ext_names = [f"__e_{out}" for out in kinds]
 
-    def _with_extrema(base: DataFrame) -> DataFrame:
-        if not mins and not maxs:
-            return base
-        return base.join(
+    # per-(key, us) extrema frame; for the unsegmented mixed path it is
+    # built later off the SHARED collapse (one tape shuffle); the
+    # (key, us)-frame merges below keep the tape join to exactly ONE
+    per_ts_ext: DataFrame | None = None
+
+    def _merged(per_ts_sums: DataFrame) -> DataFrame:
+        per_ts = (
+            per_ts_sums
+            if per_ts_ext is None
+            else per_ts_sums.join(per_ts_ext, [*key_cols, us_col])
+        )
+        return df.join(per_ts, [*key_cols, us_col])
+
+    if not sums and count_col is None:
+        if not kinds:
+            return df
+        return df.join(
             time_extrema_per_ts(
                 df, key_cols, us_col, window_us, mins, maxs
             ),
             [*key_cols, us_col],
         )
-
-    if not sums and count_col is None:
-        return _with_extrema(df)
 
     mode = df.sparkSession.conf.get(ROLLING_SEGMENT_MODE_CONF, "auto")
     if mode != "never":
@@ -877,14 +925,34 @@ def keyed_time_rolling(
             nk = max(1, int(row["nk"]))
             if mode == "always" or nk < _SEG_MIN_KEYS_FACTOR * cores:
                 width = max(1, (span * nk) // (_SEG_CELL_FACTOR * cores))
-                return _with_extrema(
+                if kinds:
+                    # segmented path keeps its own collapse; extrema
+                    # still merge at the (key, us) frame so the tape
+                    # joins once
+                    per_ts_ext = time_extrema_per_ts(
+                        df, key_cols, us_col, window_us, mins, maxs
+                    )
+                return _merged(
                     segmented_time_rolling(
                         df, key_cols, us_col, window_us, sums, count_col,
-                        bucket_us=width,
+                        bucket_us=width, return_per_ts=True,
                     )
                 )
 
-    g = _rolling_collapse(df, key_cols, us_col, sums)
+    g = _rolling_collapse(
+        df, key_cols, us_col, sums,
+        extra_aggs=_extrema_collapse_aggs(mins, maxs) if kinds else (),
+    )
+    if kinds:
+        # ONE tape shuffle feeds both machineries; the pin shares the
+        # materialized collapse across the two consumer branches
+        # (exchange reuse is an optimization, not a guarantee — module
+        # docstring), instead of collapsing the tape twice
+        g = g.localCheckpoint(eager=False)
+        per_ts_ext = _extrema_from_collapsed(
+            g.select(*key_cols, us_col, *ext_names),
+            key_cols, us_col, window_us, kinds,
+        )
     base = Window.partitionBy(*key_cols).orderBy(F.col(us_col))
     wa = base.rangeBetween(Window.unboundedPreceding, 0)
     wb = base.rangeBetween(Window.unboundedPreceding, -(window_us + 1))
@@ -904,6 +972,6 @@ def keyed_time_rolling(
             - F.coalesce(F.sum("__g_n").over(wb), F.lit(0)),
         )
     drops = [f"__g_{out}" for out in sums]
-    drops += [f"__gc_{out}" for out in sums] + ["__g_n"]
+    drops += [f"__gc_{out}" for out in sums] + ["__g_n"] + ext_names
     per_ts = proj.drop(*drops)
-    return _with_extrema(df.join(per_ts, [*key_cols, us_col]))
+    return _merged(per_ts)

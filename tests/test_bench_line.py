@@ -176,3 +176,18 @@ def test_topn_stage_keeps_slowest_plus_suite(monkeypatch):
     monkeypatch.setattr(bench, "LINE_BUDGET", 450)
     p2 = json.loads(bench.build_driver_line(total, qs, _SCALARS))
     assert p2["queries"] == {"suite": total}
+
+
+def test_registry_query_numbers_unique():
+    """The qnum-ordered positional array's append-only guarantee rests
+    on query numbers being unique — a duplicated number would make the
+    positional deciseconds ambiguous (round-11 review finding)."""
+    import bench
+    from low_latency_time_series_database_tsdb_for_market_data_spark.registry import (
+        load_all,
+    )
+
+    reg = load_all()
+    nums = [bench._qnum(n) for n in reg]
+    assert len(nums) == len(set(nums)), "duplicate query numbers"
+    assert all(n < 10**9 for n in nums), "unparseable registry name"

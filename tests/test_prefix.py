@@ -683,14 +683,6 @@ def test_time_extrema_single_key_dense_tape(spark):
         .toPandas()
         .sort_values(["us"], ignore_index=True)
     )
-    b = (
-        classic_time_rolling(
-            df.dropDuplicates(["k", "us"]).select("k", "us"), ["k"], "us",
-            2_500,
-        )
-        .toPandas()
-        .sort_values(["us"], ignore_index=True)
-    )
     # classic reference on the full tape
     c = (
         classic_time_rolling(df, ["k"], "us", 2_500, **kw)

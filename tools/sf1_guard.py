@@ -71,12 +71,18 @@ def main() -> int:
         map(float, (qn[n] for n in shared))
     )
     if not shared or so == 0:
-        # Registry divergence (no shared names) or a degenerate old
-        # record: nothing meaningful to ratio — report, don't crash.
+        # No shared names (registry divergence) or a zero-time old
+        # record (corrupt/degenerate): nothing meaningful to ratio —
+        # report the actual cause, don't crash.
+        cause = (
+            "registry diverged between records"
+            if not shared
+            else "old record has zero shared time (degenerate/corrupt)"
+        )
         print(
             f"sf1_guard sf={args.sf}: {len(shared)} shared queries, "
             f"old-record shared time {so:.1f}s — suite ratio undefined; "
-            "registry diverged between records, no gate applied."
+            f"{cause}, no gate applied."
         )
         if only_new:
             print(f"  new queries (not gated): {len(only_new)}")
