@@ -364,3 +364,44 @@ def test_amihud_e4_ratio_is_exact_half_up(move, dollars):
         int(scaled) + (1 if scaled - int(scaled) >= Fraction(1, 2) else 0)
     )
     assert got == half_up / 10000.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    window=st.integers(1, 600),
+    null_mod=st.integers(2, 9),
+)
+def test_time_extrema_decomposition_equals_classic(ticks, window, null_mod):
+    """For ANY window width (including widths below/above the ts
+    spacing and wider than the whole span region) and any NULL
+    sprinkling, the two-bucket extrema decomposition must equal the
+    classic bounded-RANGE frame row-for-row — the property the planted
+    examples can't establish across arbitrary bucket alignments."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (
+        classic_time_rolling,
+        keyed_time_rolling,
+    )
+
+    df = ticks.select(
+        "symbol",
+        F.col("ts").cast("bigint").alias("us"),
+        F.when(F.col("seq") % null_mod == 0, None)
+        .otherwise(F.col("volume"))
+        .alias("x"),
+        "seq",
+    )
+    kw = dict(mins={"lo": "x"}, maxs={"hi": "x"})
+    a = (
+        keyed_time_rolling(
+            df, ["symbol"], "us", window, classic_max_bytes=0, **kw
+        )
+        .toPandas()
+        .sort_values(["symbol", "us", "seq"], ignore_index=True)
+    )
+    b = (
+        classic_time_rolling(df, ["symbol"], "us", window, **kw)
+        .toPandas()
+        .sort_values(["symbol", "us", "seq"], ignore_index=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), (window, null_mod)
