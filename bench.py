@@ -68,6 +68,8 @@ def _qid_ranges(names: list) -> str:
     number is skipped) — a few bytes that make the array's order
     self-describing instead of registry-reconstruction folklore."""
     ids = [_qnum(n) for n in names]
+    if not ids:  # empty queries map: nothing to describe (ADVICE r11)
+        return ""
     runs, start, prev = [], ids[0], ids[0]
     for i in ids[1:]:
         if i != prev + 1:
@@ -133,7 +135,9 @@ def build_driver_line(total: float, queries: dict, scalars: dict) -> str:
         if arr:
             names = sorted(queries, key=_qnum)
             qv = [int(round(queries[n] * 10)) for n in names]
-            qblock = {"v": qv, "n": len(qv), "qids": _qid_ranges(names)}
+            qblock = {"v": qv, "n": len(qv)}
+            if names:  # empty map: no id list to describe (ADVICE r11)
+                qblock["qids"] = _qid_ranges(names)
         elif q_decimals is None and not ds:
             qblock = {"suite": total}
         else:

@@ -14,7 +14,7 @@ cross-engine-identical md5 primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...catalog import table
@@ -284,6 +284,35 @@ def _banded_hamming_pairs(
 # decimal string, HALF_UP) and DuckDB (exact binary) resolve such ties
 # differently — floor of the identical double is unambiguous.
 _Q_SCALE = 10_000
+
+# e8-LIFT HEADROOM GUARD (ADVICE r11): the q130/q234 distance recipe
+# sums <= 64 dims of (q*10000 - ci)^2 in BIGINT, where ci is the
+# e8-scale integer centroid mean (|ci| <= max|q|*1e4 + 1).  So
+# |term| <= (2*max|q|*1e4 + 1)^2 and the 64-dim sum stays inside
+# int64 iff max|q| < ~18,974; past that Spark wraps SILENTLY
+# (non-ANSI) while DuckDB promotes to HUGEINT — a latent engine
+# divergence.  Components are quantized through this guard, which
+# raises (both engines would, loudly, at the same rows) instead of
+# letting embeddings with |v| > 1.8 corrupt the argmin.
+_Q_LIFT_MAX = 18_000
+
+
+def q_e4_lift_guarded(v: Column) -> Column:
+    """floor(v * 1e4) with the e8-lift headroom assertion above —
+    use for any quantization feeding the (q*10000 - ci)^2 sum."""
+    q = F.floor(v * _Q_SCALE)
+    return F.when(F.abs(q) <= _Q_LIFT_MAX, q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding component outside the e8-lift headroom"
+                    f" (|floor(v*1e4)| > {_Q_LIFT_MAX}, i.e. |v| > 1.8):"
+                    " got q="
+                ),
+                q.cast("string"),
+            )
+        )
+    )
 
 
 @query(
@@ -561,7 +590,7 @@ def q130_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").alias("label_true"),
         (F.col("pos") + 1).cast("bigint").alias("dim"),
-        F.floor(F.col("v") * _Q_SCALE).alias("q"),
+        q_e4_lift_guarded(F.col("v")).alias("q"),
     ).localCheckpoint(eager=False)
     c = (
         x.groupBy(F.col("label_true").alias("label_c"), "dim")

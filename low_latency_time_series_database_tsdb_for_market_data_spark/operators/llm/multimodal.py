@@ -455,6 +455,13 @@ def decode_png(b: bytes):
         if pos + ln + 4 > len(b):
             return None
         data = b[pos : pos + ln]
+        # per-chunk CRC-32 over type + payload (RFC 2083 §3.4) — a
+        # bit-flipped but still zlib-inflatable stream must fall
+        # through to the deterministic stand-in like any other corrupt
+        # payload, not silently decode wrong pixels (ADVICE r11)
+        crc = struct.unpack(">I", b[pos + ln : pos + ln + 4])[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            return None
         pos += ln + 4  # payload + CRC
         if typ == b"IHDR":
             if ln != 13:

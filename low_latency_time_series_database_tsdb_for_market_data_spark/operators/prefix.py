@@ -653,6 +653,7 @@ def segmented_time_rolling(
     count_col: str | None = None,
     bucket_us: int = 3_600_000_000,
     return_per_ts: bool = False,
+    precollapsed: DataFrame | None = None,
 ) -> DataFrame:
     """keyed_time_rolling's cumsum-difference with the two growing
     frames SEGMENTED by a fixed time bucket — removes the per-key
@@ -684,9 +685,19 @@ def segmented_time_rolling(
     count, any frame width, and any per-key volume.  Parallelism is
     |keys x active buckets|; pick ``bucket_us`` so that clears the core
     count (keyed_time_rolling's auto dispatch derives it from a span
-    probe)."""
+    probe).
+
+    ``precollapsed`` (round 12, ADVICE r11): a caller that already
+    holds the per-(key, us) collapse — keyed_time_rolling's mixed
+    sums+extrema dispatch, which adds the ``__e_*`` extremum partials
+    to the SAME groupBy — passes it here so the tape is collapsed
+    exactly once; extra columns beyond the sum partials are ignored."""
     sums = sums or {}
-    g = _rolling_collapse(df, key_cols, us_col, sums)
+    g = (
+        precollapsed
+        if precollapsed is not None
+        else _rolling_collapse(df, key_cols, us_col, sums)
+    )
     measures = (
         [f"__g_{o}" for o in sums]
         + [f"__gc_{o}" for o in sums]
@@ -816,10 +827,11 @@ def keyed_time_rolling(
     the cumsum-difference; they route through the two-bucket monotonic
     decomposition (:func:`time_extrema_per_ts`).  A mixed sums+extrema
     call computes BOTH measure sets in ONE per-(key, us) collapse
-    (shared, pinned) and merges the per-(key, us) answers before a
-    single tape join — never two tape shuffles or two tape joins
-    (round-11 review finding; the segmented dispatch keeps its own
-    collapse but still merges before the one tape join).
+    (shared, pinned — the extremum partials ride the same groupBy on
+    the segmented path too, via ``precollapsed``; ADVICE r11 closed
+    the one branch that still re-collapsed) and merges the
+    per-(key, us) answers before a single tape join — never two tape
+    shuffles or two tape joins (round-11 review finding).
 
     Why not the classic RANGE frame at scale: Spark's sliding
     (bounded-preceding) frame does not invert aggregates — every row
@@ -925,17 +937,28 @@ def keyed_time_rolling(
             nk = max(1, int(row["nk"]))
             if mode == "always" or nk < _SEG_MIN_KEYS_FACTOR * cores:
                 width = max(1, (span * nk) // (_SEG_CELL_FACTOR * cores))
+                shared = None
                 if kinds:
-                    # segmented path keeps its own collapse; extrema
+                    # ONE shared tape collapse (ADVICE r11: this path
+                    # used to let time_extrema_per_ts re-collapse the
+                    # tape — a second tape-sized shuffle): the extrema
+                    # partials ride the same groupBy, the pinned
+                    # result feeds both machineries, and the extrema
                     # still merge at the (key, us) frame so the tape
                     # joins once
-                    per_ts_ext = time_extrema_per_ts(
-                        df, key_cols, us_col, window_us, mins, maxs
+                    shared = _rolling_collapse(
+                        df, key_cols, us_col, sums,
+                        extra_aggs=_extrema_collapse_aggs(mins, maxs),
+                    ).localCheckpoint(eager=False)
+                    per_ts_ext = _extrema_from_collapsed(
+                        shared.select(*key_cols, us_col, *ext_names),
+                        key_cols, us_col, window_us, kinds,
                     )
                 return _merged(
                     segmented_time_rolling(
                         df, key_cols, us_col, window_us, sums, count_col,
                         bucket_us=width, return_per_ts=True,
+                        precollapsed=shared,
                     )
                 )
 

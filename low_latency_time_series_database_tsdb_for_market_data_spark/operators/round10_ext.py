@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.deterministic import ratio_e4, ratio_e4_signed
 from ..registry import query
+from .llm.corpus_ext import q_e4_lift_guarded
 from .prefix import global_row_number
 
 _GAP_S = 1800  # q37's session gap: 30 min of inactivity
@@ -776,7 +777,7 @@ def q234_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             (F.col("pos") + 1).cast("bigint").alias("dim"),
-            F.floor(F.col("v") * _MQ_SCALE).alias("q"),
+            q_e4_lift_guarded(F.col("v")).alias("q"),
         )
         .localCheckpoint(eager=False)
     )

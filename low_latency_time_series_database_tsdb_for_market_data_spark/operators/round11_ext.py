@@ -78,31 +78,30 @@ def q244_streaming_dedup_verdict(
     scans (dedup_state_apply); state lives as parquet snapshots under
     a DETERMINISTIC per-sf temp dir that the returned DataFrame reads —
     identical to a production ingest where the state dir is a
-    warehouse path.  The dir is wiped at query start, so repeated
-    bench/verify runs keep exactly one state on disk instead of
-    leaking a snapshot set per invocation (don't run two q244s over
-    the same sf_dir concurrently — bench and the driver are
-    sequential).  Cost envelope: ~q226's class (it runs one build plus
+    warehouse path.  The state dir is a PER-INVOCATION mkdtemp
+    (ADVICE r11: the old md5(sf_dir)-keyed shared dir let two
+    concurrent runs — bench + driver, parallel CI — wipe each other's
+    snapshots mid-fold); the survivor frame is pinned with an eager
+    localCheckpoint so the snapshots can be deleted before returning —
+    nothing leaks and the returned DataFrame is disk-independent.
+    Cost envelope: ~q226's class (it runs one build plus
     two folds each round, BY DESIGN — the price of proving
     streamed == batch on real data)."""
-    import hashlib
     import shutil
     import tempfile
-    from pathlib import Path
 
     from ..streaming.incremental_dedup import StreamingDedup
 
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    state_dir = str(
-        Path(tempfile.gettempdir())
-        / f"q244_dedup_state_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
-    shutil.rmtree(state_dir, ignore_errors=True)
-    fold = StreamingDedup(spark, state_dir, par)
-    for i in range(3):
-        fold.process_batch(d.where(F.col("doc_id") % 3 == i), i)
-    return fold.survivors()
+    state_dir = tempfile.mkdtemp(prefix="q244_dedup_state_")
+    try:
+        fold = StreamingDedup(spark, state_dir, par)
+        for i in range(3):
+            fold.process_batch(d.where(F.col("doc_id") % 3 == i), i)
+        return fold.survivors().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

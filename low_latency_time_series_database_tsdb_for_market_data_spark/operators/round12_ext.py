@@ -1,0 +1,291 @@
+"""Round-12 depth additions (q247+): substring/span-level exact dedup
+and BM25 top-k lexical retrieval — the two first-class LLM-pipeline
+operators the round-11 verdict ranked highest (all shipped dedup was
+document-level; q124's DF scores had no per-query ranking twin).
+
+Same discipline as every extension block: exact integer arithmetic for
+every published number (BM25's ln terms quantize to integer micro-nats
+on integer counts before any accumulation — the q194 rule), shuffle
+shapes that carry digests/term-ids rather than text, and per-stage
+notes on what each shuffle weighs at 100 TB.  Reference parity: the
+reference stops at scan/count (`timeseries_db.cpp:29-233`); these
+extend SURVEY §2.2's LLM-pipeline rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.deterministic import ratio_e4
+from ..functions.texthash import ngrams, tokens
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# q247: substring/span-level exact dedup (fixed-width rolling windows)
+# ---------------------------------------------------------------------------
+
+# Span width in TOKENS.  The public method this re-expresses is
+# suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): remove/flag spans that
+# repeat ACROSS documents even when the documents as wholes are unique.
+# A full suffix array is replaced by the scale-safe Spark shape: every
+# width-W token window becomes a rolling fingerprint (md5 of the
+# window text — computed in-row, so only 16-byte digests ever
+# shuffle), and a window repeated in >= 2 distinct documents marks a
+# duplicated span.  W = 8 at the fixture's 10-100-token documents
+# corresponds to the ~50-token threshold of the paper at web-document
+# lengths: long enough that natural re-use is implausible, short
+# enough that planted near-dups overlap in many windows.
+SPAN_W = 8
+
+
+@query(
+    "q247_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    w AS (SELECT doc_id,
+                 md5(list_aggr(toks[i:i+{SPAN_W - 1}], 'string_agg', ' '))
+                   AS fp
+          FROM t, unnest(generate_series(1, len(toks) - {SPAN_W} + 1))
+                    AS u(i)
+          WHERE len(toks) >= {SPAN_W}),
+    g1 AS (SELECT fp, doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+           FROM w GROUP BY 1, 2),
+    g2 AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM g1 GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_windows
+            FROM g1 GROUP BY 1),
+    dup AS (SELECT g1.doc_id, CAST(SUM(occ) AS BIGINT) AS n_dup
+            FROM g1 JOIN g2 USING (fp)
+            WHERE g2.n_docs >= 2 GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(t.n_windows, 0) AS n_windows,
+           COALESCE(p.n_dup, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+                ELSE ((COALESCE(p.n_dup, 0) * 20000 + t.n_windows)
+                      // (2 * t.n_windows)) / 10000.0
+           END AS dup_span_e4
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN dup p USING (doc_id)
+    """,
+    category="llm-dedup",
+)
+def q247_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring/span-level exact dedup (round-12 verdict item #2 —
+    the one LLM-pipeline dedup granularity the doc-level family
+    misses): every width-{SPAN_W} token window becomes a rolling
+    fingerprint; a fingerprint seen in >= 2 DISTINCT documents marks a
+    cross-document repeated span (boilerplate, licence blocks,
+    templated paragraphs — Lee et al. 2022's target).  Per document:
+    total windows, windows lying inside a repeated span, and the
+    duplicated-span ratio — the span-trim decision signal (a document
+    with dup_span_e4 near 1 is pure boilerplate even if no WHOLE-doc
+    twin exists, invisible to minhash at doc granularity).
+
+    Shape: the window explode + md5 is in-row codegen (the q121 chunk
+    machinery generalized to stride 1), and ONLY (doc_id, fp) digest
+    pairs leave the scan — text never shuffles.  Cost ladder:
+    one (fp, doc_id)-keyed hash-agg (corpus-token-scale, the honest
+    price of looking at every token, ~16+8 bytes/row with map-side
+    partials), then everything downstream is SPAN-VOCABULARY-scale:
+    the n_docs agg, the fp-keyed join back (both sides
+    vocabulary-sized), two |docs|-row aggs, two doc-keyed joins.
+    Never corpus^2: no pair generation at any stage — span identity is
+    resolved by the groupBy, exactly how exact-dedup (q50) resolves
+    document identity.  At 100 TB the fp agg is the same shape as
+    q194's vocabulary table; a hot span (per-site boilerplate repeated
+    1e6 x) is one heavy fp key handled by AQE skew split, never a
+    pair explosion.  Empty/short documents (< {SPAN_W} tokens) emit
+    zero windows but keep their row (left joins + coalesce — the q227
+    disjoint-group edge rule)."""
+    d = table(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        F.explode(ngrams(tokens("text"), SPAN_W)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("fp"))
+    g1 = x.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    g1 = g1.localCheckpoint(eager=False)  # 3 consumers, one shuffle
+    g2 = g1.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g1.groupBy("doc_id").agg(F.sum("occ").alias("n_windows"))
+    dup = (
+        g1.join(g2.where(F.col("n_docs") >= 2), "fp")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").alias("n_dup"))
+    )
+    return (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                ratio_e4("COALESCE(n_dup, 0)", "n_windows")
+            )
+            .alias("dup_span_e4"),
+        )
+    )
+
+
+def span_fingerprints(d: DataFrame, width: int = SPAN_W) -> DataFrame:
+    """q247's window pass as a reusable transform: (doc_id, fp) rolling
+    fingerprint rows, one per width-``width`` token window — the input
+    to any span-level policy (report, trim, cross-corpus contamination
+    probe).  In-row codegen; only digests leave the scan."""
+    return d.select(
+        "doc_id",
+        F.explode(ngrams(tokens("text"), width)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# q248: BM25 top-k lexical retrieval
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 with the standard k1 = 1.2, b = 0.75.  The per-term score
+#
+#   idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#
+# multiplied through by 10*T (T = total corpus tokens, avgdl = T/N)
+# becomes the ALL-INTEGER rational
+#
+#   idf_micro * 22*tf*T / (10*tf*T + 3*T + 9*dl*N)
+#
+# so the only float is idf's ln — computed by both engines on
+# IDENTICAL integer counts and quantized to micro-nats (the q194
+# rule), after which each term's contribution is one exact integer
+# division and the document score is an order-free BIGINT sum.  The
+# products are widened BEFORE multiplying (q162 rule): idf_micro ~ 2e7
+# x 22 x tf x T overflows int64 past ~1e9 corpus tokens.
+_BM25_TOPK = 10
+
+_BM25_IDF_SQL = (
+    "CAST(ROUND(ln((CAST(nn AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _bm25_contrib_sql(big: str, intdiv: str) -> str:
+    """The per-(query-term, doc) BM25 contribution in exact integer
+    arithmetic — IDENTICAL expression text on both engines (the q227
+    shared-fragment rule) modulo the wide type (DECIMAL(38,0) vs
+    HUGEINT) and the integer-division spelling (div vs //)."""
+    return (
+        f"CAST((CAST(idf AS {big}) * 22 * tf * tt) {intdiv} "
+        f"(CAST(10 AS {big}) * tf * tt + 3 * tt"
+        f" + 9 * CAST(dl AS {big}) * nn) AS BIGINT)"
+    )
+
+
+@query(
+    "q248_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY 1),
+    dfv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                  CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+    qt AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id < 4),
+    idf AS (SELECT qt.query_id, qt.token, {_BM25_IDF_SQL} AS idf
+            FROM qt JOIN dfv USING (token), sc),
+    j AS (SELECT i.query_id, tf.doc_id,
+                 {_bm25_contrib_sql("HUGEINT", "//")} AS contrib
+          FROM idf i
+          JOIN tf USING (token)
+          JOIN dl ON tf.doc_id = dl.doc_id, sc),
+    s AS (SELECT query_id, doc_id,
+                 CAST(SUM(contrib) AS BIGINT) AS score_e6
+          FROM j GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, score_e6,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_e6 DESC, doc_id)
+                   AS rnk
+          FROM s)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_e6
+    FROM r WHERE rnk <= {_BM25_TOPK}
+    """,
+    category="llm-retrieval",
+)
+def q248_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOPK} lexical retrieval (round-12 verdict item
+    #3 — the lexical twin of the ANN family): a 4-query panel (the
+    distinct token sets of documents 0-3, the deterministic stand-in
+    for user queries) is scored against the whole corpus with Okapi
+    BM25 (k1 = 1.2, b = 0.75) and the top {_BM25_TOPK} documents per
+    query are ranked (score desc, doc_id tie-break).  Closed-form and
+    fully oracle-able: idf quantizes to integer micro-nats on integer
+    (N, df) counts, the tf-normalization is an exact integer rational
+    (header note), scores are order-free BIGINT sums.
+
+    Shape: ONE corpus explode feeds the (doc, token) tf agg, reused
+    (pinned) for dl, df, and the postings join — the q124 single-
+    postings-table discipline.  The query panel and its idf table are
+    KB-sized broadcasts, so the only corpus-scale work is the postings
+    join on token, which touches ONLY the query terms' posting lists
+    (a broadcast hash join prunes every other token map-side — the
+    inverted-index probe, not a corpus scan); the per-(query, doc)
+    partial scores agg on (query_id, doc_id) — output bounded by the
+    matched postings — and the top-k is a WindowGroupLimit map-side
+    heap per query (q243's pattern), never a global sort.  At 100 TB
+    a hot query term's posting list is one heavy join key (AQE skew
+    split); batch retrieval with thousands of queries is the same
+    plan with a bigger broadcast panel."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds dl, df, and the probe
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfv = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sc = dl.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("dl").alias("tt")
+    )
+    qt = tf.where(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    idf = (
+        qt.join(dfv, "token")
+        .crossJoin(F.broadcast(sc))
+        .select("query_id", "token", F.expr(_BM25_IDF_SQL).alias("idf"))
+    )
+    j = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(_bm25_contrib_sql("DECIMAL(38,0)", "div")).alias(
+                "contrib"
+            ),
+        )
+    )
+    s = j.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("bigint").alias("score_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            "query_id", F.col("rnk").cast("bigint").alias("rnk"),
+            "doc_id", "score_e6",
+        )
+    )
