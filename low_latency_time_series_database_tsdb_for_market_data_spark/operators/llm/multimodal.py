@@ -549,6 +549,194 @@ def encode_png(arr) -> bytes:
     )
 
 
+def decode_gif(b: bytes):
+    """(h, w, 3) uint8 RGB array from the FIRST image of a
+    non-interlaced GIF87a/GIF89a (round 12, r11 verdict item #7 — the
+    LZW member of the pure-stdlib raster family beside BMP/PPM/PNG):
+    logical-screen + color-table parse, extension blocks skipped, then
+    a variable-width LSB-first LZW decode (GIF89a appendix F: clear /
+    end-of-information codes, code width grows at table size 2^w, caps
+    at 12 bits until the next clear).  Returns None for anything else
+    (interlaced images, missing color table, truncated or corrupt
+    streams, bad LZW codes) — the caller falls through to the
+    deterministic stand-in."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = b[6] | (b[7] << 8)
+    sh = b[8] | (b[9] << 8)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer before any image
+            return None
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            return None
+        break
+    else:
+        return None
+    if pos + 9 > len(b):
+        return None
+    iw = b[pos + 4] | (b[pos + 5] << 8)
+    ih = b[pos + 6] | (b[pos + 7] << 8)
+    ip = b[pos + 8]
+    pos += 9
+    if ip & 0x40:  # interlaced: out of scope, stand-in
+        return None
+    table = gct
+    if ip & 0x80:
+        n = 2 << (ip & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if table is None or iw <= 0 or ih <= 0 or iw > sw or ih > sh:
+        return None
+    if pos >= len(b):
+        return None
+    mcs = b[pos]
+    pos += 1
+    if not 2 <= mcs <= 11:
+        return None
+    data = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        if pos + 1 + ln > len(b):
+            return None
+        data.extend(b[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    dic = [(i,) for i in range(clear)] + [None, None]
+    out: list[int] = []
+    acc = nbits = 0
+    prev_seq = None
+    need = iw * ih
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dic = [(i,) for i in range(clear)] + [None, None]
+                width = mcs + 1
+                prev_seq = None
+                continue
+            if code == eoi:
+                nbits = 0
+                break
+            if prev_seq is None:
+                if code >= len(dic) or dic[code] is None:
+                    return None
+                seq = dic[code]
+            elif code < len(dic) and dic[code] is not None:
+                seq = dic[code]
+                dic.append(prev_seq + (seq[0],))
+            elif code == len(dic):
+                seq = prev_seq + (prev_seq[0],)
+                dic.append(seq)
+            else:
+                return None
+            out.extend(seq)
+            prev_seq = seq
+            if len(dic) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= need:
+                nbits = 0
+                break
+        if len(out) >= need:
+            break
+    if len(out) < need:
+        return None
+    idx = np.array(out[:need], dtype=np.int64)
+    if int(idx.max()) >= len(table):
+        return None
+    return table[idx].reshape(ih, iw, 3).copy()
+
+
+def encode_gif(arr) -> bytes:
+    """Non-interlaced GIF87a from an (h, w, 3) uint8 array with <= 256
+    distinct colors: palette from the sorted unique colors, pixels LZW-
+    compressed with the deflate-free scheme (a CLEAR whenever the
+    decoder's table would force the code width past mcs+1 — valid LZW,
+    literal codes only), LSB-first bit packing, 255-byte sub-blocks."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = len(colors)
+    if n > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    bits = max(1, (n - 1).bit_length())
+    table_bits = max(1, bits)  # GIF table sizes are 2 << k, k = bits-1
+    pal = np.zeros((2 << (table_bits - 1), 3), dtype=np.uint8)
+    pal[:n] = colors
+    mcs = max(2, table_bits)
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    # literal-only stream: after a CLEAR the decoder table holds
+    # clear + 2 codes and adds one per emitted code after the first —
+    # re-CLEAR before it reaches 2^(mcs+1) so width never grows
+    budget = (1 << width) - (clear + 2) - 1
+    codes = [clear]
+    left = 0
+    for px in idx:
+        if left == 0:
+            if codes[-1] != clear:
+                codes.append(clear)
+            left = budget
+        codes.append(int(px))
+        left -= 1
+    codes.append(eoi)
+
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += bytes(
+        [w & 0xFF, w >> 8, h & 0xFF, h >> 8,
+         0x80 | (table_bits - 1), 0, 0]
+    )
+    out += pal.tobytes()
+    out += bytes([0x2C, 0, 0, 0, 0, w & 0xFF, w >> 8, h & 0xFF, h >> 8, 0])
+    out += bytes([mcs])
+    for i in range(0, len(packed), 255):
+        sub = packed[i : i + 255]
+        out += bytes([len(sub)]) + sub
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
 def resize_nearest(arr, width: int, height: int):
     """Deterministic nearest-neighbour resize: source index =
     floor((i + 0.5) * src / dst) — the standard pixel-center rule, pure
@@ -564,8 +752,9 @@ def resize_nearest(arr, width: int, height: int):
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize stage: mapInPandas, one output row per input row.
 
-    REAL for BMP (24-bit), PPM (P6), and — from round 11 — PNG (8-bit
-    truecolor, all five row filters, pure-stdlib zlib inflate): the
+    REAL for BMP (24-bit), PPM (P6), PNG (8-bit truecolor, all five
+    row filters, pure-stdlib zlib inflate — round 11), and GIF
+    (non-interlaced 87a/89a, variable-width LZW — round 12): the
     payload is decoded to pixels, nearest-neighbour resized, and
     re-encoded in its own format — end-to-end pixel-true, tested
     against generated known-pixel images.  Payloads in formats that
@@ -597,6 +786,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         arr = decode_png(b)
         if arr is not None:
             return encode_png(resize_nearest(arr, width, height))
+        arr = decode_gif(b)
+        if arr is not None:
+            return encode_gif(resize_nearest(arr, width, height))
         return _fake_resize(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

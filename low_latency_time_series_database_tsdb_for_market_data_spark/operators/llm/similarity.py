@@ -835,6 +835,43 @@ def ivfpq_index(
     )
 
 
+def ivf_probe_lists(
+    centroids: list[list[float]], probe: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe nearest coarse lists to a probe vector (squared L2,
+    index tie-break) — the driver-side list-selection step shared by
+    every IVF-family search and by the partition-pruned persisted-index
+    probe (q249)."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    pd2 = ((cmat - p[None, :]) ** 2).sum(axis=1)
+    return sorted(range(len(centroids)), key=lambda i: (pd2[i], i))[:nprobe]
+
+
+def write_ivfpq_index(indexed: DataFrame, path: str) -> None:
+    """Persist an :func:`ivfpq_index` frame ``partitionBy(centroid)``
+    — the deployment layout the build-pass docstrings promise: each
+    coarse list is its own directory of m-byte code rows, so a probe's
+    ``centroid IN (lists)`` filter becomes PARTITION PRUNING at the
+    file index (the scan never opens, lists, or reads the other
+    k - nprobe lists' files).  The plan contract is pinned in
+    tests/test_plan_contracts.py (PartitionFilters on the scan, no
+    post-scan centroid filter) and made driver-visible by q249."""
+    indexed.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
+    """Open a persisted IVFPQ index.  The partition column comes back
+    as ``centroid`` (directory-derived); cast to bigint so the frame
+    is schema-identical to the in-memory :func:`ivfpq_index` output."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "vec_id", F.col("centroid").cast("bigint").alias("centroid"), "code"
+    )
+
+
 def ivfpq_search(
     indexed: DataFrame,
     centroids: list[list[float]],
@@ -859,8 +896,7 @@ def ivfpq_search(
 
     cmat = np.array(centroids, dtype=np.float64)
     p = np.asarray(probe, dtype=np.float64)
-    pd2 = ((cmat - p[None, :]) ** 2).sum(axis=1)
-    lists = sorted(range(len(centroids)), key=lambda i: (pd2[i], i))[:nprobe]
+    lists = ivf_probe_lists(centroids, probe, nprobe)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     sub = books[0].shape[1]
@@ -1017,4 +1053,123 @@ def q245_ivfpq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(e.count(), exact_ids[0], ok)],
         "n_vectors bigint, top1_exact bigint, ivfpq_ok bigint",
+    )
+
+
+@query(
+    "q249_ivfpq_pruned_verdict",
+    # q245's verdict pattern for the PERSISTED index (round-12 verdict
+    # item #4): the oracle independently recomputes the exact top-1 by
+    # brute force and states the contract constants; Spark runs the
+    # full train -> build -> write partitionBy(centroid) -> re-open ->
+    # partition-pruned ADC probe -> exact-rerank pipeline and emits
+    # ivfpq_ok = (recall@10 >= 0.9) AND pruned_ok = (the probe's scan
+    # plan carries the centroid filter as PartitionFilters — file-index
+    # pruning, not a post-scan filter).  A layout that silently stops
+    # pruning (cast in the wrong place, wrong partition column, probe
+    # filtering after a repartition) drops pruned_ok to 0 and fails
+    # the driver hash.
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings
+                   WHERE vec_id = {PROBE_VEC_ID}),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    d AS (SELECT e.vec_id,
+                 SUM((CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(p.p[i] AS DOUBLE))) AS d2
+          FROM embeddings e, probe p, idx
+          WHERE e.vec_id <> {PROBE_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT vec_id FROM d ORDER BY d2, vec_id LIMIT 1) AS top1_exact,
+           CAST(1 AS BIGINT) AS ivfpq_ok,
+           CAST(1 AS BIGINT) AS pruned_ok
+    """,
+    category="llm-similarity",
+)
+def q249_ivfpq_pruned_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted partition-pruned ANN index made driver-visible
+    (round-12 verdict item #4 — the docstring-promised
+    ``partitionBy(centroid)`` deployment layout, now exercised
+    end-to-end instead of only described): train the q245 composite
+    (8-centroid coarse + 16x16 residual PQ), build the fused index,
+    WRITE it ``partitionBy(centroid)``, re-open it from disk, and
+    probe through the identical ADC -> exact-rerank pipeline.  Emits
+    the q245 recall verdict plus pruned_ok: the probed scan's physical
+    plan must carry the ``centroid IN (lists)`` predicate as
+    PartitionFilters on the file scan — proof the layout engages
+    Spark's file-index pruning (the scan plans only nprobe/k of the
+    directories; the other lists' files are never listed, opened, or
+    read — the mirror of round 11's bucketed dedup state).
+
+    Scale: the write is the one full narrow pass the build already
+    does plus a partitioned parquet write (no shuffle — mapInPandas
+    output partitions write their own directory splits); the probe
+    reads m bytes/vector over ~nprobe/k of the corpus FROM DISK, which
+    is the real serving shape (the in-memory q245 path assumes the
+    index fits in executor memory; at 100 TB it won't).  The verdict
+    row is collected before the temp index is deleted, so the returned
+    frame is disk-independent."""
+    import shutil
+    import tempfile
+
+    from ...plans.contracts import physical_plan
+
+    e = table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in e.where(F.col("vec_id") == PROBE_VEC_ID)
+        .select("embedding")
+        .head()["embedding"]
+    ]
+    cents = train_centroids(e, k=N_CENTROIDS, iters=2)
+    books = ivfpq_train(e, cents, m=16, k=16, iters=4, sample=4096)
+    tmp = tempfile.mkdtemp(prefix="q249_ivfpq_index_")
+    try:
+        write_ivfpq_index(ivfpq_index(e, cents, books), tmp)
+        persisted = read_ivfpq_index(spark, tmp)
+
+        # the pruning contract, checked on the probe's own scan shape
+        lists = ivf_probe_lists(cents, probe, nprobe=4)
+        pruned = persisted.where(
+            F.col("centroid").isin([int(i) for i in lists])
+        )
+        plan = physical_plan(pruned)
+        seg = plan.split("PartitionFilters: [", 1)
+        pruned_ok = (
+            1
+            if len(seg) == 2 and "centroid#" in seg[1].split("]", 1)[0]
+            else 0
+        )
+
+        approx = ivfpq_search_rerank(
+            persisted, e, cents, books, probe,
+            nprobe=4, topk=TOP_K, shortlist=100,
+            exclude_vec_id=PROBE_VEC_ID,
+        )
+        got_ids = {r["vec_id"] for r in approx.collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    pcol = F.array(*[F.lit(x) for x in probe])
+    d2 = F.aggregate(
+        F.zip_with(
+            _dbl(F.col("embedding")), pcol, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    )
+    exact_ids = [r["vec_id"] for r in exact]
+    ok = 1 if len(set(exact_ids) & got_ids) * 10 >= 9 * TOP_K else 0
+    return spark.createDataFrame(
+        [(e.count(), exact_ids[0], ok, pruned_ok)],
+        "n_vectors bigint, top1_exact bigint, ivfpq_ok bigint,"
+        " pruned_ok bigint",
     )
