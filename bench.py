@@ -47,6 +47,32 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# --- host-contention probe (round 12, r11 verdict item #5) ---
+# A fixed single-thread integer spin timed at suite start and end;
+# load_factor = min-of-3 spin time / the host's pinned solo reference.
+# Solo runs land ~1.0-1.4; the contended driver rounds (r10 146.6s,
+# r11 212.9s vs 137.0s clean — multi-family uniform inflation) would
+# have shown >> LOAD_CONTENDED_BOUND.  tools/sf1_guard.py reads the
+# factor off the record and classifies such runs as CONTENDED instead
+# of flagging per-query ratios; judges stop re-adjudicating host noise
+# by eye.  Re-pin the reference if the hardware generation changes
+# (calibration: 5 solo runs measured 0.26-0.29 s, min 0.26).
+LOAD_SPIN_ITERS = 2_000_000
+LOAD_SPIN_REF_SEC = 0.26
+LOAD_CONTENDED_BOUND = 1.6
+
+
+def _cpu_spin_sec() -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for _i in range(LOAD_SPIN_ITERS):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 # the driver's tail buffer holds only the last 2000 chars of stdout and
 # the line is the very last thing printed (Spark progress noise goes to
 # stderr), so the full budget is 2000 minus the trailing newline with a
@@ -198,6 +224,8 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    load_spin_start_sec = _cpu_spin_sec()
 
     # --- cold point lookup: first real query in this session, incl.
     # planning and the footer-stats index probe ---
@@ -449,6 +477,11 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             queries[name] = round(best, 4)
 
+    load_spin_end_sec = _cpu_spin_sec()
+    load_factor = round(
+        max(load_spin_start_sec, load_spin_end_sec) / LOAD_SPIN_REF_SEC, 2
+    )
+
     total = round(sum(queries.values()), 4)
     detail = {
         "metric": "declared_query_suite_seconds",
@@ -467,6 +500,9 @@ def main() -> None:
         "warm_start_sec": round(warm_start_sec, 4),
         "dedup_docs": n_docs,
         "dedup_docs_per_sec": round(n_docs / dedup_sec, 1),
+        "load_spin_start_sec": round(load_spin_start_sec, 4),
+        "load_spin_end_sec": round(load_spin_end_sec, 4),
+        "load_factor": load_factor,
         **gen_results,
         "outliers_first_pass": outliers,
         "spark_conf": {
@@ -513,6 +549,7 @@ def main() -> None:
             "cache_open": round(point_cache_open_sec, 2),
             "open_sec": round(session_open_sec + warm_start_sec, 2),
             "dedup_rps": int(n_docs / dedup_sec),
+            "load": load_factor,
             **{
                 f"{k.replace('gen_', 'g')}_{short}": int(r[m])
                 for k, r in gen_results.items()

@@ -139,3 +139,86 @@ def test_zero_shared_time_reports_degenerate_record_not_crash(tmp_path):
     # shared names exist here — the cause is the degenerate old record,
     # NOT registry divergence (round-11 review wording fix)
     assert "zero shared time" in out and "diverged" not in out
+
+
+def _rec_load(sf: float, queries: dict, load: float) -> dict:
+    return {"sf": sf, "queries": queries, "load_factor": load}
+
+
+def test_contended_record_classified_not_gated(tmp_path):
+    """Round-12 item #5: a record whose CPU-spin load_factor exceeds
+    the bound is CONTENDED — uniform per-query inflation is host
+    noise and must not exit 1 (the r10/r11 judge-adjudication loop,
+    now closed by the machine)."""
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec_load(1.0, {"q1": 2.0, "q2": 1.5}, 1.1),
+            _rec_load(1.0, {"q1": 6.0, "q2": 4.5}, 3.2),  # 3x everywhere
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 0
+    assert "CONTENDED" in out
+    assert "not gated" in out.lower()
+
+
+def test_clean_loads_still_gate(tmp_path):
+    """Two records with load_factor UNDER the bound gate exactly as
+    before — a real plan regression still exits 1."""
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec_load(1.0, {"q1": 2.0, "q2": 1.5}, 1.1),
+            _rec_load(1.0, {"q1": 6.0, "q2": 1.5}, 1.2),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 1
+    assert "REGRESSIONS" in out and "q1" in out
+
+
+def test_pre_round12_records_without_load_factor_gate_as_before(tmp_path):
+    detail = tmp_path / "d.jsonl"
+    _write(
+        detail,
+        [
+            _rec(1.0, {"q1": 2.0}),
+            _rec(1.0, {"q1": 6.0}),
+        ],
+    )
+    code, out = _run(detail, "--sf", "1.0")
+    assert code == 1
+
+
+def test_classify_pure_function_statuses():
+    sys.path.insert(0, str(REPO))
+    from tools.sf1_guard import LOAD_CONTENDED_BOUND, classify
+
+    old = _rec_load(1.0, {"q1": 2.0}, 1.0)
+    assert classify(old, _rec_load(1.0, {"q1": 2.1}, 1.0), 1.5, 1.0)[0] == "green"
+    assert (
+        classify(old, _rec_load(1.0, {"q1": 9.0}, 1.0), 1.5, 1.0)[0]
+        == "regressions"
+    )
+    assert (
+        classify(old, _rec_load(1.0, {"q1": 9.0}, 9.9), 1.5, 1.0)[0]
+        == "contended"
+    )
+    # the OLD record being contended also poisons the ratio
+    assert (
+        classify(
+            _rec_load(1.0, {"q1": 2.0}, 9.9),
+            _rec_load(1.0, {"q1": 9.0}, 1.0),
+            1.5,
+            1.0,
+        )[0]
+        == "contended"
+    )
+    assert classify(_rec(1.0, {}), _rec(1.0, {"q1": 1.0}), 1.5, 1.0)[0] == "no-gate"
+    # bench.py's bound and the guard's stay in sync
+    import bench
+
+    assert bench.LOAD_CONTENDED_BOUND == LOAD_CONTENDED_BOUND

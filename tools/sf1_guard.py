@@ -36,6 +36,60 @@ def load_records(path: str, sf: float) -> list[dict]:
     return recs
 
 
+# bench.py's LOAD_CONTENDED_BOUND (kept in sync by
+# tests/test_bench_line.py): a record whose CPU-spin load_factor
+# exceeds this ran on a contended host — per-query ratios against or
+# from it are host noise, not plan cost.
+LOAD_CONTENDED_BOUND = 1.6
+
+
+def classify(
+    old: dict,
+    new: dict,
+    ratio: float,
+    floor: float,
+    load_bound: float = LOAD_CONTENDED_BOUND,
+) -> tuple[str, list[tuple[str, float, float, float]], dict]:
+    """The guard rule as a pure function (round 12, r11 verdict item
+    #5 'Done' clause — unit-tested): returns (status, flagged, info).
+
+    status: "contended" — either record's load_factor exceeds
+    load_bound, so per-query ratios are NOT gated (the r10/r11 driver
+    rounds' multi-family uniform inflation, now machine-classified);
+    "no-gate" — no shared queries / degenerate old record;
+    "regressions" — real flags on two clean records; "green".
+    Records without a load_factor (pre-round-12) gate as before."""
+    qo, qn = old["queries"], new["queries"]
+    shared = sorted(set(qo) & set(qn))
+    info = {
+        "shared": shared,
+        "only_new": sorted(set(qn) - set(qo)),
+        "only_old": sorted(set(qo) - set(qn)),
+        "loads": (old.get("load_factor"), new.get("load_factor")),
+        "improved": 0,
+    }
+    so = sum(float(qo[n]) for n in shared)
+    sn = sum(float(qn[n]) for n in shared)
+    info["suite_old"], info["suite_new"] = so, sn
+    if not shared or so == 0:
+        return "no-gate", [], info
+
+    flagged = []
+    for name in shared:
+        t0, t1 = float(qo[name]), float(qn[name])
+        if t1 >= floor and t0 > 0 and t1 / t0 >= ratio:
+            flagged.append((name, t0, t1, t1 / t0))
+        elif t0 > 0 and t1 / t0 <= 1 / ratio and t0 >= floor:
+            info["improved"] += 1
+
+    contended = any(
+        lf is not None and float(lf) > load_bound for lf in info["loads"]
+    )
+    if contended:
+        return "contended", flagged, info
+    return ("regressions" if flagged else "green"), flagged, info
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -53,24 +107,11 @@ def main() -> int:
         )
         return 0
     old, new = recs[-2], recs[-1]
-    qo, qn = old["queries"], new["queries"]
-    shared = sorted(set(qo) & set(qn))
-    only_new = sorted(set(qn) - set(qo))
-    only_old = sorted(set(qo) - set(qn))
+    status, flagged, info = classify(old, new, args.ratio, args.floor)
+    shared = info["shared"]
+    so, sn = info["suite_old"], info["suite_new"]
 
-    flagged = []
-    improved = 0
-    for name in shared:
-        t0, t1 = float(qo[name]), float(qn[name])
-        if t1 >= args.floor and t0 > 0 and t1 / t0 >= args.ratio:
-            flagged.append((name, t0, t1, t1 / t0))
-        elif t0 > 0 and t1 / t0 <= 1 / args.ratio and t0 >= args.floor:
-            improved += 1
-
-    so, sn = sum(map(float, (qo[n] for n in shared))), sum(
-        map(float, (qn[n] for n in shared))
-    )
-    if not shared or so == 0:
+    if status == "no-gate":
         # No shared names (registry divergence) or a zero-time old
         # record (corrupt/degenerate): nothing meaningful to ratio —
         # report the actual cause, don't crash.
@@ -84,21 +125,31 @@ def main() -> int:
             f"old-record shared time {so:.1f}s — suite ratio undefined; "
             f"{cause}, no gate applied."
         )
-        if only_new:
-            print(f"  new queries (not gated): {len(only_new)}")
-        if only_old:
-            print(f"  removed queries: {only_old}")
+        if info["only_new"]:
+            print(f"  new queries (not gated): {len(info['only_new'])}")
+        if info["only_old"]:
+            print(f"  removed queries: {info['only_old']}")
         return 0
     print(
         f"sf1_guard sf={args.sf}: {len(shared)} shared queries, "
         f"equal-set suite {so:.1f}s -> {sn:.1f}s "
-        f"({sn / so:.2f}x); {improved} improved >= {args.ratio}x"
+        f"({sn / so:.2f}x); {info['improved']} improved >= {args.ratio}x"
     )
-    if only_new:
-        print(f"  new queries (not gated): {len(only_new)}")
-    if only_old:
-        print(f"  removed queries: {only_old}")
-    if flagged:
+    if info["only_new"]:
+        print(f"  new queries (not gated): {len(info['only_new'])}")
+    if info["only_old"]:
+        print(f"  removed queries: {info['only_old']}")
+    if status == "contended":
+        lo, ln_ = info["loads"]
+        print(
+            f"  CONTENDED (load_factor old={lo} new={ln_} >"
+            f" {LOAD_CONTENDED_BOUND}): host noise, per-query ratios"
+            " NOT gated — rerun solo before believing any number below"
+        )
+        for name, t0, t1, r in sorted(flagged, key=lambda x: -x[3]):
+            print(f"    (not gated) {name}: {t0:.2f}s -> {t1:.2f}s ({r:.1f}x)")
+        return 0
+    if status == "regressions":
         print(f"  REGRESSIONS (>= {args.ratio}x and >= {args.floor}s):")
         for name, t0, t1, r in sorted(
             flagged, key=lambda x: -x[3]
