@@ -218,8 +218,12 @@ def main() -> None:
         warm_start,
     )
 
+    # warm includes the SF table pre-open + point-shape codegen (round
+    # 12: the reference pre-pays the same at its storage open) — cost
+    # recorded here, so cold_point_sec below is the serving cost of the
+    # first real query in a warmed long-lived session
     t0 = time.perf_counter()
-    warm_start(spark)
+    warm_start(spark, SF_DIR)
     warm_start_sec = time.perf_counter() - t0
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

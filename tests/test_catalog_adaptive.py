@@ -158,3 +158,55 @@ def test_streaming_ingest_both_layouts(spark, layouts, tmp_path):
         ]
     assert got["ns"] == got["us"] == got["us_utc"]
     assert len(got["ns"]) == 4
+
+
+def test_relation_cache_reuses_and_invalidates(spark, tmp_path):
+    """Round-12 cold-floor work: table()/events_raw() resolve a path
+    once per session (the ~0.1-0.2 s datasource re-resolution was the
+    cold first-query's biggest component); invalidate_relation() drops
+    the entry so a replaced table is re-listed."""
+    import pyspark.sql.functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark import (
+        catalog as cat,
+    )
+
+    d = str(tmp_path)
+    spark.range(3).withColumnRenamed("id", "doc_id").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    a = cat.table(spark, d, "documents")
+    b = cat.table(spark, d, "documents")
+    # the same resolved relation object comes back (no re-listing)
+    key = (spark.sparkContext.applicationId, f"{d}/documents.parquet")
+    assert key in cat._RELATION_CACHE
+    assert a is b
+    assert a.count() == 3
+
+    # replace the files in place -> stale listing would break the read;
+    # invalidation re-resolves
+    import shutil
+
+    shutil.rmtree(f"{d}/documents.parquet")
+    spark.range(5).withColumnRenamed("id", "doc_id").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    cat.invalidate_relation(f"{d}/documents.parquet")
+    assert key not in cat._RELATION_CACHE
+    assert cat.table(spark, d, "documents").count() == 5
+
+
+def test_warm_start_sf_dir_preopens_events(spark, sf_dir):
+    """warm_start(spark, sf_dir) must pre-resolve the events relation
+    (the q05 cold path then hits the cache) and be idempotent."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark import (
+        catalog as cat,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.session import (
+        warm_start,
+    )
+
+    warm_start(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/events.parquet")
+    assert key in cat._RELATION_CACHE
+    warm_start(spark, sf_dir)  # second call: no-op, no error
