@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ...catalog import table
 from ...functions.deterministic import ratio_e4, ratio_e4_signed
-from ...functions.texthash import shingles, tokens
+from ...functions.texthash import exploded_ngrams, shingles, tokens
 from ...registry import query
 from .text import simhash_cte, simhash_cte_wide, simhash_df
 
@@ -706,13 +706,7 @@ def q172_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-scale, never corpus² (the q81/q92 scale story)."""
     par = spark.sparkContext.defaultParallelism
     d = table(spark, sf_dir, "documents").select("source", "text")
-    sh = (
-        d.repartition(par)
-        .select(
-            "source", F.explode(shingles(tokens("text"))).alias("s")
-        )
-        .distinct()
-    )
+    sh = exploded_ngrams(d.repartition(par), 3, "s", ["source"]).distinct()
     g = sh.groupBy("s").agg(F.collect_set("source").alias("srcs"))
     per_src = g.select(
         F.explode("srcs").alias("source"), F.size("srcs").alias("k")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ...functions.texthash import ngrams, tokens
+from ...functions.texthash import exploded_ngrams, ngrams, tokens
 from .curation_ext import split_assign
 from .dedup import candidate_edges, connected_components
 from .pipeline_ext import _CONTAM_N, redact_pii
@@ -41,13 +41,9 @@ def contaminated_ids(docs: DataFrame, probes: DataFrame) -> DataFrame:
     as a reusable gate).  The probe gram set broadcasts — eval
     benchmarks are KBs — so the corpus side is one narrow explode +
     broadcast semi-join."""
-    probe_grams = probes.select(
-        F.explode(ngrams(tokens("text"), _CONTAM_N)).alias("g")
-    ).distinct()
+    probe_grams = exploded_ngrams(probes, _CONTAM_N, "g", []).distinct()
     return (
-        docs.select(
-            "doc_id", F.explode(ngrams(tokens("text"), _CONTAM_N)).alias("g")
-        )
+        exploded_ngrams(docs, _CONTAM_N, "g", ["doc_id"])
         .join(F.broadcast(probe_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()

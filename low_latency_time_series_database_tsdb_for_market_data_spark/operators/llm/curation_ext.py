@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ...catalog import table
 from ...functions.deterministic import ratio_e4
-from ...functions.texthash import hex_nibble_sql, ngrams, tokens
+from ...functions.texthash import exploded_ngrams, hex_nibble_sql, ngrams, tokens
 from ...registry import query
 from .pipeline_ext import _ngram_sql
 
@@ -118,14 +118,9 @@ def q91_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency caps like q56's DF bound apply above that)."""
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    sg = (
-        d.repartition(par)
-        .select(
-            "source",
-            F.explode(ngrams(tokens("text"), _OVERLAP_N)).alias("g"),
-        )
-        .distinct()
-    )
+    sg = exploded_ngrams(
+        d.repartition(par), _OVERLAP_N, "g", ["source"]
+    ).distinct()
     groups = (
         sg.groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))

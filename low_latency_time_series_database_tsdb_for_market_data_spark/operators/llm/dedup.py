@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ...catalog import table
 from ...functions.deterministic import ratio_e4
-from ...functions.texthash import N_MINHASH, shingles, tokens
+from ...functions.texthash import N_MINHASH, exploded_ngrams, shingles, tokens
 from ...registry import query
 
 # Shared oracle fragment: one row per (doc_id, 3-gram shingle).
@@ -50,9 +50,7 @@ def shingle_rows(docs: DataFrame, par: int) -> DataFrame:
     The repartition spreads the explode across cores: a local single-file
     parquet arrives as ONE split, and on a real cluster the input is
     already split so this shuffle of (doc_id, text) is no-op-sized."""
-    return docs.repartition(par).select(
-        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
-    )
+    return exploded_ngrams(docs.repartition(par), 3, "s", ["doc_id"])
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

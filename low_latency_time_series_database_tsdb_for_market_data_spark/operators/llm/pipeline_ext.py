@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ...catalog import table
 from ...functions.deterministic import ratio_e4
-from ...functions.texthash import ngrams, tokens
+from ...functions.texthash import exploded_ngrams, ngrams, tokens
 from ...registry import query
 
 
@@ -125,15 +125,10 @@ def q83_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     # repartition spreads the explode (single local split; no-op-sized on
     # a pre-split cluster input)
-    g = d.repartition(par).select(
-        "doc_id", F.explode(ngrams(tokens("text"), _CONTAM_N)).alias("g")
-    )
-    probe = (
-        d.orderBy("doc_id")
-        .limit(3)
-        .select(F.explode(ngrams(tokens("text"), _CONTAM_N)).alias("g"))
-        .distinct()
-    )
+    g = exploded_ngrams(d.repartition(par), _CONTAM_N, "g", ["doc_id"])
+    probe = exploded_ngrams(
+        d.orderBy("doc_id").limit(3), _CONTAM_N, "g", []
+    ).distinct()
     return (
         g.join(F.broadcast(probe), "g")
         .groupBy("doc_id")

