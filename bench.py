@@ -48,8 +48,11 @@ def materialize(df) -> None:
 
 
 # --- host-contention probe (round 12, r11 verdict item #5) ---
-# A fixed single-thread integer spin timed at suite start and end;
-# load_factor = min-of-3 spin time / the host's pinned solo reference.
+# A fixed single-thread integer spin timed at suite start and end
+# (min-of-3 each) AND once every 25 queries mid-suite (single shot —
+# the first sf1 run proved a mid-run contention window can inflate one
+# consecutive execution band 2-6x while both endpoints read clean);
+# load_factor = worst spin / the host's pinned solo reference.
 # Solo runs land ~1.0-1.4; the contended driver rounds (r10 146.6s,
 # r11 212.9s vs 137.0s clean — multi-family uniform inflation) would
 # have shown >> LOAD_CONTENDED_BOUND.  tools/sf1_guard.py reads the
@@ -411,9 +414,21 @@ def main() -> None:
     import gc
 
     queries: dict[str, float] = {}
-    for name, qd in sorted(reg.items()):
+    # mid-suite contention samples (round 12 follow-up: the first sf1
+    # run with endpoint-only spins carried a ~10-minute mid-run
+    # contention window that inflated one consecutive execution band
+    # 2-6x while both endpoints read ~0.94 — sample every 25 queries so
+    # load_factor reflects the WHOLE run, single spin each, pennies)
+    load_spin_mid: list[float] = []
+    for qi, (name, qd) in enumerate(sorted(reg.items())):
         if name in SKIP:
             continue
+        if qi % 25 == 0 and qi > 0:
+            t0 = time.perf_counter()
+            x = 0
+            for _i in range(LOAD_SPIN_ITERS):
+                x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+            load_spin_mid.append(round(time.perf_counter() - t0, 4))
         gc.collect()
         spark._jvm.System.gc()
         best = float("inf")
@@ -483,7 +498,9 @@ def main() -> None:
 
     load_spin_end_sec = _cpu_spin_sec()
     load_factor = round(
-        max(load_spin_start_sec, load_spin_end_sec) / LOAD_SPIN_REF_SEC, 2
+        max(load_spin_start_sec, load_spin_end_sec, *(load_spin_mid or [0]))
+        / LOAD_SPIN_REF_SEC,
+        2,
     )
 
     total = round(sum(queries.values()), 4)
@@ -506,6 +523,7 @@ def main() -> None:
         "dedup_docs_per_sec": round(n_docs / dedup_sec, 1),
         "load_spin_start_sec": round(load_spin_start_sec, 4),
         "load_spin_end_sec": round(load_spin_end_sec, 4),
+        "load_spin_mid": load_spin_mid,
         "load_factor": load_factor,
         **gen_results,
         "outliers_first_pass": outliers,
