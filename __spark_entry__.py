@@ -45,11 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # this way; never hand-pick rows ahead of a staler one.
 #
 # Round-12 window (round-11 judge item #1 + the freshness sort):
-# never-driver-checked round-12 additions first (q247/q248/q249 —
+# never-driver-checked round-12 additions first (q247/q248/q249/q250 —
 # exact-audited at sf0.001 + sf0.01 + sf0.1 before registration), then
 # the 45 r7-official rows (q09–q19, q21–q24, q26–q38, q148–q166 —
-# the oldest official evidence in the registry), then the 2 stalest r8
-# rows by query number (q20, q23) = exactly 50.  The two
+# the oldest official evidence in the registry), then the stalest r8
+# row by query number (q20) = exactly 50 (q23 is next in the r13 rotation).  The two
 # rows-only-by-design sketches q25/q73 stay OUT per the window
 # invariant (their numeric bounds are hash-verified via q185/q186).
 # After this window the freshness histogram's minimum is r8 (48 rows:
@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries is unaffected — the key set is identical.
 _HEAD_R12 = [
     "q247_span_dedup", "q248_bm25_topk", "q249_ivfpq_pruned_verdict",
+    "q250_span_trim",
     "q09_count_by_symbol", "q10_join_inner", "q11_join_broadcast",
     "q12_join_outer", "q13_join_theta", "q14_semi", "q15_anti",
     "q16_asof", "q17_interval_join", "q18_multiway_join",
@@ -75,7 +76,7 @@ _HEAD_R12 = [
     "q160_simhash_wide_pairs", "q161_kyle_lambda",
     "q162_variance_ratio", "q163_rsi_screen", "q164_rare_token_ratio",
     "q165_volume_clock", "q166_containment_planted",
-    "q20_agg_basic", "q23_vwap",
+    "q20_agg_basic",
 ]
 
 

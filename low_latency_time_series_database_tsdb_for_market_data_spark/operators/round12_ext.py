@@ -314,3 +314,154 @@ def q248_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "score_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q250: span-TRIM survivors — the removal step q247's report feeds
+# ---------------------------------------------------------------------------
+
+
+def span_fingerprints_pos(d: DataFrame, width: int = SPAN_W) -> DataFrame:
+    """(doc_id, i, fp): span_fingerprints keeping the 1-based window
+    start position — the trim path needs to know WHERE the duplicated
+    window sits.  Same codegen-positions shape."""
+    toks = tokens("text")
+    return (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= width)
+        .select(
+            "doc_id",
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (width - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__toks", F.col("i") + k)
+                        for k in range(width)
+                    ],
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+@query(
+    "q250_span_trim",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    w AS (SELECT doc_id, i,
+                 md5(list_aggr(toks[i:i+{SPAN_W - 1}], 'string_agg', ' '))
+                   AS fp
+          FROM t, unnest(generate_series(1, len(toks) - {SPAN_W} + 1))
+                    AS u(i)
+          WHERE len(toks) >= {SPAN_W}),
+    g1 AS (SELECT fp, doc_id FROM w GROUP BY 1, 2),
+    g2 AS (SELECT fp FROM g1 GROUP BY 1 HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT w.doc_id, u.idx
+            FROM w JOIN g2 USING (fp),
+                 unnest(generate_series(w.i, w.i + {SPAN_W - 1})) u(idx)),
+    tok AS (SELECT doc_id, idx, toks[idx] AS tk
+            FROM t, unnest(generate_series(1, len(toks))) u(idx)),
+    kept AS (SELECT tok.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    md5(string_agg(tok.tk, ' ' ORDER BY tok.idx))
+                      AS kept_md5
+             FROM tok ANTI JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+             GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+             - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.kept_md5, md5('')) AS kept_md5
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+    category="llm-dedup",
+)
+def q250_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-TRIM survivors: the removal step of substring-level dedup
+    (Lee et al. 2022 §4 delete the repeated span, not the document) —
+    every token covered by a cross-document duplicated width-{SPAN_W}
+    window is cut, and the trimmed document is published as (token
+    counts, md5 of the kept text) so the rewrite is hash-verifiable
+    without shipping text to the driver.  q247 reports the decision
+    signal; this executes the policy — together they are the full
+    span-dedup surface.
+
+    Shape: dup-window starts come from the q247 pipeline (positions
+    kept, digests only); the covered-index set explodes ONLY duplicated
+    windows x {SPAN_W} (proportional to the duplication found, not the
+    corpus), distinct-ed on (doc_id, idx).  The rewrite is one
+    corpus-token posexplode anti-joined against the covered set on
+    (doc_id, idx) — the one honest corpus-token shuffle a text rewrite
+    costs — then per-doc reassembly via array_sort(collect_list) (kept
+    tokens of one doc collapse to one row before md5).  Docs below the
+    window width or with every token removed keep their row
+    (left join + md5('') — the q227 edge rule).  At 100 TB: both heavy
+    frames key on doc_id with map-side combine; a boilerplate-heavy doc
+    is ONE key, never a pair explosion."""
+    d = table(spark, sf_dir, "documents")
+    fpw = span_fingerprints_pos(d).localCheckpoint(eager=False)
+    g2 = (
+        fpw.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    cov = (
+        fpw.join(g2, "fp")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (SPAN_W - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("pos0", "tk"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("idx"), "tk")
+    kept = (
+        tok.join(cov, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "tk"))
+                        ),
+                        lambda s: s["tk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    n_tok = F.size(tokens("text")).cast("bigint")
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

@@ -144,3 +144,43 @@ def test_q247_windows_match_duckdb_slice_semantics():
     assert got == ["b", "c", "d", "e"]
     got2 = duckdb.sql("SELECT ['a','b','c','d','e'][2:4] AS s").fetchone()[0]
     assert got2 == ["b", "c", "d"]
+
+
+def test_q250_trims_cross_doc_spans_only(spark):
+    """Trim semantics on a planted corpus: the shared span's tokens
+    vanish from BOTH docs (kept text = the residue, hash-checked), a
+    within-doc repeat survives untouched, a doc that IS the shared span
+    trims to empty (md5('')), short docs pass through whole."""
+    import hashlib
+
+    import unittest.mock as mock
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators import (
+        round12_ext as r12,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_W))
+    rep = " ".join(f"r{i}" for i in range(SPAN_W))
+    rows = [
+        (0, shared + " tail0"),         # shared span + residue
+        (1, shared),                    # exactly the shared span
+        (2, rep + " " + rep),           # self-repeat only: untouched
+        (3, "tiny doc"),                # below W: untouched
+    ]
+    d = _docs(spark, rows)
+    with mock.patch.object(r12, "table", lambda s, p, t: d):
+        out = {r["doc_id"]: r for r in r12.q250_span_trim(spark, "x").collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 0: windows at i=1 (shared, dup) and i=2 (unique) — i=1 covers
+    # tokens 1..8, so only token 9 ("tail0") survives
+    assert out[0]["n_removed"] == SPAN_W
+    assert out[0]["n_kept"] == 1
+    assert out[0]["kept_md5"] == md5("tail0")
+    # doc 1: fully boilerplate -> empty survivor
+    assert out[1]["n_kept"] == 0 and out[1]["kept_md5"] == md5("")
+    # doc 2: its repeated span never crosses a document -> untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["kept_md5"] == md5(rows[2][1])
+    # doc 3: no windows at all -> untouched
+    assert out[3]["n_removed"] == 0 and out[3]["kept_md5"] == md5("tiny doc")
