@@ -5,7 +5,6 @@ the registry oracles (exact-audited at sf0.001/0.01/0.1)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from low_latency_time_series_database_tsdb_for_market_data_spark.operators.round12_ext import (
