@@ -433,35 +433,28 @@ def q250_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(tokens("text")).alias("pos0", "tk"),
     ).select("doc_id", (F.col("pos0") + 1).alias("idx"), "tk")
-    kept = (
-        tok.join(cov, ["doc_id", "idx"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("idx", "tk"))
-                        ),
-                        lambda s: s["tk"],
-                    ),
-                    " ",
-                )
-            ).alias("kept_md5"),
-        )
+    # ONE corpus-token pass: mark covered tokens with a left join
+    # (cov is distinct, so no fan-out) and compute total/kept/hash in
+    # the same per-doc agg — collect_list skips the NULLed covered
+    # entries, so the kept text assembles directly; every doc has at
+    # least one token (split('') is ['']), so no doc row is lost
+    marked = tok.join(
+        cov.withColumn("__cov", F.lit(1)), ["doc_id", "idx"], "left"
     )
-    n_tok = F.size(tokens("text")).cast("bigint")
-    return (
-        d.select("doc_id", n_tok.alias("n_tokens"))
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
-        )
+    kept_struct = F.when(
+        F.col("__cov").isNull(), F.struct("idx", "tk")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(kept_struct).alias("n_kept"),
+        F.sum(F.coalesce("__cov", F.lit(0))).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tk"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
     )
