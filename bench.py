@@ -534,7 +534,11 @@ def main() -> None:
         },
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+    # per-run scratch detail lives under bench_records/ (round 13
+    # housekeeping: keep the repo root to the driver-facing files)
+    os.makedirs(os.path.join(here, "bench_records"), exist_ok=True)
+    with open(os.path.join(here, "bench_records", "bench_detail.json"),
+              "w") as f:
         json.dump(detail, f, indent=1)
     # append-only, COMMITTED history: bench_detail.json is overwritten
     # per run, which is how round 7 lost its per-query evidence when the

@@ -226,10 +226,26 @@ def parquet_num_rows(path: str) -> int | None:
 _RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_dead_sessions() -> None:
+    """Drop cached relations whose owning SparkContext has stopped
+    (ADVICE r12: a long-lived process cycling SparkSessions otherwise
+    accumulates dead DataFrame references forever).  A stopped context
+    nulls its JVM handle, so the probe is a local attribute check —
+    no py4j round-trip; any introspection surprise counts as dead."""
+    for k, df in list(_RELATION_CACHE.items()):
+        try:
+            alive = df.sparkSession.sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if not alive:
+            del _RELATION_CACHE[k]
+
+
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
     df = _RELATION_CACHE.get(key)
     if df is None:
+        _evict_dead_sessions()  # only on miss: hits stay dict-speed
         df = spark.read.parquet(path)
         _RELATION_CACHE[key] = df
     return df

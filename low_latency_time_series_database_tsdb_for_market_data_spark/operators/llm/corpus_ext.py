@@ -357,7 +357,10 @@ def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos") + 1).cast("bigint").alias("dim"),
-        F.floor(F.col("v") * _Q_SCALE).alias("q"),
+        # guarded (ADVICE r12): q99's centroids seed the e8-lift
+        # consumers (q128/q130/q234), so out-of-headroom components
+        # must fail loudly here too, not wrap downstream
+        q_e4_lift_guarded(F.col("v")).alias("q"),
     )
     return (
         x.groupBy("label", "dim")
@@ -503,7 +506,13 @@ def q128_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             (F.col("pos") + 1).cast("bigint").alias("dim"),
-            F.floor(F.col("v") * _Q_SCALE).alias("q"),
+            # guarded (ADVICE r12): with |q| <= _Q_LIFT_MAX the e8
+            # centroids satisfy |ci| <= 1.8001e8, so the 64-dim sum of
+            # (ca - cb)^2 is bounded by 64 * (3.6002e8)^2 ~ 8.30e18 <
+            # int64 max (9.22e18) — without the guard a single |v| > 1.8
+            # component could wrap the sum silently in non-ANSI Spark
+            # while DuckDB promotes to HUGEINT
+            q_e4_lift_guarded(F.col("v")).alias("q"),
         )
         .groupBy("label", "dim")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))

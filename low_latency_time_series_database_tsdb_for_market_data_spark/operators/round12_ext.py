@@ -434,27 +434,47 @@ def q250_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens("text")).alias("pos0", "tk"),
     ).select("doc_id", (F.col("pos0") + 1).alias("idx"), "tk")
     # ONE corpus-token pass: mark covered tokens with a left join
-    # (cov is distinct, so no fan-out) and compute total/kept/hash in
+    # (cov is distinct, so no fan-out) and compute kept count/hash in
     # the same per-doc agg — collect_list skips the NULLed covered
-    # entries, so the kept text assembles directly; every doc has at
-    # least one token (split('') is ['']), so no doc row is lost
+    # entries, so the kept text assembles directly.  The kept-token
+    # reassembly is pure codegen: array_sort on the (idx, tk) structs,
+    # then GetArrayStructFields (.tk) + array_join + md5 as top-level
+    # projections — no higher-order lambda anywhere (ADVICE r12 /
+    # the round-12 24x interpreted-HOF finding; the old F.transform
+    # here ran interpreted once per output doc).
     marked = tok.join(
         cov.withColumn("__cov", F.lit(1)), ["doc_id", "idx"], "left"
     )
     kept_struct = F.when(
         F.col("__cov").isNull(), F.struct("idx", "tk")
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+    agg = marked.groupBy("doc_id").agg(
         F.count(kept_struct).alias("n_kept"),
-        F.sum(F.coalesce("__cov", F.lit(0))).alias("n_removed"),
         F.md5(
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["tk"],
-                ),
+                F.array_sort(F.collect_list(kept_struct)).getField("tk"),
                 " ",
             )
         ).alias("kept_md5"),
+    )
+    # final frame LEFT JOINS from documents (ADVICE r12: q247 and the
+    # oracle both do; deriving rows from the posexplode alone would
+    # silently drop a NULL-text doc — posexplode of NULL emits no row —
+    # where the oracle keeps it with NULL n_tokens / 0 kept).  n_tokens
+    # and n_removed mirror the oracle's documents-side expressions.
+    # explicit NULL for NULL text (size() would give -1 or NULL per
+    # legacy conf; the oracle's len(string_split(NULL)) is NULL)
+    n_tokens = F.when(
+        F.col("text").isNotNull(), F.size(tokens("text"))
+    ).cast("bigint")
+    return d.select("doc_id", n_tokens.alias("n_tokens")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )

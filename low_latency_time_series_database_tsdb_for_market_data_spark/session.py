@@ -20,7 +20,7 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-_WARMED: set[str] = set()
+_WARMED: set[tuple[str, str | None]] = set()
 
 
 def warm_start(spark: SparkSession, sf_dir: str | None = None) -> None:
