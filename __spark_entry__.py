@@ -44,45 +44,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # cycle, so the rule holds automatically as long as the window is built
 # this way; never hand-pick rows ahead of a staler one.
 #
-# Round-12 window (round-11 judge item #1 + the freshness sort):
-# never-driver-checked round-12 additions first (q247/q248/q249/q250 —
+# Round-13 window (round-12 judge item #1 + the freshness sort):
+# never-driver-checked round-13 additions first (q251/q252/q253 —
 # exact-audited at sf0.001 + sf0.01 + sf0.1 before registration), then
-# the 45 r7-official rows (q09–q19, q21–q24, q26–q38, q148–q166 —
-# the oldest official evidence in the registry), then the stalest r8
-# row by query number (q20) = exactly 50 (q23 is next in the r13 rotation).  The two
+# the stalest r8-official rows by query number.  The r8 cohort is 49
+# rows, so 3 + 47 fills the window and its two HIGHEST qnums
+# (q185/q186, the sketch bound-checks) roll to the r14 rotation — with
+# 253 rows and 3 additions the directed "minimum r9 after this window"
+# is arithmetically out of reach by exactly those two rows; the
+# mechanical freshness sort stays the rule.  The two
 # rows-only-by-design sketches q25/q73 stay OUT per the window
 # invariant (their numeric bounds are hash-verified via q185/q186).
-# After this window the freshness histogram's minimum is r8 (48 rows:
-# q27/q39-q63 block and on).  A driver that sorts keys or checks all
-# queries is unaffected — the key set is identical.
-_HEAD_R12 = [
-    "q247_span_dedup", "q248_bm25_topk", "q249_ivfpq_pruned_verdict",
-    "q250_span_trim",
-    "q09_count_by_symbol", "q10_join_inner", "q11_join_broadcast",
-    "q12_join_outer", "q13_join_theta", "q14_semi", "q15_anti",
-    "q16_asof", "q17_interval_join", "q18_multiway_join",
-    "q19_above_group_avg",
-    "q21_time_bucket", "q22_ohlc", "q24_count_distinct",
-    "q26_rollup", "q28_stats_agg", "q29_deterministic_sample",
-    "q30_moving_avg", "q31_rank", "q32_lag_returns",
-    "q33_cume_range_frame", "q34_sort_limit", "q35_window_analytics",
-    "q36_resample_locf", "q37_sessionize", "q38_twap",
-    "q148_nation_trade_matrix", "q149_market_share_trend",
-    "q150_brand_supplier_counts", "q151_large_orders",
-    "q152_dormant_rich_customers", "q153_part_revenue_abc",
-    "q154_amihud_illiquidity", "q155_order_flow_imbalance",
-    "q156_bollinger_breakouts", "q157_donchian_breakouts",
-    "q158_price_acf", "q159_containment_pairs",
-    "q160_simhash_wide_pairs", "q161_kyle_lambda",
-    "q162_variance_ratio", "q163_rsi_screen", "q164_rare_token_ratio",
-    "q165_volume_clock", "q166_containment_planted",
-    "q20_agg_basic",
+# A driver that sorts keys or checks all queries is unaffected — the
+# key set is identical.
+_HEAD_R13 = [
+    "q251_bpe_fertility", "q252_span_islands",
+    "q253_ann_filtered_verdict",
+    "q23_vwap", "q27_percentiles", "q39_ewma", "q40_setops",
+    "q41_string", "q42_datetime", "q43_json", "q44_array",
+    "q45_map_functions", "q46_pivot", "q47_unpivot",
+    "q48_conditional_agg", "q49_histogram", "q50_dedup_exact",
+    "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
+    "q54_minhash_signature", "q55_lsh_buckets",
+    "q56_ngram_jaccard_pairs", "q57_simhash", "q58_lang_id",
+    "q59_quality_score", "q64_ann_lsh_bucketed", "q65_ann_ivf",
+    "q74_rolling_time_window", "q75_asof_forward", "q76_max_drawdown",
+    "q77_symbol_correlation",
+    "q167_top_supplier", "q168_small_qty_revenue",
+    "q169_customer_pareto", "q170_event_transitions", "q171_user_paths",
+    "q172_source_novelty", "q173_forecast_revenue", "q174_order_aging",
+    "q175_user_burst_screen", "q176_minute_coverage", "q177_vpin",
+    "q178_first_touch", "q179_sole_late_supplier", "q180_atr_daily",
+    "q181_signup_to_purchase", "q182_user_rfm", "q183_price_size_slope",
+    "q184_session_quartiles",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = [n for n in _HEAD_R12 if n in reg]
+    head = [n for n in _HEAD_R13 if n in reg]
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 

@@ -24,3 +24,4 @@ from . import warehouse_ext2  # noqa: F401
 from . import windows  # noqa: F401
 from . import round11_ext  # noqa: F401
 from . import round12_ext  # noqa: F401
+from . import round13_ext  # noqa: F401

@@ -2,6 +2,7 @@
 dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine),
 similarity search, text analysis, multimodal column plumbing."""
 
+from . import bpe  # noqa: F401
 from . import corpus_ext  # noqa: F401
 from . import curate  # noqa: F401
 from . import curation_ext  # noqa: F401
