@@ -210,12 +210,20 @@ def candidate_edges(docs: DataFrame, par: int,
 
 def lsh_candidate_pairs(reps: DataFrame, par: int,
                         max_bucket: int = _MAX_BUCKET_DOCS,
-                        strict_cap: bool = True) -> DataFrame:
+                        strict_cap: bool = True,
+                        bands: DataFrame | None = None) -> DataFrame:
     """(a, b) LSH candidate pairs over an ALREADY-COLLAPSED corpus of
     distinct-text representatives — the shared pair-generation stage of
     `candidate_edges` (which unions the exact-dup edges back in) and the
     q129 edit-distance verify (which wants rep-rep pairs only).  Same cap
-    and strict-cap semantics as documented on `candidate_edges`."""
+    and strict-cap semantics as documented on `candidate_edges`.
+
+    ``bands`` (optional) supplies PRECOMPUTED (doc_id, band, band_key)
+    rows for exactly the reps' doc_ids — the signature-reuse path
+    (round-12 verdict item #2): band rows are a pure per-doc function
+    of text, so a caller that already holds a corpus-wide signature
+    table passes the doc_id-filtered slice instead of re-hashing the
+    text; value-identical by construction."""
     from pyspark.sql import Window
 
     if strict_cap and max_bucket < 2:
@@ -227,7 +235,7 @@ def lsh_candidate_pairs(reps: DataFrame, par: int,
 
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     groups = (
-        band_rows(reps, par)
+        (band_rows(reps, par) if bands is None else bands)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_bucket)
         .groupBy("band", "band_key")
@@ -270,15 +278,18 @@ def lsh_candidate_pairs(reps: DataFrame, par: int,
 _SMALL_GRAPH_MAX = 1 << 19
 
 
-def _cc_driver(edges: DataFrame) -> DataFrame:
+def _cc_driver(edges: DataFrame, rows=None) -> DataFrame:
     """Union-find on the driver for a model-sized edge list: collect,
     path-compressed unions, min-member labels, one createDataFrame back.
     Produces IDENTICAL (doc_id, cluster_id) rows to the distributed
     min-label loop (cluster_id = component minimum; every edge endpoint
     appears exactly once) — equality is pinned by tests running both
-    paths on the same graphs."""
+    paths on the same graphs.  ``rows`` lets the dispatcher hand over
+    an already-collected edge list (its size probe collects) instead of
+    re-running a collect job."""
     id_type = edges.schema[0].dataType.simpleString()
-    rows = edges.collect()
+    if rows is None:
+        rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -331,8 +342,14 @@ def connected_components(
     # `edges` twice, and without the checkpoint its upstream pipeline
     # (here: the whole MinHash candidate generation) would execute twice
     edges = edges.localCheckpoint()
-    if edges.count() <= small_graph_max:  # count reads the checkpoint
-        return _cc_driver(edges)
+    # ONE job decides the dispatch AND feeds the fast path: collect at
+    # most small_graph_max + 1 rows off the checkpoint — under the
+    # threshold that IS the edge list (handed straight to union-find,
+    # saving the separate count job the old dispatch paid per CC call);
+    # the +1 row is the over-threshold signal
+    probe = edges.limit(small_graph_max + 1).collect()
+    if len(probe) <= small_graph_max:
+        return _cc_driver(edges, rows=probe)
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # init labels at min(self, neighbors), not self: any vertex id from the
     # same component is a valid starting label, and this one puts every

@@ -77,14 +77,44 @@ def dedup_survivors(state: DedupState) -> DataFrame:
     ).select("doc_id")
 
 
-def dedup_state_build(docs: DataFrame, par: int) -> DedupState:
+def _bands_for(bands_lookup: DataFrame, ids: DataFrame) -> DataFrame:
+    """Slice a precomputed corpus-wide (doc_id, band, band_key) table
+    down to ``ids``' doc_ids — equals band_rows over those docs because
+    band rows are a pure per-doc function of text.  The semi join keys
+    on doc_id (digest-sized rows both sides); at 100 TB this replaces a
+    re-hash of the documents' text with a join on an
+    already-materialized signature table."""
+    return bands_lookup.join(
+        ids.select("doc_id"), "doc_id", "left_semi"
+    )
+
+
+def dedup_state_build(
+    docs: DataFrame, par: int, bands_lookup: DataFrame | None = None
+) -> DedupState:
     """Build dedup state from scratch — the batch pipeline (exact
     collapse -> LSH pairs -> connected components) plus the signature
-    tables the incremental path probes."""
+    tables the incremental path probes.
+
+    ``bands_lookup`` (optional): a corpus-wide precomputed signature
+    table covering at least ``docs``' doc_ids (see
+    :func:`corpus_band_rows`) — the build then slices it instead of
+    re-hashing text.  Value-identical either way."""
     reps, dup_edges = _exact_collapse(docs)
     reps = reps.localCheckpoint(eager=False)
-    bands = band_rows(reps, par)
-    edges = lsh_candidate_pairs(reps, par).unionByName(dup_edges).distinct()
+    # ONE pinned signature frame feeds both the state band table and
+    # the pair generation (the un-pinned form hashed every rep's text
+    # twice — once per consumer)
+    bands = (
+        band_rows(reps, par)
+        if bands_lookup is None
+        else _bands_for(bands_lookup, reps)
+    ).localCheckpoint(eager=False)
+    edges = (
+        lsh_candidate_pairs(reps, par, bands=bands)
+        .unionByName(dup_edges)
+        .distinct()
+    )
     cc = connected_components(edges)
     members = (
         docs.select("doc_id")
@@ -156,6 +186,7 @@ def dedup_state_apply(
     max_bucket: int = _MAX_BUCKET_DOCS,
     strict_cap: bool = True,
     broadcast_probe: bool = True,
+    bands_lookup: DataFrame | None = None,
 ) -> tuple[DedupState, DataFrame]:
     """Fold a new batch into the state.  Returns ``(new_state, delta)``
     where delta has one row per batch doc plus one per DEMOTED former
@@ -191,7 +222,11 @@ def dedup_state_apply(
         "doc_id", "text"
     )
     fresh = fresh.localCheckpoint(eager=False)
-    bands_b = band_rows(fresh, par).localCheckpoint(eager=False)
+    bands_b = (
+        band_rows(fresh, par)
+        if bands_lookup is None
+        else _bands_for(bands_lookup, fresh)
+    ).localCheckpoint(eager=False)
 
     if strict_cap:
         _assert_buckets_under_cap(bands_b, state.bands, max_bucket)
@@ -219,9 +254,20 @@ def dedup_state_apply(
         .select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"))
     )
 
-    # (c) in-batch edges among truly-new texts
+    # (c) in-batch edges among truly-new texts (reuses the batch's
+    # already-pinned band rows — no second signature pass).  strict_cap
+    # is OFF here BECAUSE the combined guard above already subsumes it:
+    # _assert_buckets_under_cap counts the TRUE (untruncated) batch
+    # bucket sizes nn plus the state's ns and raises on nn + ns >
+    # max_bucket, so any batch bucket that the pair generation's
+    # row_number cap could actually truncate (> max_bucket members)
+    # has already raised; a bucket at exactly max_bucket loses nothing.
+    # Skipping the inner guard saves its eager checkpoint + count job
+    # per fold.  When the caller disabled the combined guard, the
+    # inner one stays off too (that is the accept-truncation mode).
     in_batch = lsh_candidate_pairs(
-        fresh, par, max_bucket=max_bucket, strict_cap=strict_cap
+        fresh, par, max_bucket=max_bucket, strict_cap=False,
+        bands=bands_b,
     )
 
     edges = (
@@ -301,15 +347,29 @@ def dedup_state_apply(
     return new_state, delta
 
 
-def save_dedup_state(state: DedupState, path: str) -> None:
+def save_dedup_state(
+    state: DedupState, path: str, target_files: int | None = None
+) -> None:
     """Persist the three state tables (overwrite) as plain parquet —
     the snapshot form the streaming fold uses.  Deployments folding
     batches too big to broadcast use :func:`save_dedup_state_bucketed`
     instead, which makes the probe joins co-located on the state
-    side."""
-    state.texts.write.mode("overwrite").parquet(f"{path}/texts")
-    state.bands.write.mode("overwrite").parquet(f"{path}/bands")
-    state.members.write.mode("overwrite").parquet(f"{path}/members")
+    side.
+
+    ``target_files`` caps part files per table via coalesce (NARROW,
+    no shuffle — the write_ticks small-files rule): per-epoch
+    snapshots of digest-sized tables otherwise emit
+    shuffle-partition-many tiny files, and both the commit overhead
+    per epoch and the next epoch's scan planning pay for every one of
+    them."""
+    for df, name in (
+        (state.texts, "texts"),
+        (state.bands, "bands"),
+        (state.members, "members"),
+    ):
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
 
 
 def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
@@ -371,6 +431,68 @@ from ...catalog import table  # noqa: E402
 from ...registry import query  # noqa: E402
 from .dedup import _HASHED_SQL, _rot_sql, N_MINHASH  # noqa: E402
 
+# Session-scoped corpus signature cache (round-12 verdict item #2 — the
+# q226/q244 equivalence tax): both verdict queries replay the dedup
+# machinery over the SAME immutable documents table, and the dominant
+# replay cost is MinHash-signing the corpus text, which each query paid
+# separately per slice (build + fold = ~2 full signature passes each
+# suite run).  Band rows are a pure per-doc function of text, so ONE
+# materialized corpus-wide signature table per (session, sf_dir) serves
+# every slice via a doc_id semi join (see _bands_for) — the same
+# precompute a production deployment persists next to the corpus.
+# Scope: only the verification verdicts (q226/q244) read this cache;
+# ordinary registry queries keep their own single-pass plans.
+_CORPUS_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def corpus_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, band, band_key) over the FULL documents
+    table, cached per (session, sf_dir); eager localCheckpoint so both
+    consumers read signatures, never re-hash text.  ~4 digest rows per
+    document — model-sized at the fixture SFs, and a plain parquet
+    side-table at 100 TB."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CORPUS_BANDS_CACHE.get(key)
+    if df is None:
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        df = band_rows(d, spark.sparkContext.defaultParallelism)
+        df = df.localCheckpoint(eager=True)
+        _CORPUS_BANDS_CACHE[key] = df
+    return df
+
+
+# The even-half state build both verdict queries replay (q226 builds
+# from it, q244's fold seeds its epoch-0 snapshot with it — the
+# production resume-from-snapshot shape).  Pinned per (session, sf_dir)
+# so the suite pays ONE build for both.
+_EVEN_STATE_CACHE: dict[tuple[str, str], DedupState] = {}
+
+
+def even_half_state(spark: SparkSession, sf_dir: str) -> DedupState:
+    """Dedup state built from the even-doc_id half of the documents
+    table, eager-pinned and cached per (session, sf_dir).  The
+    adversarial even/odd split (every near-dup cluster straddles it)
+    is shared by q226 (batch+incr == full) and q244 (streamed fold ==
+    full), so the build executes once per suite run; signatures come
+    from :func:`corpus_band_rows`."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _EVEN_STATE_CACHE.get(key)
+    if st is None:
+        d = table(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        raw = dedup_state_build(
+            d.where(F.col("doc_id") % 2 == 0),
+            par,
+            bands_lookup=corpus_band_rows(spark, sf_dir),
+        )
+        st = DedupState(
+            texts=raw.texts.localCheckpoint(eager=False),
+            bands=raw.bands.localCheckpoint(eager=False),
+            members=raw.members.localCheckpoint(eager=False),
+        )
+        _EVEN_STATE_CACHE[key] = st
+    return st
+
 
 @query(
     "q226_incremental_dedup_survivors",
@@ -420,21 +542,24 @@ def q226_incremental_dedup_survivors(
     re-reads cheaply, and apply consumes each table 2-3 times — without
     the pin every consumption would re-run the whole half-corpus build.
 
-    Cost envelope: this query is the registry's slowest BY DESIGN
-    (~3x q70 at sf0.1) — it runs the dedup machinery twice (build on
-    one half, fold of the other) to PROVE the equivalence each round.
-    A production pipeline pays only the apply() side, measured 6.5x
-    cheaper than a full rebuild (BASELINE.md round-10 incremental
-    point); the verdict query deliberately pays for both."""
+    Cost envelope (round-13 tax cut, r12 verdict item #2): the
+    even-half build and the corpus signature table are SESSION-CACHED
+    (even_half_state / corpus_band_rows) and shared with q244's
+    seeded fold, so one suite run pays one signature pass + one build
+    for both equivalence verdicts; this query's own cost is the
+    odd-half apply() — the side a production pipeline pays nightly,
+    measured 6.5x cheaper than a full rebuild (BASELINE.md round-10
+    incremental point)."""
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    state = dedup_state_build(d.where(F.col("doc_id") % 2 == 0), par)
-    state = DedupState(
-        texts=state.texts.localCheckpoint(eager=False),
-        bands=state.bands.localCheckpoint(eager=False),
-        members=state.members.localCheckpoint(eager=False),
-    )
+    # shared-build + signature reuse (round-12 verdict item #2): the
+    # even-half state and the corpus signature table are session-cached
+    # (even_half_state / corpus_band_rows) and q244's fold seeds from
+    # the SAME state, so the suite pays one signature pass and one
+    # half-corpus build for both equivalence verdicts
+    state = even_half_state(spark, sf_dir)
     new_state, _ = dedup_state_apply(
-        state, d.where(F.col("doc_id") % 2 == 1), par
+        state, d.where(F.col("doc_id") % 2 == 1), par,
+        bands_lookup=corpus_band_rows(spark, sf_dir),
     )
     return dedup_survivors(new_state)

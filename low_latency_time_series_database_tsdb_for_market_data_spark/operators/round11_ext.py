@@ -63,42 +63,63 @@ from .llm.dedup import N_MINHASH, _HASHED_SQL, _rot_sql
 def q244_streaming_dedup_verdict(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Survivors of the STREAMED dedup fold: the corpus replayed
-    through ``streaming.incremental_dedup.StreamingDedup`` in three
-    forced micro-batches (the doc_id % 3 slices — every near-dup
-    cluster straddles epoch boundaries), each epoch snapshotting its
-    state to parquet and the next epoch reloading it, exactly the
-    foreachBatch body the readStream wrapper drives (the wrapper's
-    readStream/AvailableNow plumbing is pinned byte-for-byte in
-    tests/test_streaming.py; this query makes the FOLD ITSELF
-    driver-official against q70's uncapped transitive-closure oracle —
-    the r10 verdict's "streamed path has no driver hash" gap).
+    """Survivors of the STREAMED dedup fold: the fold RESUMES from a
+    persisted epoch-0 snapshot (the even-half state both verdicts
+    share) and replays the odd half through
+    ``streaming.incremental_dedup.StreamingDedup`` in two chained
+    micro-batches (doc_id % 4 == 1 then % 4 == 3 — every near-dup
+    cluster straddles the even/odd seed boundary AND the two fold
+    epochs), each epoch snapshotting its state to parquet and the next
+    reloading it, exactly the foreachBatch body the readStream wrapper
+    drives.  The final survivors cover the FULL corpus, so the oracle
+    stays q70's uncapped transitive-closure over all documents — the
+    driver hash still proves streamed-fold == from-scratch batch on
+    real data (bridges, loser-chains, cross-epoch demotions included).
+
+    Round-13 tax cut (round-12 verdict item #2): the epoch-0 seed is
+    ``save_dedup_state(even_half_state(...))`` — the SAME session-
+    cached build q226 starts from, and signatures slice the shared
+    corpus_band_rows table, so per suite run the two verdicts together
+    pay ONE signature pass + ONE half-corpus build + three applies
+    (was ~2 passes + 2 builds + 3 applies; 15.4 s -> single-digit
+    combined at sf0.1).  Seeding from a snapshot is not a shortcut —
+    it is precisely the production resume path (a restarted stream
+    loads its newest snapshot before its first foreachBatch); the
+    build-as-epoch-0 branch of process_batch stays pinned by
+    tests/test_streaming.py's full-corpus streamed == batch
+    equivalence.
 
     Shape: each epoch is a batch-sized probe broadcast into state
     scans (dedup_state_apply); state lives as parquet snapshots under
-    a DETERMINISTIC per-sf temp dir that the returned DataFrame reads —
-    identical to a production ingest where the state dir is a
-    warehouse path.  The state dir is a PER-INVOCATION mkdtemp
-    (ADVICE r11: the old md5(sf_dir)-keyed shared dir let two
-    concurrent runs — bench + driver, parallel CI — wipe each other's
-    snapshots mid-fold); the survivor frame is pinned with an eager
-    localCheckpoint so the snapshots can be deleted before returning —
-    nothing leaks and the returned DataFrame is disk-independent.
-    Cost envelope: ~q226's class (it runs one build plus
-    two folds each round, BY DESIGN — the price of proving
-    streamed == batch on real data)."""
+    a PER-INVOCATION mkdtemp; the survivor frame is pinned with an
+    eager localCheckpoint so the snapshots can be deleted before
+    returning — nothing leaks and the returned DataFrame is
+    disk-independent."""
     import shutil
     import tempfile
 
     from ..streaming.incremental_dedup import StreamingDedup
+    from .llm.incremental import (
+        corpus_band_rows,
+        even_half_state,
+        save_dedup_state,
+    )
 
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     state_dir = tempfile.mkdtemp(prefix="q244_dedup_state_")
     try:
-        fold = StreamingDedup(spark, state_dir, par)
-        for i in range(3):
-            fold.process_batch(d.where(F.col("doc_id") % 3 == i), i)
+        save_dedup_state(
+            even_half_state(spark, sf_dir), f"{state_dir}/epoch=0",
+            target_files=4,
+        )
+        fold = StreamingDedup(
+            spark, state_dir, par,
+            bands_lookup=corpus_band_rows(spark, sf_dir),
+            snapshot_files=4,
+        )
+        fold.process_batch(d.where(F.col("doc_id") % 4 == 1), 1)
+        fold.process_batch(d.where(F.col("doc_id") % 4 == 3), 2)
         return fold.survivors().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
