@@ -109,19 +109,96 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+# Driver-trainer threshold: a vocabulary at or below this collects to
+# the driver (the connected_components size-dispatch pattern — model-
+# sized data, exception class documented there).  131k distinct words
+# x ~30 B is ~4 MB; real web-scale vocabularies (1e8 types) exceed it
+# and take the distributed loop below.
+_DRIVER_VOCAB_MAX = 1 << 17
+
+
+def _merge_word(
+    syms: list[str], left: str, right: str
+) -> list[str]:
+    """Pure-Python twin of :func:`_apply_merge`'s fold — greedy
+    leftmost-non-overlapping, carry-flush semantics identical."""
+    out: list[str] = []
+    prev: str | None = None
+    for x in syms:
+        if prev == left and x == right:
+            out.append(left + right)
+            prev = None
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = x
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def _bpe_train_driver(
+    rows: list, n_merges: int
+) -> tuple[list[tuple[str, int, list[str]]], list[tuple[str, str, int]]]:
+    """The merge recurrence on a collected vocabulary: identical pair
+    counting (adjacent occurrences, frequency-weighted), identical
+    argmax (count desc, then lexicographic (left, right) — Python's
+    code-point string order equals Spark/DuckDB binary order for the
+    UTF-8 text the corpus carries), identical greedy application.
+    Equality with the distributed loop is pinned by tests running both
+    paths on the same vocabulary."""
+    state = [(r[0], int(r[1]), list(r[0])) for r in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, f, syms in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l_, r_), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l_, r_, c))
+        state = [
+            (w, f, _merge_word(syms, l_, r_)) for w, f, syms in state
+        ]
+    return state, merges
+
+
 def bpe_train(
-    vocab: DataFrame, n_merges: int = _BPE_MERGES
+    vocab: DataFrame,
+    n_merges: int = _BPE_MERGES,
+    driver_vocab_max: int = _DRIVER_VOCAB_MAX,
 ) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Train ``n_merges`` BPE merges on a (word, freq) vocabulary.
 
     Returns ``(state, merges)``: the final symbolization
     (word, freq, syms array<string>) and the ordered merge table
-    [(left, right, pair_count), ...].  Each step: one vocabulary-scale
-    pair-count hash-agg, ONE driver-collected row (the argmax pair —
-    the bounded scalar-probe class), one narrow fold applying it.
-    Training stops early when no adjacent pair remains (every word
-    fully merged) — the oracle's stages no-op identically from that
-    point, so a shorter merge table is still hash-equivalent."""
+    [(left, right, pair_count), ...].
+
+    Size-dispatched like :func:`..dedup.connected_components`: ONE
+    ``limit(max + 1).collect()`` probes the vocabulary size AND, under
+    the threshold, IS the training input — the recurrence then runs on
+    the driver exactly as the reference BPE trainers do (Sennrich's
+    operates on an in-memory vocab dict after the corpus count), since
+    n_merges sequential Spark rounds on a model-sized vocabulary are
+    pure scheduling overhead (measured 3.6 s -> ~0.3 s at the fixture's
+    31-word vocab).  Past the threshold, the distributed loop: each
+    step one vocabulary-scale pair-count hash-agg, ONE driver-collected
+    row (the argmax pair), one narrow fold applying it.  Both paths are
+    value-identical (pinned by tests) and both stop early when no
+    adjacent pair remains — the oracle's stages no-op identically from
+    that point, so a shorter merge table is still hash-equivalent."""
+    probe = vocab.select("word", "freq").limit(
+        driver_vocab_max + 1
+    ).collect()
+    if len(probe) <= driver_vocab_max:
+        fin, merges = _bpe_train_driver(probe, n_merges)
+        state = vocab.sparkSession.createDataFrame(
+            fin, "word string, freq bigint, syms array<string>"
+        )
+        return state, merges
     state = vocab.select(
         "word", "freq", _char_split("word").alias("syms")
     ).localCheckpoint(eager=False)

@@ -91,6 +91,22 @@ def test_apply_merge_fold_handles_carry_and_tail(spark):
     assert got == [["x", "ab", "a"], ["ab"], ["b"], []]
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """The size-dispatched driver trainer and the distributed loop
+    produce identical merge tables and final symbolizations on the
+    same vocabulary (the connected_components dual-path discipline)."""
+    rows = [
+        ("abab", 4), ("aaab", 3), ("bbaa", 2), ("cab", 7), ("x", 1),
+    ]
+    v = _vocab(spark, rows)
+    st_drv, m_drv = bpe_train(v, n_merges=6)  # under threshold
+    st_dist, m_dist = bpe_train(v, n_merges=6, driver_vocab_max=0)
+    assert m_drv == m_dist
+    got_drv = {r["word"]: r["syms"] for r in st_drv.collect()}
+    got_dist = {r["word"]: r["syms"] for r in st_dist.collect()}
+    assert got_drv == got_dist
+
+
 def test_word_vocab_excludes_empty_words(spark):
     d = _docs(spark, [(0, "aa bb aa"), (1, "bb")])
     got = {r["word"]: r["freq"] for r in _word_vocab(d).collect()}

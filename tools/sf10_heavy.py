@@ -64,17 +64,20 @@ def main() -> None:
     t_suite = time.time()
     for name in top:
         times = []
-        rows = -1
         for _ in range(reps):
             t0 = time.time()
-            rows = reg[name].fn(spark, sf_dir).count()
+            # noop sink, NOT count(): bench.py's rule — count() lets
+            # Catalyst prune the expensive side of row-preserving
+            # left joins (q250's whole aggregate vanished under it)
+            reg[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
             times.append(round(time.time() - t0, 3))
         best = min(times)
         ratio = round(best / base[name], 2) if base.get(name) else None
         out[name] = {
             "sf10_min_sec": best,
             "runs": times,
-            "rows": rows,
             "sf1_sec": base.get(name),
             "x_vs_sf1": ratio,
             # 10x data: ratio > 20 means >2x-vs-linear — flag it
