@@ -449,6 +449,7 @@ def q250_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cov").isNull(), F.struct("idx", "tk")
     )
     agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.count(kept_struct).alias("n_kept"),
         F.md5(
             F.array_join(
@@ -456,20 +457,19 @@ def q250_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             )
         ).alias("kept_md5"),
-    )
+    ).localCheckpoint(eager=False)  # |docs|-row frame; pins the one
+    # corpus-token pass so the doc_id spine below is the plan's only
+    # live documents scan (single-scan contract — the q247 g1 shape)
     # final frame LEFT JOINS from documents (ADVICE r12: q247 and the
     # oracle both do; deriving rows from the posexplode alone would
     # silently drop a NULL-text doc — posexplode of NULL emits no row —
-    # where the oracle keeps it with NULL n_tokens / 0 kept).  n_tokens
-    # and n_removed mirror the oracle's documents-side expressions.
-    # explicit NULL for NULL text (size() would give -1 or NULL per
-    # legacy conf; the oracle's len(string_split(NULL)) is NULL)
-    n_tokens = F.when(
-        F.col("text").isNotNull(), F.size(tokens("text"))
-    ).cast("bigint")
-    return d.select("doc_id", n_tokens.alias("n_tokens")).join(
-        agg, "doc_id", "left"
-    ).select(
+    # where the oracle keeps it with NULL n_tokens / 0 kept).  The
+    # spine reads doc_id ONLY (text is never scanned twice); n_tokens
+    # rides the token-pass agg, so a NULL-text doc has no agg row and
+    # keeps NULL n_tokens / NULL n_removed, exactly the oracle's
+    # len(string_split(NULL)) semantics; '' still counts 1 (split('')
+    # is ['']) on both engines.
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
