@@ -92,6 +92,53 @@ def _offsets(d: DataFrame, measures: list[tuple[str, Column]]) -> DataFrame:
     )
 
 
+def _global_classic_limit(df: DataFrame, classic_max_bytes: int | None) -> int:
+    """Resolve the small-input dispatch threshold for the GLOBAL prefix
+    family — same conf knob as keyed_prefix (one switch forces the whole
+    prefix module onto its scale path)."""
+    if classic_max_bytes is not None:
+        return classic_max_bytes
+    return int(
+        df.sparkSession.conf.get(
+            CLASSIC_MAX_BYTES_CONF, str(CLASSIC_MAX_BYTES_DEFAULT)
+        )
+    )
+
+
+def _classic_global_window(
+    df: DataFrame,
+    order_cols: list[Column],
+    ops: list[tuple[str, str, str | None]],
+) -> DataFrame:
+    """The textbook partition-less global window — value-identical to
+    the two-pass range form, ONE sort in ONE task.  The right plan for
+    dim-sized inputs below the dispatch threshold (the boundary pass's
+    ~4 fixed jobs — range sampling, checkpoint materialize, offsets
+    aggregate, broadcast — dominate there); the two-pass form remains
+    the 100 TB path.  ``ops`` is an ordered list of
+    (kind, out_col, src_col) with kind in {"rn", "cumsum", "total_sum",
+    "total_count"}; appending in caller order keeps the output schema
+    identical to the two-pass form's.  Totals ride the same single
+    sort via an unbounded frame."""
+    w = Window.orderBy(*order_cols)
+    cumw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allw = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = df
+    for kind, out_col, src in ops:
+        if kind == "rn":
+            expr = F.row_number().over(w).cast("bigint")
+        elif kind == "cumsum":
+            expr = F.sum(F.col(src)).over(cumw)
+        elif kind == "total_sum":
+            expr = F.sum(F.col(src)).over(allw)
+        else:  # total_count
+            expr = F.count(F.lit(1)).over(allw)
+        out = out.withColumn(out_col, expr)
+    return out
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list[Column],
@@ -100,15 +147,45 @@ def global_cumsum(
     total_col: str | None = None,
     count_total_col: str | None = None,
     num_partitions: int | None = None,
+    classic_max_bytes: int | None = None,
+    size_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Attach the global-order running sum of ``value_col`` (inclusive,
     ordered by ``order_cols``) as ``out_col`` — and, optionally, the
     grand total as ``total_col`` and the grand ROW COUNT as
     ``count_total_col`` (both ride the same tiny offsets frame, so no
     extra scalar-aggregate branch) — without any single-partition
-    window.
+    window on inputs that could be data-sized.
+
+    Small inputs (Catalyst size estimate <= ``classic_max_bytes``,
+    default the shared ``spark.graft.prefix.classicMaxBytes`` conf,
+    64 MiB) dispatch to the classic partition-less window — value-
+    identical, and it skips the two-pass machinery's fixed cost (range
+    sampling job + checkpoint materialize + offsets aggregate +
+    broadcast: ~0.3-0.8 s each, regardless of input size).  Set the
+    conf (or the kwarg) to 0 to force the two-pass path.
+
+    ``size_hint``: an optional frame whose Catalyst estimate BOUNDS the
+    input's true size — callers whose input is keyed by a dim pass the
+    dim table here when the input's own estimate is join-inflated
+    (Catalyst multiplies join sizes, so an agg-over-join of a 20k-row
+    dim can "estimate" gigabytes).
 
     ``order_cols`` must be a total order (include a unique tiebreaker)."""
+    limit = _global_classic_limit(df, classic_max_bytes)
+    if limit > 0 and num_partitions is None:
+        # an explicit num_partitions is an explicit request for the
+        # two-pass shape (tests pin plan properties through it)
+        est = _plan_size_bytes(size_hint if size_hint is not None else df)
+        if est is not None and est <= limit:
+            ops: list[tuple[str, str, str | None]] = [
+                ("cumsum", out_col, value_col)
+            ]
+            if total_col is not None:
+                ops.append(("total_sum", total_col, value_col))
+            if count_total_col is not None:
+                ops.append(("total_count", count_total_col, None))
+            return _classic_global_window(df, order_cols, ops)
     n = _num_partitions(df, num_partitions)
     d = _range_tagged(df.repartitionByRange(n, *order_cols), order_cols)
     measures: list[tuple[str, Column]] = [("v", F.sum(F.col(value_col)))]
@@ -142,13 +219,34 @@ def global_row_number(
     sum_col: str | None = None,
     sum_total_col: str | None = None,
     num_partitions: int | None = None,
+    classic_max_bytes: int | None = None,
+    size_hint: DataFrame | None = None,
 ) -> DataFrame:
     """Attach the global 1-based row number in ``order_cols`` order as
     ``out_col`` (and optionally the total row count as ``total_col``,
     plus the grand total of ``sum_col`` as ``sum_total_col`` — riding
-    the same tiny offsets frame) without any single-partition window.
+    the same tiny offsets frame) without any single-partition window
+    on inputs that could be data-sized.
+
+    Small inputs dispatch to the classic partition-less window exactly
+    like :func:`global_cumsum` (same conf, same value-identical
+    guarantee, same 0-forces-two-pass escape hatch, same ``size_hint``
+    for join-inflated estimates).
 
     ``order_cols`` must be a total order (include a unique tiebreaker)."""
+    limit = _global_classic_limit(df, classic_max_bytes)
+    if limit > 0 and num_partitions is None:
+        # explicit num_partitions -> explicit two-pass shape (as above)
+        est = _plan_size_bytes(size_hint if size_hint is not None else df)
+        if est is not None and est <= limit:
+            ops: list[tuple[str, str, str | None]] = [
+                ("rn", out_col, None)
+            ]
+            if total_col is not None:
+                ops.append(("total_count", total_col, None))
+            if sum_col is not None and sum_total_col is not None:
+                ops.append(("total_sum", sum_total_col, sum_col))
+            return _classic_global_window(df, order_cols, ops)
     n = _num_partitions(df, num_partitions)
     d = _range_tagged(df.repartitionByRange(n, *order_cols), order_cols)
     measures: list[tuple[str, Column]] = [("c", F.count(F.lit(1)))]

@@ -1565,42 +1565,90 @@ def q243_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label by (votes DESC, label).
 
     Exactness: components quantize to e4 integers (q130 rule) and the
-    squared distance is an exact BIGINT zip_with/aggregate fold — no
-    dim explosion, no float accumulation; both rankings use explicit
-    total orders.  Shape: the quantized table is pinned once (single
-    scan feeds both splits), the 200-row probe panel BROADCASTS into
-    the train side (the allowlisted probe-frame crossJoin class:
-    |panel|×|train| pair rows, LINEAR in data for the fixed panel), a
-    probe-keyed window takes top-5, and everything after is
+    squared distance is an exact BIGINT value — no float accumulation
+    can drift because every intermediate (products <= 4e8, 64-dim sums
+    <= ~1e11) is an integer below 2^53, exactly representable in the
+    float64 matmul; both rankings use explicit total orders.  Shape
+    (round-13 optimization, guide §4.2 — the |panel|×|train| interpreted
+    zip_with/aggregate fold was the suite's #2 cost at 3.5 s): the fixed
+    200-row panel is collected once (a bounded driver model, constant
+    size by design), the train side runs ONE mapInPandas pass whose
+    batches compute all panel distances as a single BLAS matmul and
+    emit only each batch's per-probe top-5 (a partial top-k — the
+    global top-5 over batch-winners equals the global top-5, same
+    (dist, oid) order), so the JVM never materializes pair rows; a
+    probe-keyed window merges the partials and everything after is
     |panel|-sized.  At 100 TB the same eval swaps the exact pair pass
     for the IVF/PQ shortlist (q65/q204) — this is the ground-truth
     variant those are measured against."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda v: F.floor(v * 10000).cast("bigint"),
+    panel = (
+        e.where(F.col("vec_id") < _KNN_PROBES)
+        .select(
+            "vec_id", F.col("label").cast("bigint").alias("label"),
+            "embedding",
+        )
+        .collect()
     )
-    x = e.select(
-        "vec_id", F.col("label").cast("bigint").alias("label"),
-        qv.alias("qv"),
-    ).localCheckpoint(eager=False)
-    te = x.where(F.col("vec_id") < _KNN_PROBES).select(
-        F.col("vec_id").alias("tid"),
-        F.col("label").alias("tlabel"),
-        F.col("qv").alias("tqv"),
+    # identical quantization rule to the oracle: floor(double(v) * 1e4)
+    tq = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 10000.0)
+            for r in panel
+        ]
     )
-    tr = x.where(F.col("vec_id") >= _KNN_PROBES).select(
-        F.col("vec_id").alias("oid"),
-        F.col("label").alias("olabel"),
-        "qv",
+    tids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
+    tlabels = np.array([r["label"] for r in panel], dtype=np.int64)
+    tq_n2 = (tq * tq).sum(axis=1)  # exact: integer-valued float64
+
+    k = _KNN_K
+    out_schema = (
+        "tid bigint, tlabel bigint, oid bigint, olabel bigint, dist bigint"
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("tqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    p = tr.crossJoin(F.broadcast(te)).select(
-        "tid", "tlabel", "oid", "olabel", dist.alias("dist")
+
+    def panel_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 10000.0
+            )
+            oids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            olabels = pdf["label"].to_numpy(dtype=np.int64)
+            # squared L2 on e4 integers: every term integer < 2^53, so
+            # the float64 matmul is exact; cast back to int64 losslessly
+            d = (
+                (m * m).sum(axis=1)[:, None]
+                + tq_n2[None, :]
+                - 2.0 * (m @ tq.T)
+            ).astype(np.int64)
+            take = min(k, len(pdf))
+            out = {
+                "tid": [], "tlabel": [], "oid": [], "olabel": [],
+                "dist": [],
+            }
+            for j in range(len(tids)):
+                top = np.lexsort((oids, d[:, j]))[:take]
+                out["tid"].append(np.full(take, tids[j]))
+                out["tlabel"].append(np.full(take, tlabels[j]))
+                out["oid"].append(oids[top])
+                out["olabel"].append(olabels[top])
+                out["dist"].append(d[top, j])
+            yield pd.DataFrame(
+                {c: np.concatenate(v) for c, v in out.items()}
+            )
+
+    p = (
+        e.where(F.col("vec_id") >= _KNN_PROBES)
+        .select(
+            "vec_id", F.col("label").cast("bigint").alias("label"),
+            "embedding",
+        )
+        .mapInPandas(panel_topk, out_schema)
     )
     wk = W.partitionBy("tid").orderBy("dist", "oid")
     m = (

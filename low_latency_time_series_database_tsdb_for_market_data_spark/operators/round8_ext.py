@@ -1095,30 +1095,37 @@ def q203_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = s.groupBy("user_id", "sid").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )
+    # round 13: both boundary rows come out of ONE pass over the spans
+    # frame (explode of a 2-struct array) — the old two-branch union
+    # recomputed the window+agg session chain per branch
     b = spans.select(
-        F.col("s_us").alias("us"),
-        F.lit(1).cast("bigint").alias("delta"),
-        "user_id",
-        "sid",
-    ).unionAll(
-        spans.select(
-            (F.col("e_us") + 1).alias("us"),
-            F.lit(-1).cast("bigint").alias("delta"),
-            "user_id",
-            "sid",
-        )
-    )
-    # 8 range partitions: the boundary frame is 2x|sessions| (dim-
-    # sized) — default 32 would spend more on task scheduling than on
-    # the prefix itself at bench SF, and 8 slices of a dim frame keep
-    # full parallelism headroom at any realistic session count
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("us"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                    F.col("user_id"),
+                    F.col("sid"),
+                ),
+                F.struct(
+                    (F.col("e_us") + 1).alias("us"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                    F.col("user_id"),
+                    F.col("sid"),
+                ),
+            )
+        ).alias("__b")
+    ).select("__b.*")
+    # round 13: no pinned partition count — the boundary frame is
+    # 2x|sessions| (dim-sized), so the prefix dispatch picks the
+    # classic single sort at bench SF and the N-way two-pass above the
+    # size threshold (the old hardcoded 8 was a local-mode tuning)
     c = global_cumsum(
         b,
         [F.col("us"), F.col("delta"), F.col("user_id"), F.col("sid")],
         "delta",
         "conc",
         count_total_col="n_bounds",
-        num_partitions=8,
     )
     # global max via a window over the dim-sized boundary frame (the
     # q201 class), THEN one 1-row agg — Spark forbids windows inside

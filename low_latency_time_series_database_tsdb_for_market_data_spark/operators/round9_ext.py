@@ -362,7 +362,15 @@ def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dno = F.datediff(
         F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
     ).cast("bigint")
-    ud = ev.select("user_id", dno.alias("dno")).distinct()
+    # pinned: ud feeds BOTH the island chain and the per-day DAU agg —
+    # without the pin each consumer re-scans events (the single-scan
+    # contract's q77/q100/q101 class); the frame is |users x active
+    # days|, dim-sized at any scale
+    ud = (
+        ev.select("user_id", dno.alias("dno"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     w = Window.partitionBy("user_id").orderBy("dno")
     gap_new = F.when(
@@ -376,21 +384,29 @@ def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "iid")
         .agg(F.min("dno").alias("s"), F.max("dno").alias("e"))
     )
+    # round 13: both boundary rows come out of ONE pass over the
+    # islands frame (explode of a 2-struct array) — the old two-branch
+    # union recomputed the distinct+window+agg island chain per branch
     bounds = isl.select(
-        F.col("s").alias("dno"),
-        F.lit(0).alias("isq"),
-        "user_id",
-        F.lit(1).cast("bigint").alias("delta"),
-        F.lit(None).cast("bigint").alias("dau"),
-    ).unionAll(
-        isl.select(
-            (F.col("e") + _MAU_DAYS).alias("dno"),
-            F.lit(0).alias("isq"),
-            "user_id",
-            F.lit(-1).cast("bigint").alias("delta"),
-            F.lit(None).cast("bigint").alias("dau"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("dno"),
+                    F.lit(0).alias("isq"),
+                    F.col("user_id"),
+                    F.lit(1).cast("bigint").alias("delta"),
+                    F.lit(None).cast("bigint").alias("dau"),
+                ),
+                F.struct(
+                    (F.col("e") + _MAU_DAYS).alias("dno"),
+                    F.lit(0).alias("isq"),
+                    F.col("user_id"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                    F.lit(None).cast("bigint").alias("dau"),
+                ),
+            )
+        ).alias("__b")
+    ).select("__b.*")
     queries_ = ud.groupBy("dno").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     ).select(
@@ -400,12 +416,21 @@ def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("delta"),
         "dau",
     )
+    # round 13: no pinned partition count — the prefix dispatch picks
+    # the classic single sort for this dim-sized boundary frame at
+    # bench SF and the N-way two-pass above the size threshold (the
+    # hardcoded 8 was a local-mode tuning, the class the optimization
+    # guide warns about)
+    # size_hint=events: the checkpoint-pinned ud makes the boundary
+    # stream's own estimate unknowable (LogicalRDD reports Long.Max),
+    # but |bounds ∪ queries| <= 3·|ud| <= 3·|events rows| — the events
+    # relation's file-based estimate is the honest scale proxy
     swept = global_cumsum(
         bounds.unionAll(queries_),
         [F.col("dno"), F.col("isq"), F.col("user_id"), F.col("delta")],
         "delta",
         "mau",
-        num_partitions=8,
+        size_hint=ev,
     )
     out = swept.where(F.col("isq") == 1).select(
         "dno", "dau", F.col("mau").cast("bigint").alias("mau")

@@ -366,12 +366,18 @@ def q153_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_brand")
         .agg(F.sum(_rev_u()).alias("rev_u"))
     )
+    # size_hint=part (round 13): pr is keyed by p_partkey, so |pr| <=
+    # |part| — the join-inflated Catalyst estimate of pr itself would
+    # otherwise keep the two-pass machinery on at dim sizes where its
+    # fixed cost dominates; at warehouse scale part outgrows the
+    # threshold and the range two-pass comes back
     ranked = global_cumsum(
         pr,
         [F.col("rev_u").desc(), F.col("p_partkey")],
         "rev_u",
         "cum_u",
         total_col="total_u",
+        size_hint=p,
     )
     classed = ranked.select(
         "p_brand",

@@ -563,14 +563,35 @@ def test_q158_single_window_pass_for_all_lags(reg, spark, sf_dir):
 def test_q153_q147_no_single_partition_window(reg, spark, sf_dir):
     """The round-6 judge's two weak marks, de-weaked: the cumulative
     revenue share (q153) and customer NTILE (q147) must run the
-    range-partitioned two-pass prefix (operators/prefix.py) — ZERO
-    SinglePartition exchanges, and every window spec partitioned by the
-    range-partition id, so no single task ever sorts the whole part /
-    customer dimension."""
-    for name in ("q153_part_revenue_abc", "q147_customer_value_bands"):
+    range-partitioned two-pass prefix (operators/prefix.py) on anything
+    data-sized.  Round 13 added the keyed_prefix-style small-input
+    dispatch to the GLOBAL prefix family, so the contract now covers
+    both paths: at the toy sf_dir the default conf must pick the
+    classic single sort (the two-pass form's ~4 fixed jobs dominate
+    dim-sized inputs), and with the conf forced to 0 the two-pass
+    shape — zero SinglePartition exchanges, every window spec
+    partitioned by the range-partition id — must come back."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E501
+        CLASSIC_MAX_BYTES_CONF,
+    )
+
+    names = ("q153_part_revenue_abc", "q147_customer_value_bands")
+    # --- classic leg: the default dispatch at toy scale ---
+    for name in names:
         plan = physical_plan(q(reg, spark, sf_dir, name))
-        assert "Exchange SinglePartition" not in plan, name
-        assert "windowspecdefinition(__prefix_pid" in plan, name
+        assert "windowspecdefinition(__prefix_pid" not in plan, (
+            name,
+            "expected classic path at toy SF",
+        )
+    # --- two-pass leg: conf=0 forces the scale path ---
+    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    try:
+        for name in names:
+            plan = physical_plan(q(reg, spark, sf_dir, name))
+            assert "Exchange SinglePartition" not in plan, name
+            assert "windowspecdefinition(__prefix_pid" in plan, name
+    finally:
+        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
 
 
 def test_round7_additions_plan_shapes(reg, spark, sf_dir):
@@ -582,9 +603,22 @@ def test_round7_additions_plan_shapes(reg, spark, sf_dir):
     global sort of the user dim)."""
     plan = physical_plan(q(reg, spark, sf_dir, "q168_small_qty_revenue"))
     assert plan.count("FileScan") == 2  # lineitem once + part once
+    # q169 inherits the global-prefix dispatch: classic single sort at
+    # toy scale, the two-pass __prefix_pid shape when the conf forces
+    # the scale path (round-13 small-input dispatch)
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.prefix import (  # noqa: E501
+        CLASSIC_MAX_BYTES_CONF,
+    )
+
     plan = physical_plan(q(reg, spark, sf_dir, "q169_customer_pareto"))
-    assert "Exchange SinglePartition" not in plan
-    assert "windowspecdefinition(__prefix_pid" in plan
+    assert "windowspecdefinition(__prefix_pid" not in plan
+    spark.conf.set(CLASSIC_MAX_BYTES_CONF, "0")
+    try:
+        plan = physical_plan(q(reg, spark, sf_dir, "q169_customer_pareto"))
+        assert "Exchange SinglePartition" not in plan
+        assert "windowspecdefinition(__prefix_pid" in plan
+    finally:
+        spark.conf.unset(CLASSIC_MAX_BYTES_CONF)
     plan = physical_plan(q(reg, spark, sf_dir, "q171_user_paths"))
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan

@@ -122,6 +122,71 @@ def test_no_single_partition_window_in_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# round-13 small-input dispatch for the GLOBAL prefix family (the
+# keyed_prefix pattern applied to global_cumsum / global_row_number):
+# dim-sized inputs skip the two-pass machinery's ~4 fixed jobs
+# ---------------------------------------------------------------------------
+
+
+def test_global_dispatch_paths_agree(spark):
+    """Forcing each side of the threshold yields identical values AND
+    identical schemas — the value-equivalence the dispatch rests on."""
+    df = _skewed(spark, 8_000)
+    order = [F.col("v").desc(), F.col("k")]
+    for fn, kw in (
+        (
+            global_cumsum,
+            dict(value_col="v", out_col="cum", total_col="tot",
+                 count_total_col="n"),
+        ),
+        (
+            global_row_number,
+            dict(out_col="rn", total_col="n_tot", sum_col="v",
+                 sum_total_col="v_tot"),
+        ),
+    ):
+        a = (
+            fn(df, order, classic_max_bytes=0, **kw)
+            .toPandas().sort_values("k", ignore_index=True)
+        )
+        b = (
+            fn(df, order, classic_max_bytes=1 << 60, **kw)
+            .toPandas().sort_values("k", ignore_index=True)
+        )
+        assert list(a.columns) == list(b.columns), fn.__name__
+        assert a.equals(b), fn.__name__
+
+
+def test_global_dispatches_classic_below_threshold(spark, tmp_path):
+    """A dim-sized PARQUET aggregate (finite Catalyst estimate under
+    the 64 MiB default) takes the classic single sort: no __prefix_pid
+    machinery, no boundary broadcast — one window, one sort."""
+    path = str(tmp_path / "dim.parquet")
+    _skewed(spark, 5_000).write.parquet(path)
+    agg = (
+        spark.read.parquet(path)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = global_row_number(
+        agg, [F.col("c"), F.col("v")], "rn", total_col="n_tot"
+    )
+    plan = physical_plan(got)
+    assert "windowspecdefinition(__prefix_pid" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_global_explicit_partitions_keep_two_pass(spark):
+    """An explicit num_partitions is an explicit request for the
+    two-pass shape (the plan-property tests above pin through it) —
+    the dispatch must not override it."""
+    df = _skewed(spark, 500)
+    got = global_cumsum(df, [F.col("v"), F.col("k")], "v", "cum",
+                        num_partitions=4)
+    assert "windowspecdefinition(__prefix_pid" in physical_plan(got)
+
+
+# ---------------------------------------------------------------------------
 # keyed_prefix (round 8): per-key lag / cumsum / row number without the
 # min(#keys, #cores) parallelism ceiling of Window.partitionBy(key)
 # ---------------------------------------------------------------------------
