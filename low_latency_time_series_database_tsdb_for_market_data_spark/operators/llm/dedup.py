@@ -202,8 +202,12 @@ def candidate_edges(docs: DataFrame, par: int,
     max_bucket=1 keeps one doc per bucket, which disables LSH pair
     generation altogether and is only meaningful with strict_cap=False."""
     reps, dup_edges = _exact_collapse(docs)
+    # dedup_pairs=False: the union's own distinct below subsumes the
+    # inner one — two chained distincts were two full exchanges of the
+    # same pair set (round-13 optimization; result identical)
     lsh_pairs = lsh_candidate_pairs(
-        reps, par, max_bucket=max_bucket, strict_cap=strict_cap
+        reps, par, max_bucket=max_bucket, strict_cap=strict_cap,
+        dedup_pairs=False,
     )
     return lsh_pairs.unionByName(dup_edges).distinct()
 
@@ -211,7 +215,8 @@ def candidate_edges(docs: DataFrame, par: int,
 def lsh_candidate_pairs(reps: DataFrame, par: int,
                         max_bucket: int = _MAX_BUCKET_DOCS,
                         strict_cap: bool = True,
-                        bands: DataFrame | None = None) -> DataFrame:
+                        bands: DataFrame | None = None,
+                        dedup_pairs: bool = True) -> DataFrame:
     """(a, b) LSH candidate pairs over an ALREADY-COLLAPSED corpus of
     distinct-text representatives — the shared pair-generation stage of
     `candidate_edges` (which unions the exact-dup edges back in) and the
@@ -260,14 +265,14 @@ def lsh_candidate_pairs(reps: DataFrame, par: int,
                 "to accept deterministic truncation."
             )
     groups = groups.drop("max_rn")
-    return (
-        groups.select(F.posexplode("ds").alias("i", "a"), "ds")
-        .select(
-            "a",
-            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
-        )
-        .distinct()
+    pairs = groups.select(F.posexplode("ds").alias("i", "a"), "ds").select(
+        "a",
+        F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
     )
+    # dedup_pairs=False: callers that run their OWN distinct over a
+    # union with these pairs (candidate_edges) skip the redundant inner
+    # exchange; direct consumers keep the default multi-band collapse
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 # Driver union-find threshold: an edge list at or below this collects to

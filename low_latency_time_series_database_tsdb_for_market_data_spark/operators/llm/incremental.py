@@ -111,7 +111,9 @@ def dedup_state_build(
         else _bands_for(bands_lookup, reps)
     ).localCheckpoint(eager=False)
     edges = (
-        lsh_candidate_pairs(reps, par, bands=bands)
+        # dedup_pairs=False: the union's own distinct subsumes the
+        # inner one (one exchange of the pair set, not two)
+        lsh_candidate_pairs(reps, par, bands=bands, dedup_pairs=False)
         .unionByName(dup_edges)
         .distinct()
     )
@@ -267,7 +269,7 @@ def dedup_state_apply(
     # inner one stays off too (that is the accept-truncation mode).
     in_batch = lsh_candidate_pairs(
         fresh, par, max_bucket=max_bucket, strict_cap=False,
-        bands=bands_b,
+        bands=bands_b, dedup_pairs=False,
     )
 
     edges = (

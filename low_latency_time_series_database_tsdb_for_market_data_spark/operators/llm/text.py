@@ -122,25 +122,50 @@ def q57_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(table(spark, sf_dir, "documents"))
 
 
+def _simhash_votes_df(d: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, simhash) for a ``bits``-wide signature — the shared body
+    of :func:`simhash_df` / :func:`simhash_df_wide`.
+
+    Round-13 optimization (driver-side, guide §1.2 "per-task work"
+    applied to the DRIVER): the old per-bit Column-object construction
+    (5+ py4j round-trips per bit x 60 bits for the agg, another 3/bit
+    for the assembly) cost ~1.5 s of pure Python/py4j time per build —
+    more than the query's own executor time.  Building the identical
+    expressions as SQL strings (one ``F.expr`` per vote column, ONE
+    parse for the whole assembly) collapses that to a handful of parser
+    calls.  The parsed trees are the same shift/and/case shapes, so
+    values — and the DuckDB oracle equivalence — are bit-identical."""
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    h = tok.selectExpr(
+        "doc_id",
+        f"CAST(CONV(SUBSTRING(md5(w), 1, {bits // 4}), 16, 10) AS BIGINT)"
+        " AS pre",
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN ((pre >> {bits - 1 - b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS s{b}"
+            )
+            for b in range(bits)
+        ]
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2 ** (bits - 1 - b)} AS BIGINT)"
+        " ELSE 0 END)"
+        for b in range(bits)
+    )
+    return votes.selectExpr(
+        "doc_id", f"CAST({assemble} AS BIGINT) AS simhash"
+    )
+
+
 def simhash_df(d: DataFrame) -> DataFrame:
     """(doc_id, simhash): the q57 signature as a reusable transform —
     one explode + one doc-keyed hash-agg (map-side partial votes), the
     Spark twin of ``simhash_cte``.  q95 builds its banded pair search on
     top of this."""
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
-    h = tok.select("doc_id", F.md5("w").alias("hh"))
-    bits = simhash16(F.col("hh"))
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bits[b] == 1, 1).otherwise(-1)).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    assemble = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, 2 ** (SIMHASH_BITS - 1 - b)).otherwise(0)
-        assemble = term if assemble is None else assemble + term
-    return votes.select("doc_id", assemble.cast("bigint").alias("simhash"))
+    return _simhash_votes_df(d, SIMHASH_BITS)
 
 
 def _langid_counts():
@@ -334,23 +359,10 @@ def simhash_df_wide(d: DataFrame, bits: int = 60) -> DataFrame:
     docstring's documented 100 TB path: more signature bits -> more band
     values -> smaller buckets at the same recall).  Same one-explode +
     one-doc-keyed-agg shape as :func:`simhash_df`; the vote agg is just
-    `bits` columns wide."""
-    from ...functions.texthash import simhash_bits, tokens as _tokens
-
-    tok = d.select("doc_id", F.explode(_tokens("text")).alias("w"))
-    h = tok.select("doc_id", F.md5("w").alias("hh"))
-    bcols = simhash_bits(F.col("hh"), bits)
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bcols[b] == 1, 1).otherwise(-1)).alias(f"s{b}")
-            for b in range(bits)
-        ]
-    )
-    assemble = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, 2 ** (bits - 1 - b)).otherwise(0)
-        assemble = term if assemble is None else assemble + term
-    return votes.select("doc_id", assemble.cast("bigint").alias("simhash"))
+    `bits` columns wide (expr-string built — see _simhash_votes_df)."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    return _simhash_votes_df(d, bits)
 
 
 def simhash_cte_wide(bits: int = 60) -> str:

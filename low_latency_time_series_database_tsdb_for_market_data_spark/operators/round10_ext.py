@@ -1279,18 +1279,26 @@ def q240_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tot = u.agg(F.sum("c").alias("T"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.array(
-                F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
+    # positions-first bigram stream (round 13): explode the position
+    # sequence and build w1/w2 as top-level element_at projections —
+    # whole-stage codegen end to end.  The old form built an
+    # array-of-arrays via the higher-order transform lambda, which
+    # evaluates INTERPRETED per window (the round-12 24x n-gram
+    # finding, texthash.exploded_ngrams); row set and values identical
+    # (same size>=2 guard, same adjacent-token pairs).
     b = (
-        d.select(F.explode(pairs).alias("p"))
-        .select(F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+        d.select(toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - 1)
+            ).alias("__i"),
+        )
+        .select(
+            F.element_at("__toks", F.col("__i")).alias("w1"),
+            F.element_at("__toks", F.col("__i") + 1).alias("w2"),
+        )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= _PMI_MIN_SUPPORT)

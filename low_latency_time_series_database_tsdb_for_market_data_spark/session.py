@@ -113,6 +113,13 @@ def get_spark(app_name: str = "tsdb-spark", warm: bool = False) -> SparkSession:
         # on the first large hash-agg); clusters set Xms=Xmx for the same
         # reason
         .config("spark.driver.extraJavaOptions", "-Xms8g")
+        # round 13: skip PySpark's per-API-call Python call-site capture
+        # (SPARK-47274 error context) — it walks the Python stack AND
+        # makes an extra JVM round-trip on EVERY DataFrame/Column call;
+        # measured ~15-20% of total driver-side plan-build time across
+        # the 253-query suite.  Pure debuggability/speed trade, no result
+        # or plan change; flip to true when chasing an error's origin.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -131,6 +138,18 @@ def tune(spark: SparkSession) -> SparkSession:
     )
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    try:
+        # see get_spark: per-call Python call-site capture is ~60% of
+        # py4j op time; PySpark caches the flag at first API use, so
+        # reset the cache in case something already read it
+        spark.conf.set(
+            "spark.python.sql.dataFrameDebugging.enabled", "false"
+        )
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = None
     except Exception:
         pass
     return spark

@@ -304,6 +304,41 @@ def test_hot_bucket_exact_dups_bounded(spark):
     assert labels.agg(F.min("cluster_id")).collect()[0][0] == 0
 
 
+def test_lsh_pairs_dedup_flag_value_identical(spark, sf_dir):
+    """Round-13 optimization: dedup_pairs=False skips the inner distinct
+    for callers that run their own distinct over a union — the raw pair
+    stream distinct'd must equal the default output exactly (same pairs,
+    multi-band collisions collapsed either way)."""
+    from pyspark.sql import functions as F
+
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        _exact_collapse,
+        lsh_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    reps, _ = _exact_collapse(docs)
+    reps = reps.localCheckpoint(eager=False)
+    a = (
+        lsh_candidate_pairs(reps, 8)
+        .orderBy("a", "b")
+        .collect()
+    )
+    b = (
+        lsh_candidate_pairs(reps, 8, dedup_pairs=False)
+        .distinct()
+        .orderBy("a", "b")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    # and the raw stream really is allowed to carry multi-band dupes
+    raw = lsh_candidate_pairs(reps, 8, dedup_pairs=False).count()
+    assert raw >= len(a)
+
+
 def test_hot_bucket_cap_truncates_distinct_neardups(spark):
     """Distinct near-dup texts sharing buckets: with max_bucket=1 every
     bucket keeps a single doc, so LSH contributes zero pairs — the cap
@@ -1033,6 +1068,32 @@ def test_q245_ivfpq_verdict_row(spark, sf_dir):
         f"{sf_dir}/embeddings.parquet"
     ).count()
     assert r["top1_exact"] in {e["vec_id"] for e in exact}
+
+
+def test_verdict_model_cache_matches_direct_training(spark, sf_dir):
+    """Round-13 optimization: the shared _verdict_model (one training +
+    ground-truth pass per session for q245/q249/q253) must return
+    exactly what direct training returns — and cache by identity on the
+    second call."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.catalog import (
+        table,
+    )
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.similarity import (  # noqa: E501
+        N_CENTROIDS,
+        _verdict_model,
+        ivfpq_train,
+        train_centroids,
+    )
+
+    m = _verdict_model(spark, sf_dir)
+    assert _verdict_model(spark, sf_dir) is m  # session cache hit
+    assert set(m) == {"probe", "cents", "books", "n_vectors", "exact_ids"}
+    assert len(m["exact_ids"]) == 10 and m["n_vectors"] > 0
+    e = table(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, k=N_CENTROIDS, iters=2)
+    assert m["cents"] == cents  # deterministic training, not a snapshot
+    books = ivfpq_train(e, cents, m=16, k=16, iters=4, sample=4096)
+    assert m["books"] == books
 
 
 def test_resize_images_real_png_pixels(spark):
