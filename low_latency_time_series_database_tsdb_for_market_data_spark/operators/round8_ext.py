@@ -650,25 +650,29 @@ def q197_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation-candidate generator.
 
     Exactness: pure integer counting over DISTINCT (order, part); the
-    top-20 order is total (n DESC, part_a, part_b).  Shape: in-order
-    pair generation via a SELF-JOIN keyed by orderkey — per-order cost
-    is |lines|^2 with TPC-H's ~7-line orders (bounded fan-out, the
-    q56-class in-bucket pair rule; an order cap would go here if a
-    catalog allowed thousand-line orders), then a pair hash-agg and a
-    TakeOrdered top-20 (per-partition heaps, no global sort)."""
-    d = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    top-20 order is total (n DESC, part_a, part_b).  Shape (round-13
+    optimization, guide §2.4): ONE orderkey-keyed hash-agg collapses
+    each order to its sorted distinct part set (collect_set — bounded
+    fan-in with TPC-H's ~7-line orders; an order cap would go here if
+    a catalog allowed thousand-line orders), then the q56-class
+    in-set pair generation (posexplode + slice, ordered pairs a < b by
+    construction), a pair hash-agg and a TakeOrdered top-20.  The old
+    form SELF-JOINED the distinct'd fact on orderkey — one extra
+    distinct exchange plus two join exchanges of the same rows;
+    value-identical (same distinct in-order pairs, same counts)."""
+    d = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = (
+        d.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") > 1)
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pairs = sets.select(
+        F.posexplode("ps").alias("i", "part_a"), "ps"
     ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+        "part_a",
+        F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias(
+            "part_b"
+        ),
     )
     return (
         pairs.groupBy("part_a", "part_b")

@@ -119,7 +119,10 @@ def get_spark(app_name: str = "tsdb-spark", warm: bool = False) -> SparkSession:
         # measured ~15-20% of total driver-side plan-build time across
         # the 253-query suite.  Pure debuggability/speed trade, no result
         # or plan change; flip to true when chasing an error's origin.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

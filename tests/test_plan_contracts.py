@@ -469,9 +469,8 @@ def test_single_scan_unless_allowlisted(reg, spark, sf_dir):
         # stream would materialize MORE than the corpus, so two pruned
         # scans win
         "q194_unigram_surprisal", "q202_surprisal_percentiles",
-        # orderkey self-join pair generation: two declared slices of
-        # lineitem (the q40 set-algebra class)
-        "q197_copurchase_pairs",
+        # (q197 left the allowlist in round 13: the orderkey self-join
+        # became a single-scan collect_set + in-set pair generation)
     }
     offenders = []
     for name in reg:
