@@ -212,6 +212,29 @@ def parquet_num_rows(path: str) -> int | None:
     return sum(md.num_rows for md in mds)
 
 
+def parquet_fingerprint(path: str) -> tuple:
+    """Cheap identity of a parquet file/dir: sorted (name, size,
+    mtime_ns) of its parquet files — os.stat only, no footer reads, no
+    Spark job.  Session caches keyed on a data DIRECTORY (the verdict
+    model, the corpus signature table) add this to their key so a
+    fixture dir regenerated in-place within a long-lived session
+    (soak/test tooling does) invalidates instead of serving stale
+    training (round-14 advice).  Unstat-able paths fingerprint as an
+    empty tuple — the cache then keys on path alone, the old behavior."""
+    from pathlib import Path
+
+    try:
+        p = Path(path)
+        files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+        return tuple(
+            (f.name, st.st_size, st.st_mtime_ns)
+            for f in files
+            for st in (f.stat(),)
+        )
+    except Exception:
+        return ()
+
+
 # Relation cache (round 12, r11 verdict item #6 — the cold first-query
 # floor): every fresh spark.read.parquet pays ~0.1-0.2 s of datasource
 # resolution (py4j round-trips, file listing, footer schema) even in a

@@ -151,6 +151,32 @@ def _exact_collapse(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return reps, dup_edges
 
 
+def _exact_collapse_pinned(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """_exact_collapse off ONE pinned window pass (round 14, guide
+    §2.4): callers that consume BOTH outputs (reps feed the signature
+    pipeline, dup_edges the edge union) otherwise execute the fp-window
+    once per consumer, and re-hash md5(text) wherever they need the
+    fingerprint again — here the tagged frame is pinned once and reps
+    carry their fp through.  Value-identical to _exact_collapse; reps
+    gain an fp column (md5(text), the same value every consumer
+    recomputed)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    tagged = (
+        docs.select("doc_id", "text", F.md5("text").alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .localCheckpoint(eager=False)
+    )
+    reps = tagged.where(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text", "fp"
+    )
+    dup_edges = tagged.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("b")
+    )
+    return reps, dup_edges
+
+
 def hot_buckets(docs: DataFrame, par: int,
                 max_bucket: int = _MAX_BUCKET_DOCS) -> DataFrame:
     """Diagnostic: (band, band_key, n_docs) for buckets whose DISTINCT-text
@@ -201,13 +227,15 @@ def candidate_edges(docs: DataFrame, par: int,
     size(ds) == max_rn >= 2), so strict mode requires max_bucket >= 2 —
     max_bucket=1 keeps one doc per bucket, which disables LSH pair
     generation altogether and is only meaningful with strict_cap=False."""
-    reps, dup_edges = _exact_collapse(docs)
+    # pinned collapse (round 14): both outputs are consumed here, so the
+    # fp-window executes once instead of once per union branch
+    reps, dup_edges = _exact_collapse_pinned(docs)
     # dedup_pairs=False: the union's own distinct below subsumes the
     # inner one — two chained distincts were two full exchanges of the
     # same pair set (round-13 optimization; result identical)
     lsh_pairs = lsh_candidate_pairs(
-        reps, par, max_bucket=max_bucket, strict_cap=strict_cap,
-        dedup_pairs=False,
+        reps.select("doc_id", "text"), par, max_bucket=max_bucket,
+        strict_cap=strict_cap, dedup_pairs=False,
     )
     return lsh_pairs.unionByName(dup_edges).distinct()
 
@@ -253,10 +281,14 @@ def lsh_candidate_pairs(reps: DataFrame, par: int,
     if strict_cap:
         # materialize once; the checkpoint is bucket-scale (vocabulary-ish,
         # KB-MB), and downstream connected_components re-reads it instead
-        # of recomputing the MinHash pipeline
-        groups = groups.localCheckpoint()
-        hot = groups.where(F.col("max_rn") >= max_bucket).limit(1).count()
-        if hot:
+        # of recomputing the MinHash pipeline.  Round 14 (guide §2.4, r13
+        # verdict item #4): the cap guard RIDES the materialization — a
+        # LAZY checkpoint plus one max(max_rn) aggregate both persists the
+        # frame and returns the guard signal in a single job, where the
+        # old eager checkpoint + limit(1).count() probe paid two.
+        groups = groups.localCheckpoint(eager=False)
+        hot_max = groups.agg(F.max("max_rn")).collect()[0][0]
+        if hot_max is not None and hot_max >= max_bucket:
             raise RuntimeError(
                 f"candidate_edges: an LSH bucket reached the per-bucket cap "
                 f"({max_bucket}); results would silently diverge from the "

@@ -1030,18 +1030,37 @@ def ivfpq_search_rerank(
 # this cache; ordinary registry queries keep their own single-pass
 # plans.  A fresh process (every bench/oracle invocation) retrains from
 # the parquet input.
-_VERDICT_MODEL_CACHE: dict[tuple[str, str], dict] = {}
+_VERDICT_MODEL_CACHE: dict[tuple, dict] = {}
+
+# One-time-cost surface (r13 verdict "what's wrong" #1): seconds the
+# cache-miss training path actually took, accumulated per process.
+# bench.py reads this after the suite and emits it on the detail line,
+# so the min-of-2 protocol can no longer hide the per-run training cost
+# — the suite total stays reconstructable (first-run time ≈ cache-hit
+# time + this scalar).
+VERDICT_MODEL_TRAIN_SEC: float = 0.0
 
 
 def _verdict_model(spark: SparkSession, sf_dir: str) -> dict:
     """probe vector, trained coarse centroids + residual codebooks,
     corpus count, and the exact unfiltered top-K ids (by ascending
     (d2, vec_id)) shared by the q245/q249/q253 verdicts — cached per
-    (session, sf_dir); see the cache comment above for why this is
-    sound."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (session, sf_dir, data fingerprint); see the cache comment above
+    for why this is sound.  The fingerprint (parquet file stats,
+    round-14 advice) invalidates the cache when the embeddings under
+    an sf_dir are regenerated in-place within a long-lived session."""
+    from ...catalog import parquet_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        parquet_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
     m = _VERDICT_MODEL_CACHE.get(key)
     if m is None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         e = table(spark, sf_dir, "embeddings")
         probe = [
             float(x)
@@ -1075,6 +1094,8 @@ def _verdict_model(spark: SparkSession, sf_dir: str) -> dict:
             "exact_ids": [r["vec_id"] for r in exact],
         }
         _VERDICT_MODEL_CACHE[key] = m
+        global VERDICT_MODEL_TRAIN_SEC
+        VERDICT_MODEL_TRAIN_SEC += _time.perf_counter() - _t0
     return m
 
 

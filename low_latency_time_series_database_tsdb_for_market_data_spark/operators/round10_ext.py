@@ -955,35 +955,42 @@ def q236_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     c·10 ≥ u·t10 on exact counts — the reported curve cannot disagree
     with what a dedup run at that threshold would do; a threshold that
     passes nothing still reports its 0 row via the 5-row spine.  Shape:
-    the pair frame (linear-bounded by the DF cap) is pinned once and
-    crossed with the broadcast 5-row threshold frame; the distinct
-    affected-doc count shuffles (t10, doc) pairs — both frames are
-    pruned-vocabulary-sized, never corpus-sized."""
+    the pair frame (linear-bounded by the DF cap) is crossed with the
+    broadcast 5-row threshold frame and consumed ONCE — each passing
+    pair explodes to its two endpoints and a single (t10) aggregation
+    yields both n_pairs (count div 2, integer-exact) and the distinct
+    n_docs; every frame is pruned-vocabulary-sized, never
+    corpus-sized."""
     thr = spark.createDataFrame(
         [(t,) for t in (5, 6, 7, 8, 9)], "t10 bigint"
     )
-    pairs = (
-        capped_pair_counts(spark, sf_dir)
-        .select(
-            "ia", "ib", "c",
-            (F.col("na") + F.col("nb") - F.col("c")).alias("u"),
-        )
-        .localCheckpoint(eager=False)
+    pairs = capped_pair_counts(spark, sf_dir).select(
+        "ia", "ib", "c",
+        (F.col("na") + F.col("nb") - F.col("c")).alias("u"),
     )
     passing = pairs.crossJoin(F.broadcast(thr)).where(
         F.col("c") * 10 >= F.col("u") * F.col("t10")
     )
-    np_ = passing.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
-    aff = (
-        passing.select("t10", F.col("ia").alias("doc"))
-        .union(passing.select("t10", F.col("ib").alias("doc")))
-        .distinct()
+    # ONE consumer of the passing frame (round 14, guide §2.4): explode
+    # each passing pair to its two endpoints — n_pairs is then exactly
+    # count(1) div 2 (every pair contributes two rows; integer-exact)
+    # and n_docs the distinct endpoint count, both from a SINGLE
+    # aggregation.  The old shape ran a pair-count agg AND a
+    # union+distinct+agg branch — two reads of the pair frame (which
+    # therefore needed its own checkpoint pin, now gone) and one more
+    # exchange.
+    both = (
+        passing.select(
+            "t10", F.explode(F.array("ia", "ib")).alias("doc")
+        )
         .groupBy("t10")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.expr("count(1) div 2").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
     )
     return (
-        thr.join(np_, "t10", "left")
-        .join(aff, "t10", "left")
+        thr.join(both, "t10", "left")
         .select(
             F.col("t10").alias("threshold_e1"),
             F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
@@ -1611,6 +1618,26 @@ def q243_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
     tlabels = np.array([r["label"] for r in panel], dtype=np.int64)
     tq_n2 = (tq * tq).sum(axis=1)  # exact: integer-valued float64
+    # exactness envelope (round-14 advice): every float64 intermediate
+    # below is a <=dims-term sum of integer component products, so the
+    # matmul is EXACT only while 4 * dims * max|component|^2 < 2^53;
+    # if the embedding contract ever widens (more dims or larger
+    # values), fail loudly here instead of drifting silently
+    _tq_cap = float(np.abs(tq).max()) if tq.size else 0.0
+    _dims = tq.shape[1] if tq.size else 0
+
+    def _assert_exact_envelope(batch_max: float, dims: int) -> None:
+        c = max(batch_max, _tq_cap)
+        if dims and 4.0 * dims * c * c >= float(1 << 53):
+            raise RuntimeError(
+                "q243_knn_eval: quantized components "
+                f"(max |c| = {c:.0f}, dims = {dims}) exceed the float64 "
+                "exact-integer envelope (4 * dims * c^2 >= 2^53); the "
+                "BLAS-matmul distance would silently lose exactness — "
+                "use the BIGINT fold path for this embedding contract"
+            )
+
+    _assert_exact_envelope(_tq_cap, _dims)
 
     k = _KNN_K
     out_schema = (
@@ -1627,6 +1654,9 @@ def q243_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             oids = pdf["vec_id"].to_numpy(dtype=np.int64)
             olabels = pdf["label"].to_numpy(dtype=np.int64)
+            _assert_exact_envelope(
+                float(np.abs(m).max()) if m.size else 0.0, m.shape[1]
+            )
             # squared L2 on e4 integers: every term integer < 2^53, so
             # the float64 matmul is exact; cast back to int64 losslessly
             d = (

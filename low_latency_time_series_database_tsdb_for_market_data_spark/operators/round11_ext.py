@@ -105,18 +105,30 @@ def q244_streaming_dedup_verdict(
         save_dedup_state,
     )
 
+    from ..catalog import parquet_num_rows
+
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     state_dir = tempfile.mkdtemp(prefix="q244_dedup_state_")
+    # snapshot fan-out derived from data size (round 14, r13 verdict
+    # item #1 — the old constant 4 was a fixture-scale tuning): the
+    # state tables carry ~6 digest rows/doc ≈ 300 B/doc, so one ~64 MiB
+    # part file covers ~200k docs; the footer row count (no job) sizes
+    # the epoch snapshots at 1 file per 200k docs, floored at 1 —
+    # identical content, 12 -> 3 part files + commits per run at the
+    # fixture SFs.  Cluster-scale folds pass snapshot_files=None and
+    # keep the shuffle layout (see StreamingDedup).
+    n_docs = parquet_num_rows(f"{sf_dir}/documents.parquet") or 200_000
+    snap_files = max(1, -(-n_docs // 200_000))
     try:
         save_dedup_state(
             even_half_state(spark, sf_dir), f"{state_dir}/epoch=0",
-            target_files=4,
+            target_files=snap_files,
         )
         fold = StreamingDedup(
             spark, state_dir, par,
             bands_lookup=corpus_band_rows(spark, sf_dir),
-            snapshot_files=4,
+            snapshot_files=snap_files,
         )
         fold.process_batch(d.where(F.col("doc_id") % 4 == 1), 1)
         fold.process_batch(d.where(F.col("doc_id") % 4 == 3), 2)

@@ -366,11 +366,10 @@ def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the pin each consumer re-scans events (the single-scan
     # contract's q77/q100/q101 class); the frame is |users x active
     # days|, dim-sized at any scale
-    ud = (
-        ev.select("user_id", dno.alias("dno"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # ud0 kept un-pinned as the dispatch size proxy below (its Catalyst
+    # estimate survives; the checkpoint's LogicalRDD reports Long.Max)
+    ud0 = ev.select("user_id", dno.alias("dno")).distinct()
+    ud = ud0.localCheckpoint(eager=False)
 
     w = Window.partitionBy("user_id").orderBy("dno")
     gap_new = F.when(
@@ -421,16 +420,18 @@ def q210_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench SF and the N-way two-pass above the size threshold (the
     # hardcoded 8 was a local-mode tuning, the class the optimization
     # guide warns about)
-    # size_hint=events: the checkpoint-pinned ud makes the boundary
-    # stream's own estimate unknowable (LogicalRDD reports Long.Max),
-    # but |bounds ∪ queries| <= 3·|ud| <= 3·|events rows| — the events
-    # relation's file-based estimate is the honest scale proxy
+    # size_hint=ud0 (round-14 advice — the old events-relation proxy was
+    # a units mismatch: wide event rows inflated the byte estimate and
+    # forced the two-pass path even when the boundary frame was tiny):
+    # the boundary stream is <= 3·|ud| narrow rows, so the UN-pinned
+    # distinct (user, day) frame's own Catalyst estimate is the honest
+    # same-width scale proxy (the pinned ud reports Long.Max)
     swept = global_cumsum(
         bounds.unionAll(queries_),
         [F.col("dno"), F.col("isq"), F.col("user_id"), F.col("delta")],
         "delta",
         "mau",
-        size_hint=ev,
+        size_hint=ud0,
     )
     out = swept.where(F.col("isq") == 1).select(
         "dno", "dau", F.col("mau").cast("bigint").alias("mau")

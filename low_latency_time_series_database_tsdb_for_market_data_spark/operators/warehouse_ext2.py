@@ -743,6 +743,16 @@ def q179_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("late"),
         )
+        # ONE explicit orderkey exchange feeds BOTH the pair aggregation
+        # and the orderkey window below (round 14, guide §2.4: two
+        # operations keyed compatibly share one exchange) —
+        # hash(l_orderkey) satisfies the (l_orderkey, l_suppkey) groupBy's
+        # clustered distribution AND the window's partitioning, so the
+        # old agg exchange + window exchange collapse to this single one.
+        # The map-side partial agg it forgoes collapsed almost nothing
+        # here (an order's lineitems rarely repeat a supplier), so the
+        # shuffle carries ~the same bytes through one exchange, not two.
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late_s"))
     )

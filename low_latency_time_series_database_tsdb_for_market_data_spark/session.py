@@ -146,9 +146,14 @@ def tune(spark: SparkSession) -> SparkSession:
     try:
         # see get_spark: per-call Python call-site capture is ~60% of
         # py4j op time; PySpark caches the flag at first API use, so
-        # reset the cache in case something already read it
+        # reset the cache in case something already read it.  Honors the
+        # same SPARK_GRAFT_DF_DEBUG env override as get_spark (round-13
+        # advice: a hardcoded 'false' here silently clobbered the
+        # documented opt-in for any session that passes through tune(),
+        # making A/B runs test false-vs-false).
         spark.conf.set(
-            "spark.python.sql.dataFrameDebugging.enabled", "false"
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
         )
         import pyspark.errors.utils as _eu
 

@@ -37,8 +37,8 @@ from ..operators.llm.incremental import (
     DedupState,
     dedup_state_apply,
     dedup_state_build,
-    dedup_survivors,
     load_dedup_state,
+    load_survivors,
     save_dedup_state,
 )
 
@@ -145,14 +145,13 @@ class StreamingDedup:
         return delta
 
     def survivors(self) -> DataFrame:
-        """Survivor set from the LATEST snapshot."""
+        """Survivor set from the LATEST snapshot (members table only —
+        the one parquet relation a survivors read needs)."""
         epochs = self._epochs()
         if not epochs:
             raise ValueError("no dedup state snapshots yet")
-        return dedup_survivors(
-            load_dedup_state(
-                self.spark, f"{self.state_dir}/epoch={epochs[-1]}"
-            )
+        return load_survivors(
+            self.spark, f"{self.state_dir}/epoch={epochs[-1]}"
         )
 
 

@@ -219,3 +219,52 @@ def test_bucketed_state_probe_join_no_state_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("t_pstate_texts", "t_pstate_bands", "t_pstate_members"):
             drop_table(spark, t)
+
+def test_exact_collapse_pinned_matches_unpinned(spark):
+    """Round-14 internals change: _exact_collapse_pinned (one pinned
+    fp-window pass, reps carry fp) must emit the identical reps and dup
+    edges as the classic _exact_collapse, with fp == md5(text)."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.dedup import (
+        _exact_collapse,
+        _exact_collapse_pinned,
+    )
+
+    docs = _df(spark, _A + _B)
+    r0, d0 = _exact_collapse(docs)
+    r1, d1 = _exact_collapse_pinned(docs)
+    a = r0.select("doc_id", "text").toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    b = r1.select("doc_id", "text").toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert a.equals(b)
+    assert sorted(map(tuple, d0.collect())) == sorted(
+        map(tuple, d1.collect())
+    )
+    fp = r1.withColumn("want", F.md5("text")).where(
+        F.col("fp") != F.col("want")
+    )
+    assert fp.count() == 0
+
+
+def test_load_survivors_matches_state_survivors(spark, tmp_path):
+    """Round-14 internals change: the members-only survivors read
+    equals dedup_survivors over the fully loaded state."""
+    from low_latency_time_series_database_tsdb_for_market_data_spark.operators.llm.incremental import (
+        load_survivors,
+    )
+
+    state = dedup_state_build(_df(spark, _A + _B), 8)
+    save_dedup_state(state, str(tmp_path / "st"), target_files=1)
+    want = sorted(
+        r.doc_id
+        for r in dedup_survivors(
+            load_dedup_state(spark, str(tmp_path / "st"))
+        ).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in load_survivors(spark, str(tmp_path / "st")).collect()
+    )
+    assert got == want and got  # non-empty

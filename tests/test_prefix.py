@@ -176,6 +176,26 @@ def test_global_dispatches_classic_below_threshold(spark, tmp_path):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_global_dispatches_two_pass_above_threshold(spark, tmp_path):
+    """The SIZE comparison itself flips the leg (round-14, r13 verdict
+    item #8): the same file-based input that routes classic under the
+    default threshold routes TWO-PASS under a forced-low (but nonzero)
+    threshold — the sf10 behaviour, pinned without generating sf10
+    data.  (classic_max_bytes=0 is the separate force-two-pass escape
+    hatch; this exercises the estimate-vs-threshold branch.)"""
+    path = str(tmp_path / "big.parquet")
+    _skewed(spark, 5_000).write.parquet(path)
+    agg = (
+        spark.read.parquet(path)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = global_row_number(
+        agg, [F.col("c"), F.col("v")], "rn", classic_max_bytes=1
+    )
+    assert "windowspecdefinition(__prefix_pid" in physical_plan(got)
+
+
 def test_global_explicit_partitions_keep_two_pass(spark):
     """An explicit num_partitions is an explicit request for the
     two-pass shape (the plan-property tests above pin through it) —

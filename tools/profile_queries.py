@@ -1,7 +1,7 @@
 """Per-query optimization profiler (round 13).
 
 For each named query: capture `.explain("formatted")` to
-plans/r13/<name>_<tag>.txt, count plan features (Exchange,
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default r14), count plan features (Exchange,
 SortMergeJoin/BroadcastHashJoin, BatchEvalPython/ArrowEvalPython,
 FileScan), count Spark jobs run, and time the noop-sink
 materialization (min-of-2, GC outside the timer) — bench.py's exact
@@ -57,7 +57,9 @@ def main() -> None:
 
     spark = get_spark("profile-r13")
     warm_start(spark, SF_DIR)
-    plans_dir = os.path.join(HERE, "plans", "r13")
+    plans_dir = os.path.join(
+        HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
