@@ -64,15 +64,32 @@ def main() -> None:
     t_suite = time.time()
     for name in top:
         times = []
+        err = None
         for _ in range(reps):
             t0 = time.time()
             # noop sink, NOT count(): bench.py's rule — count() lets
             # Catalyst prune the expensive side of row-preserving
             # left joins (q250's whole aggregate vanished under it)
-            reg[name].fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            try:
+                reg[name].fn(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+            except Exception as e:
+                # capacity guards raise LOUDLY by design at adversarial
+                # densities (q95's 16-bit simhash bands saturate at
+                # 500k distinct texts) — record the refusal instead of
+                # aborting the whole heavy-tail pass
+                err = f"{type(e).__name__}: {str(e)[:200]}"
+                break
             times.append(round(time.time() - t0, 3))
+        if err is not None:
+            out[name] = {
+                "sf10_min_sec": None, "runs": times,
+                "sf1_sec": base.get(name), "x_vs_sf1": None,
+                "flag_superlinear": False, "note": err,
+            }
+            print(f"{name}: RAISED ({err})", flush=True)
+            continue
         best = min(times)
         ratio = round(best / base[name], 2) if base.get(name) else None
         out[name] = {
@@ -88,11 +105,34 @@ def main() -> None:
             + ("  <-- SUPERLINEAR" if out[name]["flag_superlinear"] else ""),
             flush=True,
         )
+    # dispatch-leg report (round 14, r13 verdict item #8): for the
+    # global-prefix dispatch family, record which leg the size dispatch
+    # picked at THIS sf_dir — "two_pass" when the __prefix_pid range
+    # machinery is in the physical plan, else "classic".  At sf10 sizes
+    # the family must flip to two_pass; at fixture SFs classic is right.
+    legs: dict[str, str] = {}
+    for name in (
+        "q147_customer_value_bands", "q153_part_revenue_abc",
+        "q169_customer_pareto", "q182_user_rfm", "q203_peak_concurrency",
+        "q210_stickiness", "q230_eventid_gaps",
+    ):
+        try:
+            df = reg[name].fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            legs[name] = (
+                "two_pass" if "__prefix_pid" in plan else "classic"
+            )
+        except Exception as e:  # pragma: no cover - report, don't die
+            legs[name] = f"error: {e}"
+    print("dispatch_legs:", json.dumps(legs), flush=True)
     rec = {
         "sf_dir": sf_dir,
         "top_n": top_n,
         "reps": reps,
         "wall_sec": round(time.time() - t_suite, 1),
+        "dispatch_legs": legs,
         "queries": out,
     }
     here = Path(__file__).resolve().parents[1]
