@@ -44,45 +44,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # cycle, so the rule holds automatically as long as the window is built
 # this way; never hand-pick rows ahead of a staler one.
 #
-# Round-13 window (round-12 judge item #1 + the freshness sort):
-# never-driver-checked round-13 additions first (q251/q252/q253 —
-# exact-audited at sf0.001 + sf0.01 + sf0.1 before registration), then
-# the stalest r8-official rows by query number.  The r8 cohort is 49
-# rows, so 3 + 47 fills the window and its two HIGHEST qnums
-# (q185/q186, the sketch bound-checks) roll to the r14 rotation — with
-# 253 rows and 3 additions the directed "minimum r9 after this window"
-# is arithmetically out of reach by exactly those two rows; the
-# mechanical freshness sort stays the rule.  The two
-# rows-only-by-design sketches q25/q73 stay OUT per the window
-# invariant (their numeric bounds are hash-verified via q185/q186).
-# A driver that sorts keys or checks all queries is unaffected — the
-# key set is identical.
-_HEAD_R13 = [
-    "q251_bpe_fertility", "q252_span_islands",
-    "q253_ann_filtered_verdict",
-    "q23_vwap", "q27_percentiles", "q39_ewma", "q40_setops",
-    "q41_string", "q42_datetime", "q43_json", "q44_array",
-    "q45_map_functions", "q46_pivot", "q47_unpivot",
-    "q48_conditional_agg", "q49_histogram", "q50_dedup_exact",
-    "q51_similarity_topk", "q52_text_stats", "q53_doc_filter",
-    "q54_minhash_signature", "q55_lsh_buckets",
-    "q56_ngram_jaccard_pairs", "q57_simhash", "q58_lang_id",
-    "q59_quality_score", "q64_ann_lsh_bucketed", "q65_ann_ivf",
-    "q74_rolling_time_window", "q75_asof_forward", "q76_max_drawdown",
-    "q77_symbol_correlation",
-    "q167_top_supplier", "q168_small_qty_revenue",
-    "q169_customer_pareto", "q170_event_transitions", "q171_user_paths",
-    "q172_source_novelty", "q173_forecast_revenue", "q174_order_aging",
-    "q175_user_burst_screen", "q176_minute_coverage", "q177_vpin",
-    "q178_first_touch", "q179_sole_late_supplier", "q180_atr_daily",
-    "q181_signup_to_purchase", "q182_user_rfm", "q183_price_size_slope",
-    "q184_session_quartiles",
+# Round-14 window (the mechanical freshness sort — no round-14
+# additions; this is an optimization round, registry unchanged at 253):
+# the two r8-official rows that rolled over from the r13 window
+# (q185/q186, the sketch bound-checks) first, then the r9-official
+# cohort by query number — the 11 q60-q72 rows (q64/q65 excluded:
+# re-officialized in r13) and q187-q223.  q224/q225 are the two
+# highest-qnum r9 rows that roll to the r15 rotation (2 + 11 + 39 = 52
+# candidates for 50 slots; "never hand-pick rows ahead of a staler
+# one", so the round-14-TOUCHED queries ride their normal freshness
+# slots — the full registry is oracle-verified every round by the
+# driver sim regardless).  The two rows-only-by-design sketches
+# q25/q73 stay OUT per the window invariant (their numeric bounds are
+# hash-verified via q185/q186).  A driver that sorts keys or checks
+# all queries is unaffected — the key set is identical.
+_HEAD_R14 = [
+    "q185_hll_bound", "q186_tdigest_bound",
+    "q60_token_count", "q61_fingerprint", "q62_embedding_neardup",
+    "q63_multimodal_meta", "q66_dedup_clusters", "q67_embed_quantize",
+    "q68_topn_per_group", "q69_bigram_topk", "q70_dedup_survivors",
+    "q71_cube", "q72_grouping_sets",
+    "q187_ship_latency", "q188_supplier_hhi",
+    "q189_intraday_volume_profile", "q190_dup_multiplicity",
+    "q191_length_word_corr", "q192_weekday_priority_matrix",
+    "q193_customer_order_gaps", "q194_unigram_surprisal",
+    "q195_vwap_deviation", "q196_round_price_bias",
+    "q197_copurchase_pairs", "q198_weekend_effect", "q199_dedup_savings",
+    "q200_priority_mix_shift", "q201_temperature_mix",
+    "q202_surprisal_percentiles", "q203_peak_concurrency",
+    "q204_pq_recall_verdict", "q205_spend_gini_binned",
+    "q206_product_margin", "q207_supplier_span",
+    "q208_prospect_segments", "q209_ma_crossover", "q210_stickiness",
+    "q211_l28_histogram", "q212_engulfing_candles",
+    "q213_prefix_collisions", "q214_tick_runs", "q215_bounce_rate",
+    "q216_top_boilerplate", "q217_type_affinity",
+    "q218_single_source_risk", "q219_label_balance",
+    "q220_order_fill_days", "q221_gap_continuation",
+    "q222_repeat_purchase", "q223_crosslang_dups",
 ]
 
 
 def _ordered() -> list[str]:
     reg = load_all()
-    head = [n for n in _HEAD_R13 if n in reg]
+    head = [n for n in _HEAD_R14 if n in reg]
     seen = set(head)
     return head + [n for n in reg if n not in seen]
 

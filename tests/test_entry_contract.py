@@ -13,7 +13,7 @@ from low_latency_time_series_database_tsdb_for_market_data_spark.registry import
 
 def test_head_window_is_50_known_oracle_backed_names():
     reg = load_all()
-    head = E._HEAD_R13
+    head = E._HEAD_R14
     assert len(head) == 50
     assert len(set(head)) == 50
     unknown = [n for n in head if n not in reg]
@@ -28,7 +28,7 @@ def test_ordered_covers_whole_registry_once():
     reg = load_all()
     names = E._ordered()
     assert sorted(names) == sorted(reg)
-    assert names[:50] == E._HEAD_R13
+    assert names[:50] == E._HEAD_R14
 
 
 def test_oracle_sql_keys_subset_of_queries():
